@@ -1,0 +1,78 @@
+# -*- coding: utf-8 -*-
+"""Approximation of functions in spline spaces (interpolation, L2 projection).
+
+API parity with /root/reference/pyiga/approx.py.
+"""
+
+import sys
+
+import numpy as np
+import scipy.sparse.linalg
+
+from . import bspline, operators, tensor, utils
+from .bspline import KnotVector
+
+
+def interpolate(kvs, f, geo=None, nodes=None):
+    """Coefficients interpolating `f` in the TP basis `kvs` at `nodes`
+    (Greville abscissae by default).  With `geo`, `f` is evaluated in
+    physical coordinates.  `f` may also be an array of nodal values."""
+    if isinstance(kvs, KnotVector):
+        kvs = (kvs,)
+    if nodes is None:
+        nodes = [kv.greville() for kv in kvs]
+
+    if isinstance(f, np.ndarray):
+        if np.shape(f)[:len(kvs)] != tuple(kv.numdofs for kv in kvs):
+            raise ValueError('array f has wrong shape')
+        rhs = f
+    elif geo is not None:
+        rhs = utils.grid_eval_transformed(f, nodes, geo)
+    else:
+        rhs = utils.grid_eval(f, nodes)
+
+    Cinvs = [operators.make_solver(bspline.collocation(kvs[i], nodes[i]))
+             for i in range(len(kvs))]
+    return tensor.apply_tprod(Cinvs, rhs)
+
+
+def _project_L2_hspace(hs, f, f_physical=False, geo=None):
+    from . import assemble, geometry, vform
+    if geo is None:
+        geo = geometry.identity(hs.knotvectors(0))
+    M = assemble.assemble(vform.mass_vf(hs.dim), hs, geo=geo)
+    rhs = assemble.assemble(
+        vform.L2functional_vf(hs.dim, physical=f_physical), hs, geo=geo, f=f)
+    return operators.make_solver(M, spd=True).dot(rhs)
+
+
+def project_L2(kvs, f, f_physical=False, geo=None):
+    """L2-projection of `f` into the TP basis `kvs` (or a hierarchical space).
+
+    With a geometry, the mass system is solved by CG preconditioned with the
+    Kronecker parameter-domain mass inverse."""
+    from . import assemble
+    try:
+        from .hierarchical import HSpace
+        if isinstance(kvs, HSpace):
+            return _project_L2_hspace(kvs, f, f_physical, geo)
+    except ImportError:
+        pass
+    if isinstance(kvs, KnotVector):
+        kvs = (kvs,)
+    Minvs = [operators.make_solver(assemble.mass(kv), spd=True) for kv in kvs]
+    rhs = assemble.inner_products(kvs, f, f_physical=f_physical, geo=geo)
+    if geo is None:
+        assert not f_physical, 'Cannot use physical coordinates without geometry'
+        return tensor.apply_tprod(Minvs, rhs)
+    M = assemble.mass(kvs, geo=geo)
+    b = rhs.ravel()
+    assert b.shape[0] == M.shape[1], \
+        'L2 projection with geometry only implemented for scalar functions'
+    x, info = scipy.sparse.linalg.cg(M, b, rtol=1e-12, atol=1e-12,
+                                     maxiter=100,
+                                     M=operators.KroneckerOperator(*Minvs))
+    if info:
+        print('WARNING: L2 projection - CG did not converge:', info,
+              file=sys.stderr)
+    return x.reshape(rhs.shape)

@@ -1,0 +1,419 @@
+# -*- coding: utf-8 -*-
+"""High-level assembly API.
+
+L6 layer, API parity with /root/reference/pyiga/assemble.py: 1D reference
+assemblers, Kronecker fast paths, the generic assembly driver, right-hand
+sides, Dirichlet boundary conditions and restricted linear systems,
+integration.
+
+Matrix conventions (same as reference): rows = test functions, columns =
+trial functions; vector-valued problems support 'blocked' (component-major)
+and 'packed' (interleaved) layouts.
+"""
+
+import itertools
+import math
+
+import numpy as np
+import scipy.sparse
+
+from . import assemblers, bspline, operators, tensor, utils
+from .bspline import KnotVector
+from .mlmatrix import MLStructure
+from .ops import geom
+from .quadrature import make_iterated_quadrature, make_tensor_quadrature
+
+
+################################################################################
+# 1D assemblers
+################################################################################
+
+def bsp_mixed_deriv_biform_1d(knotvec, du, dv, nqp=None, weightfunc=None):
+    """1D matrix for ``a(u,v) = int weight * u^(du) v^(dv)``; computed as
+    ``C_dv^T diag(w) C_du`` with per-span Gauss quadrature."""
+    if nqp is None:
+        nqp = int(math.ceil((2 * knotvec.p - du - dv + 1) / 2.0))
+    nodes, weights = make_iterated_quadrature(knotvec.mesh, nqp)
+    C = bspline.collocation_derivs(knotvec, nodes, derivs=max(du, dv))
+    if weightfunc is not None:
+        weights = weights * utils.grid_eval(weightfunc, (nodes,))
+    W = scipy.sparse.diags(weights)
+    return (C[dv].T @ W @ C[du]).tocsr()
+
+
+def bsp_mass_1d(knotvec, weightfunc=None):
+    """1D mass matrix (optionally weighted)."""
+    return bsp_mixed_deriv_biform_1d(knotvec, 0, 0, weightfunc=weightfunc)
+
+
+def bsp_stiffness_1d(knotvec, weightfunc=None):
+    """1D stiffness (Laplace) matrix (optionally weighted)."""
+    return bsp_mixed_deriv_biform_1d(knotvec, 1, 1, weightfunc=weightfunc)
+
+
+def bsp_mixed_deriv_biform_1d_asym(knotvec1, knotvec2, du, dv,
+                                   quadgrid=None, nqp=None):
+    """Petrov-Galerkin 1D matrix relating trial space `knotvec1` (`du`
+    derivatives) and test space `knotvec2` (`dv` derivatives); result has
+    shape ``knotvec2.numdofs x knotvec1.numdofs``."""
+    if quadgrid is None:
+        quadgrid = knotvec1.mesh
+    if nqp is None:
+        nqp = int(math.ceil((knotvec1.p + knotvec2.p - du - dv + 1) / 2.0))
+    nodes, weights = make_iterated_quadrature(quadgrid, nqp)
+    C1 = bspline.collocation_derivs(knotvec1, nodes, derivs=du)[du]
+    C2 = bspline.collocation_derivs(knotvec2, nodes, derivs=dv)[dv]
+    return (C2.T @ scipy.sparse.diags(weights) @ C1).tocsr()
+
+
+def bsp_mass_1d_asym(knotvec1, knotvec2, quadgrid=None):
+    return bsp_mixed_deriv_biform_1d_asym(knotvec1, knotvec2, 0, 0,
+                                          quadgrid=quadgrid)
+
+
+def bsp_stiffness_1d_asym(knotvec1, knotvec2, quadgrid=None):
+    return bsp_mixed_deriv_biform_1d_asym(knotvec1, knotvec2, 1, 1,
+                                          quadgrid=quadgrid)
+
+
+################################################################################
+# Multi-dimensional mass/stiffness with Kronecker fast paths
+################################################################################
+
+def bsp_mass_2d(knotvecs, geo=None, format='csr'):
+    if geo is None:
+        kv1, kv2 = knotvecs
+        return scipy.sparse.kron(bsp_mass_1d(kv1), bsp_mass_1d(kv2),
+                                 format=format)
+    return assemble_entries(assemblers.MassAssembler2D(knotvecs, geo),
+                            symmetric=True, format=format)
+
+
+def bsp_stiffness_2d(knotvecs, geo=None, format='csr'):
+    if geo is None:
+        kv1, kv2 = knotvecs
+        M1, M2 = bsp_mass_1d(kv1), bsp_mass_1d(kv2)
+        K1, K2 = bsp_stiffness_1d(kv1), bsp_stiffness_1d(kv2)
+        return (scipy.sparse.kron(K1, M2, format=format)
+                + scipy.sparse.kron(M1, K2, format=format))
+    return assemble_entries(assemblers.StiffnessAssembler2D(knotvecs, geo),
+                            symmetric=True, format=format)
+
+
+def bsp_mass_3d(knotvecs, geo=None, format='csr'):
+    if geo is None:
+        Ms = [bsp_mass_1d(kv) for kv in knotvecs]
+        k = lambda A, B: scipy.sparse.kron(A, B, format=format)
+        return k(Ms[0], k(Ms[1], Ms[2]))
+    return assemble_entries(assemblers.MassAssembler3D(knotvecs, geo),
+                            symmetric=True, format=format)
+
+
+def bsp_stiffness_3d(knotvecs, geo=None, format='csr'):
+    if geo is None:
+        MK = [(bsp_mass_1d(kv), bsp_stiffness_1d(kv)) for kv in knotvecs]
+        k = lambda A, B: scipy.sparse.kron(A, B, format=format)
+        M12 = k(MK[1][0], MK[2][0])
+        K12 = k(MK[1][1], MK[2][0]) + k(MK[1][0], MK[2][1])
+        return k(MK[0][1], M12) + k(MK[0][0], K12)
+    return assemble_entries(assemblers.StiffnessAssembler3D(knotvecs, geo),
+                            symmetric=True, format=format)
+
+
+################################################################################
+# Right-hand sides and integration
+################################################################################
+
+def inner_products(kvs, f, f_physical=False, geo=None):
+    """L2 inner products of all TP basis functions with `f` (the load
+    vector), as an array of shape ``numdofs(kv) per axis`` (+ components)."""
+    if isinstance(kvs, KnotVector):
+        kvs = (kvs,)
+    nqp = max(kv.p for kv in kvs) + 1
+    gaussgrid, gaussweights = make_tensor_quadrature(
+        [kv.mesh for kv in kvs], nqp)
+
+    if f_physical:
+        assert geo is not None, \
+            'inner_products in physical domain requires geometry'
+        fvals = utils.grid_eval_transformed(f, gaussgrid, geo)
+    else:
+        fvals = utils.grid_eval(f, gaussgrid)
+
+    fvals = tensor.apply_tprod(
+        [operators.DiagonalOperator(gw) for gw in gaussweights], fvals)
+    if geo is not None:
+        jac = geo.grid_jacobian(gaussgrid)
+        geo_det = np.abs(np.linalg.det(jac))
+        extra_dims = fvals.ndim - geo_det.ndim
+        if extra_dims > 0:
+            geo_det = geo_det.reshape(geo_det.shape + extra_dims * (1,))
+        fvals = fvals * geo_det
+    Ct = [bspline.collocation(kvs[i], gaussgrid[i]).T for i in range(len(kvs))]
+    return tensor.apply_tprod(Ct, fvals)
+
+
+def integrate(kvs, f, f_physical=False, geo=None):
+    """Integral of `f` over the domain described by `geo` (or the parameter
+    domain), using the same Gauss rule as the assemblers."""
+    if isinstance(kvs, KnotVector):
+        kvs = (kvs,)
+    nqp = max(kv.p for kv in kvs) + 1
+    gaussgrid, gaussweights = make_tensor_quadrature(
+        [kv.mesh for kv in kvs], nqp)
+
+    if f_physical:
+        assert geo is not None, 'integrate in physical domain requires geometry'
+        fvals = utils.grid_eval_transformed(f, gaussgrid, geo)
+    else:
+        fvals = utils.grid_eval(f, gaussgrid)
+
+    fvals = tensor.apply_tprod(
+        [operators.DiagonalOperator(gw) for gw in gaussweights], fvals)
+    if geo is not None:
+        jac = geo.grid_jacobian(gaussgrid)
+        fvals = fvals * np.abs(np.linalg.det(jac))
+    return fvals.sum(axis=tuple(range(len(kvs))))
+
+
+################################################################################
+# Dirichlet boundary conditions
+################################################################################
+
+def slice_indices(ax, idx, shape, ravel=False, flip=None):
+    """Dof indices of the slice at index `idx` along axis `ax` of a TP basis
+    with the given `shape`; as multi-indices or raveled (`ravel=True`)."""
+    shape = tuple(shape)
+    if idx < 0:
+        idx += shape[ax]
+    axdofs = [range(n) for n in shape]
+    if flip is not None:
+        flip = tuple(flip)
+        flip = flip[:ax] + (False,) + flip[ax:]
+        for i, flp in enumerate(flip):
+            if flp:
+                axdofs[i] = reversed(axdofs[i])
+    axdofs[ax] = [idx]
+    multi_indices = np.array(list(itertools.product(*axdofs)))
+    if ravel:
+        return np.ravel_multi_index(multi_indices.T, shape)
+    return multi_indices
+
+
+def boundary_dofs(kvs, bdspec, ravel=False, flip=None):
+    """Indices of the dofs lying on the given boundary face."""
+    bdax, bdside = bspline._parse_bdspec(bdspec, len(kvs))
+    N = tuple(kv.numdofs for kv in kvs)
+    return slice_indices(bdax, 0 if bdside == 0 else -1, N,
+                         ravel=ravel, flip=flip)
+
+
+def boundary_cells(kvs, bdspec, ravel=False):
+    """Indices of the cells lying on the given boundary face."""
+    bdax, bdside = bspline._parse_bdspec(bdspec, len(kvs))
+    N = tuple(kv.numspans for kv in kvs)
+    return slice_indices(bdax, 0 if bdside == 0 else -1, N, ravel=ravel)
+
+
+def _drop_nans(indices, values):
+    isnan = np.isnan(values)
+    if np.any(isnan):
+        keep = np.nonzero(~isnan)[0]
+        return indices[keep], values[keep]
+    return indices, values
+
+
+def compute_dirichlet_bc(kvs, geo, bdspec, dir_func):
+    """Indices and values of the Dirichlet dofs on one boundary face,
+    computed by interpolating `dir_func` (given in physical coordinates;
+    scalars mean constant functions; vector-valued functions produce blocked
+    numbering)."""
+    bdspec = bspline._parse_bdspec(bdspec, len(kvs))
+    bdax, bdside = bdspec
+
+    bdbasis = list(kvs)
+    assert len(bdbasis) == geo.sdim, 'Invalid dimension of geometry'
+    del bdbasis[bdax]
+
+    bdgeo = geo.boundary(bdspec)
+    from .approx import interpolate
+    if np.isscalar(dir_func):
+        const_value = dir_func
+        dir_func = lambda *x: const_value
+    dircoeffs = interpolate(bdbasis, dir_func, geo=bdgeo)
+
+    N = tuple(kv.numdofs for kv in kvs)
+    bdindices = slice_indices(bdax, 0 if bdside == 0 else -1, N, ravel=True)
+
+    extra_dims = dircoeffs.ndim - len(bdbasis)
+    if extra_dims == 0:
+        return _drop_nans(bdindices, dircoeffs.ravel())
+    if extra_dims == 1:
+        numcomp = dircoeffs.shape[-1]
+        NN = np.prod(N)
+        idx, val = combine_bcs(
+            (bdindices + j * NN, dircoeffs[..., j].ravel())
+            for j in range(numcomp))
+        return _drop_nans(idx, val)
+    raise ValueError('invalid dimension of Dirichlet coefficients: %s'
+                     % (dircoeffs.shape,))
+
+
+def compute_dirichlet_bcs(kvs, geo, bdconds):
+    """Combined (indices, values) for several boundary conditions; the
+    shorthand ``("all", g)`` applies `g` on every boundary face."""
+    if len(bdconds) == 2 and bdconds[0] == 'all':
+        dir_func = bdconds[1]
+        bdconds = [((ax, bd), dir_func)
+                   for ax in range(len(kvs)) for bd in (0, 1)]
+    return combine_bcs(compute_dirichlet_bc(kvs, geo, bdspec, g)
+                       for (bdspec, g) in bdconds)
+
+
+def compute_initial_condition_01(kvs, geo, bdspec, g0, g1, physical=True):
+    """Indices/values fixing function value `g0` and first derivative `g1`
+    at one face of a space-time cylinder with constant-in-time geometry."""
+    bdspec = bspline._parse_bdspec(bdspec, len(kvs))
+    bdax, bdside = bdspec
+
+    bdbasis = list(kvs)
+    del bdbasis[bdax]
+
+    bdgeo = geo.boundary(bdspec) if physical else None
+    from .approx import interpolate
+    coeffs01 = np.stack((
+        interpolate(bdbasis, g0, geo=bdgeo).ravel(),
+        interpolate(bdbasis, g1, geo=bdgeo).ravel()))
+
+    kvt = kvs[bdax]
+    if bdside == 0:
+        bdcolloc = bspline.active_deriv(kvt, kvt.support()[0], 1)[:2, :2]
+    else:
+        bdcolloc = bspline.active_deriv(kvt, kvt.support()[1], 1)[:2, -2:]
+    coll_coeffs = np.linalg.solve(bdcolloc, coeffs01)
+
+    N = tuple(kv.numdofs for kv in kvs)
+    firstidx = 0 if bdside == 0 else -2
+    bdindices = np.concatenate((
+        slice_indices(bdax, firstidx, N, ravel=True),
+        slice_indices(bdax, firstidx + 1, N, ravel=True)))
+    return bdindices, coll_coeffs.ravel()
+
+
+def combine_bcs(bcs):
+    """Merge several (indices, values) pairs, dropping duplicate indices."""
+    bcs = list(bcs)
+    indices = np.concatenate([ind for ind, _ in bcs])
+    values = np.concatenate([val for _, val in bcs])
+    assert indices.shape == values.shape, 'Inconsistent BC sizes'
+    uidx, lookup = np.unique(indices, return_index=True)
+    return uidx, values[lookup]
+
+
+class RestrictedLinearSystem:
+    """A linear system with some dofs eliminated (fixed to given values).
+
+    ``R_free``/``R_elim`` restrict to the free/eliminated dofs; the updated
+    right-hand side is ``R_free (b - A R_elim^T values)``.  `elim_rows`
+    supports Petrov-Galerkin systems where the eliminated equations differ
+    from the eliminated dofs."""
+
+    def __init__(self, A, b, bcs, elim_rows=None):
+        indices, values = bcs
+        if np.isscalar(b):
+            b = np.broadcast_to(b, A.shape[0])
+        if np.isscalar(values):
+            values = np.broadcast_to(values, np.shape(indices)[0])
+        self.values = values
+
+        I = scipy.sparse.eye(A.shape[1], format='csr')
+        mask = np.ones(A.shape[1], dtype=bool)
+        mask[np.asarray(indices, dtype=np.int64)] = False
+        self.R_free = I[mask]
+        self.R_elim = I[~mask]
+
+        if elim_rows is not None:
+            Iv = scipy.sparse.eye(A.shape[0], format='csr')
+            maskv = np.ones(A.shape[0], dtype=bool)
+            maskv[np.asarray(sorted(elim_rows), dtype=np.int64)] = False
+            self.R_free_v = Iv[maskv]
+            self.R_elim_v = Iv[~maskv]
+        else:
+            self.R_free_v = self.R_free
+            self.R_elim_v = self.R_elim
+
+        self.A = self.restrict_matrix(A)
+        self.b = self.restrict_rhs(b - A.dot(self.R_elim.T.dot(values)))
+
+    def restrict(self, u):
+        """Restrict a full-dof vector to the free dofs."""
+        return self.R_free.dot(u)
+
+    def restrict_rhs(self, f):
+        """Restrict a right-hand side to the non-eliminated rows."""
+        return self.R_free_v.dot(f)
+
+    def restrict_matrix(self, B):
+        """Restrict a full matrix to the free dofs (rows and columns)."""
+        if not scipy.sparse.issparse(B):
+            B = scipy.sparse.csr_matrix(B)
+        return self.R_free_v.dot(B).dot(self.R_free.T)
+
+    def extend(self, u):
+        """Zero-pad a free-dof vector to all dofs."""
+        return self.R_free.T.dot(u)
+
+    def complete(self, u):
+        """Extend a restricted solution with the eliminated dof values."""
+        return self.extend(u) + self.R_elim.T.dot(self.values)
+
+
+################################################################################
+# Assembly drivers
+################################################################################
+
+def assemble_entries(asm, symmetric=False, format='csr', layout='blocked'):
+    """Assemble all entries of the given assembler and return the matrix (or
+    vector for arity-1 assemblers).
+
+    Unlike the reference (which chunks per-entry evaluations over threads,
+    assemble.py:703), the sum-factorization assemblers always compute the
+    complete compact tensor on device; `symmetric` is accepted for API
+    compatibility.  Pass ``format='mlb'`` to obtain the compact
+    :class:`~pyiga_tpu.mlmatrix.MLMatrix` without expanding to scipy."""
+    if asm.arity == 1:
+        return asm.assemble_vector()
+    mlm = asm.assemble()
+    if format == 'mlb':
+        return mlm
+    return mlm.asmatrix(format)
+
+
+def mass(kvs, geo=None, format='csr'):
+    """Mass matrix over a TP spline space (1D/2D/3D dispatch; Kronecker fast
+    path for ``geo=None``)."""
+    if isinstance(kvs, KnotVector):
+        return bsp_mass_1d(kvs)
+    dim = len(kvs)
+    if dim == 1:
+        return bsp_mass_1d(kvs[0])
+    if geo is None:
+        Ms = [bsp_mass_1d(kv) for kv in kvs]
+        return utils.multi_kron_sparse(Ms, format=format)
+    return assemble_entries(assemblers.MassAssembler(kvs, geo),
+                            symmetric=True, format=format)
+
+
+def stiffness(kvs, geo=None, format='csr'):
+    """Stiffness matrix over a TP spline space (Kronecker fast path for
+    ``geo=None``)."""
+    if isinstance(kvs, KnotVector):
+        return bsp_stiffness_1d(kvs)
+    dim = len(kvs)
+    if dim == 1:
+        return bsp_stiffness_1d(kvs[0])
+    if dim == 2:
+        return bsp_stiffness_2d(kvs, geo=geo, format=format)
+    if dim == 3:
+        return bsp_stiffness_3d(kvs, geo=geo, format=format)
+    raise ValueError('dimension %d not supported' % dim)

@@ -1,0 +1,166 @@
+# -*- coding: utf-8 -*-
+"""Predefined Gauss assemblers (mass, stiffness, ...) built on the
+sum-factorization engine.
+
+These replace the pre-generated Cython assembler classes of the reference
+(/root/reference/pyiga/assemblers.pyx: MassAssembler2D/3D:26/1158,
+StiffnessAssembler2D/3D:174/1324).  Each assembler:
+
+1. sets up the tensor Gauss rule (``nqp = max(p)+1``) and the multilevel
+   banded structure over the space,
+2. evaluates the geometry coefficient fields on the Gauss grid on device
+   (dense per-axis basis tables -> Jacobians -> det/inv, all inside one jit),
+3. contracts the fields against per-axis basis pair tables (MXU matmuls)
+   into the compact data tensor.
+
+The assembled matrix is returned as an :class:`~pyiga_tpu.mlmatrix.MLMatrix`
+over the same structure/ordering as the reference, so entries match
+entrywise (float64 path: <= ~1e-14 relative).
+"""
+
+import numpy as np
+
+from .mlmatrix import MLStructure
+from .ops import geom, sumfac
+from .bspline import KnotVector
+
+
+################################################################################
+# Field functions (module-level for stable jit caching)
+################################################################################
+
+def _geo_weight_jacinv(geo_inputs):
+    """Common geometry preprocessing: returns ``(W, jacinv)`` where
+    ``W = gauss_weight * |det J|`` on the grid and `jacinv` is the
+    level-ordered inverse Jacobian (or None in 'no det/inv needed' cases)."""
+    if 'jac' in geo_inputs:
+        jac = geo_inputs['jac']
+    else:
+        is_nurbs = 'geo_tables_nurbs' in geo_inputs
+        key = 'geo_tables_nurbs' if is_nurbs else 'geo_tables_bsp'
+        tables = geo_inputs[key]
+        sdim = len(tables)
+        _, jac = geom.geo_jacobian_field(tables, geo_inputs['geo_coeffs'],
+                                         is_nurbs, sdim)
+    det, jacinv = geom.det_and_inv(jac)
+    import jax.numpy as jnp
+    W = geom.gauss_weight_field(geo_inputs['weights']) * jnp.abs(det)
+    return W, jacinv
+
+
+def mass_fields(geo_inputs):
+    """Mass: single field ``W`` (reference: assemblers.pyx MassAssembler)."""
+    W, _ = _geo_weight_jacinv(geo_inputs)
+    return [W]
+
+
+def stiffness_fields(geo_inputs):
+    """Stiffness: fields ``B_ab = W * (J^-1 J^-T)_ab`` for all axis pairs
+    (a, b) in level order, row-major (reference: stiffness_vf, vform.py:1746)."""
+    W, jacinv = _geo_weight_jacinv(geo_inputs)
+    import jax.numpy as jnp
+    B = jnp.einsum('...ak,...bk->...ab', jacinv, jacinv) * W[..., None, None]
+    d = B.shape[-1]
+    return [B[..., a, b] for a in range(d) for b in range(d)]
+
+
+################################################################################
+# Assembler classes
+################################################################################
+
+def _unit(d, k):
+    e = d * [0]
+    e[k] = 1
+    return tuple(e)
+
+
+class BaseGaussAssembler:
+    """Shared setup for Gauss assemblers over a TP spline space with geometry."""
+
+    arity = 2
+    numderiv = 1
+
+    def __init__(self, kvs, geo, nqp=None):
+        if isinstance(kvs, KnotVector):
+            kvs = (kvs,)
+        self.kvs = self.kvs0 = self.kvs1 = tuple(kvs)
+        self.dim = len(self.kvs)
+        self.geo = geo
+        assert geo.sdim == self.dim, 'Geometry has wrong dimension'
+        self.grid, self.gweights = sumfac.quadrature_for(self.kvs, nqp)
+        self.structure = MLStructure.from_kvs(self.kvs0, self.kvs1)
+        self.tables = sumfac.SpaceTables(self.kvs0, self.kvs1, self.grid,
+                                         self.structure.bidx, self.numderiv)
+        self._geo_inputs = self._make_geo_inputs()
+
+    def _make_geo_inputs(self):
+        setup = geom.geo_eval_tables(self.geo, self.grid, numderiv=1)
+        inputs = {'weights': [np.asarray(w) for w in self.gweights]}
+        if setup is None:
+            # unstructured geometry function: evaluate Jacobian on host
+            inputs['jac'] = geom.host_jacobian_levelorder(self.geo, self.grid)
+        else:
+            tables, coeffs, is_nurbs = setup
+            key = 'geo_tables_nurbs' if is_nurbs else 'geo_tables_bsp'
+            inputs[key] = [t for t in tables]
+            inputs['geo_coeffs'] = coeffs
+        return inputs
+
+    # subclasses define: terms (list of (du, dv)), field_fn (module function)
+
+    def assemble(self):
+        """Assemble the compact data tensor and return it as an MLMatrix."""
+        term_tables = self.tables.term_tables(self.terms)
+        data = sumfac.run_matrix_assembly(self.field_fn, self._geo_inputs,
+                                          term_tables)
+        return self.structure.make_mlmatrix(data=np.asarray(data, dtype=np.float64))
+
+
+class MassAssembler(BaseGaussAssembler):
+    """Mass matrix assembler: ``A[i,j] = int B_j B_i |det J| dx``."""
+
+    field_fn = staticmethod(mass_fields)
+
+    def __init__(self, kvs, geo, nqp=None):
+        super().__init__(kvs, geo, nqp)
+        zero = self.dim * (0,)
+        self.terms = [(zero, zero)]
+
+
+class StiffnessAssembler(BaseGaussAssembler):
+    """Stiffness matrix assembler:
+    ``A[i,j] = int (J^-1 J^-T grad B_j) . grad B_i |det J| dx``."""
+
+    field_fn = staticmethod(stiffness_fields)
+
+    def __init__(self, kvs, geo, nqp=None):
+        super().__init__(kvs, geo, nqp)
+        d = self.dim
+        # order must match stiffness_fields: (a, b) row-major in level order
+        self.terms = [(_unit(d, a), _unit(d, b))
+                      for a in range(d) for b in range(d)]
+
+
+# dimension-suffixed aliases for reference-API parity
+class MassAssembler2D(MassAssembler):
+    def __init__(self, kvs, geo, nqp=None):
+        assert len(kvs) == 2
+        super().__init__(kvs, geo, nqp)
+
+
+class MassAssembler3D(MassAssembler):
+    def __init__(self, kvs, geo, nqp=None):
+        assert len(kvs) == 3
+        super().__init__(kvs, geo, nqp)
+
+
+class StiffnessAssembler2D(StiffnessAssembler):
+    def __init__(self, kvs, geo, nqp=None):
+        assert len(kvs) == 2
+        super().__init__(kvs, geo, nqp)
+
+
+class StiffnessAssembler3D(StiffnessAssembler):
+    def __init__(self, kvs, geo, nqp=None):
+        assert len(kvs) == 3
+        super().__init__(kvs, geo, nqp)

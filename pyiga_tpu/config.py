@@ -1,0 +1,95 @@
+"""Global configuration for pyiga_tpu.
+
+The reference library's entire config system is a global thread count
+(/root/reference/pyiga/__init__.py:10-19).  On TPU the analogous global
+knobs are the compute dtype used on device and the backend/device selection,
+plus an escape hatch to force all Pallas kernels into interpreter mode
+(useful on CPU test runs).
+"""
+
+import os
+import threading
+
+import numpy as np
+
+_state = threading.local()
+
+_DEFAULTS = dict(
+    # dtype used for device-side assembly/solver computation.  float64 gives
+    # entrywise parity with the reference CPU implementation (<= 1e-10); the
+    # float32 path is the TPU speed configuration.
+    dtype=np.float64,
+    # number of host worker threads (kept for API parity with
+    # pyiga.get_max_threads / set_max_threads)
+    max_threads=os.cpu_count() or 1,
+    # 'auto': pick jax.default_backend(); or 'cpu'/'tpu' explicitly.
+    backend="auto",
+    # force Pallas kernels to interpreter mode (set automatically on CPU)
+    pallas_interpret=None,
+)
+
+
+def _get(name):
+    return getattr(_state, name, _DEFAULTS[name])
+
+
+def get_dtype():
+    """Return the configured device compute dtype (numpy dtype)."""
+    return _get("dtype")
+
+
+def set_dtype(dtype):
+    """Set the device compute dtype (e.g. ``jnp.float32`` for the TPU fast path)."""
+    _state.dtype = np.dtype(dtype).type
+
+
+def get_max_threads():
+    """Number of host threads used by host-side helpers (API parity with pyiga)."""
+    return _get("max_threads")
+
+
+def set_max_threads(n):
+    _state.max_threads = int(n)
+
+
+def get_backend():
+    return _get("backend")
+
+
+def set_backend(name):
+    assert name in ("auto", "cpu", "tpu")
+    _state.backend = name
+
+
+def use_x64():
+    """Enable 64-bit JAX computation. Called on import for correctness parity."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+
+def default_device():
+    """The device computations should run on under the current backend setting."""
+    import jax
+
+    backend = get_backend()
+    if backend == "auto":
+        return jax.devices()[0]
+    return jax.devices(backend)[0]
+
+
+def pallas_interpret_mode():
+    """Whether Pallas kernels should run in interpreter mode.
+
+    Defaults to True unless running on a real TPU backend.
+    """
+    import jax
+
+    forced = _get("pallas_interpret")
+    if forced is not None:
+        return forced
+    return default_device().platform != "tpu"
+
+
+def set_pallas_interpret(flag):
+    _state.pallas_interpret = flag

@@ -1,0 +1,144 @@
+# -*- coding: utf-8 -*-
+"""Device-side geometry fields on tensor-product Gauss grids.
+
+The reference precomputes geometry Jacobians with numpy and then runs a
+per-Gauss-point Cython kernel (``precompute_fields``, codegen/cython.py:673).
+Here the whole field computation is one traced JAX function: per-axis dense
+basis tables contract against the geometry coefficients (MXU matmuls), then
+pointwise det/inv/weight algebra runs vectorized over the grid (VPU).
+
+Internal axis convention: everything is in *level order* (axis k of the grid
+corresponds to ``kvs[k]``); geometry output components are reversed from the
+XYZ storage order into level order on entry so that Jacobians are square
+matrices in one consistent ordering.  Determinants are invariant under the
+simultaneous row/column reversal.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import geometry
+from .basis import dense_collocation_tables
+
+
+def tp_apply(tables, coeffs):
+    """Contract per-axis tables ``T_k (Q_k, n_k)`` against the leading axes of
+    `coeffs`; returns array with leading shape ``(Q_1, ..., Q_d)``."""
+    d = len(tables)
+    X = coeffs
+    for k in range(d):
+        X = jnp.moveaxis(jnp.tensordot(tables[k], X, axes=(1, k)), 0, k)
+    return X
+
+
+def geo_eval_tables(geo, grids, numderiv=1):
+    """Host-side setup: dense per-axis basis tables of the geometry space on
+    the given grids, plus the (homogeneous, level-ordered) coefficients.
+
+    Returns ``(tables, coeffs, is_nurbs)`` where tables[k] has shape
+    ``(numderiv+1, Q_k, n_k)``."""
+    if isinstance(geo, geometry.NurbsFunc):
+        coeffs, is_nurbs = geo.coeffs, True      # homogeneous coords incl. weight
+    elif isinstance(geo, geometry.BSplineFunc):
+        coeffs, is_nurbs = geo.coeffs, False
+        if coeffs.ndim == geo.sdim:              # scalar-valued: add axis
+            coeffs = coeffs[..., None]
+    else:
+        return None     # unstructured function: caller falls back to host eval
+    tables = [np.ascontiguousarray(B.swapaxes(-2, -1))     # (nd+1, Q, n)
+              for B in dense_collocation_tables(geo.kvs, grids, numderiv)]
+    # reverse vector components into level order (weight stays last for NURBS)
+    if is_nurbs:
+        coeffs = np.concatenate(
+            (coeffs[..., -2::-1], coeffs[..., -1:]), axis=-1)
+    else:
+        coeffs = coeffs[..., ::-1]
+    return tables, coeffs, is_nurbs
+
+
+def geo_jacobian_field(tables, coeffs, is_nurbs, sdim):
+    """Traced: values and Jacobians of the geometry on the TP grid.
+
+    Returns ``(val, jac)`` with shapes ``grid x dim`` and ``grid x dim x sdim``;
+    components and derivative axes in *level order*."""
+    val_tabs = [t[0] for t in tables]
+    der_tabs = [t[1] for t in tables]
+    val = tp_apply(val_tabs, coeffs)
+    jac_cols = []
+    for k in range(sdim):
+        ops = [der_tabs[j] if j == k else val_tabs[j] for j in range(sdim)]
+        jac_cols.append(tp_apply(ops, coeffs))
+    jac = jnp.stack(jac_cols, axis=-1)      # grid x comp x lvl-deriv
+
+    if is_nurbs:
+        V, W = val[..., :-1], val[..., -1:]
+        Vj, Wj = jac[..., :-1, :], jac[..., -1:, :]
+        val = V / W
+        jac = (Vj * W[..., None] - V[..., None] * Wj) / (W[..., None] ** 2)
+    return val, jac
+
+
+def det_and_inv(J):
+    """Determinant and inverse of small (1x1/2x2/3x3) matrices batched over
+    the leading axes (explicit adjugate formulas, like the reference's
+    unrolled kernels in assemble_tools_cy.pyx:210)."""
+    d = J.shape[-1]
+    if d == 1:
+        det = J[..., 0, 0]
+        inv = (1.0 / det)[..., None, None]
+        return det, inv
+    if d == 2:
+        a, b = J[..., 0, 0], J[..., 0, 1]
+        c, dd = J[..., 1, 0], J[..., 1, 1]
+        det = a * dd - b * c
+        inv = jnp.stack([
+            jnp.stack([dd, -b], axis=-1),
+            jnp.stack([-c, a], axis=-1),
+        ], axis=-2) / det[..., None, None]
+        return det, inv
+    if d == 3:
+        a = J
+        c00 = a[..., 1, 1] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 1]
+        c01 = a[..., 1, 2] * a[..., 2, 0] - a[..., 1, 0] * a[..., 2, 2]
+        c02 = a[..., 1, 0] * a[..., 2, 1] - a[..., 1, 1] * a[..., 2, 0]
+        det = (a[..., 0, 0] * c00 + a[..., 0, 1] * c01 + a[..., 0, 2] * c02)
+        # adjugate (transpose of cofactors)
+        adj = jnp.stack([
+            jnp.stack([c00,
+                       a[..., 0, 2] * a[..., 2, 1] - a[..., 0, 1] * a[..., 2, 2],
+                       a[..., 0, 1] * a[..., 1, 2] - a[..., 0, 2] * a[..., 1, 1]],
+                      axis=-1),
+            jnp.stack([c01,
+                       a[..., 0, 0] * a[..., 2, 2] - a[..., 0, 2] * a[..., 2, 0],
+                       a[..., 0, 2] * a[..., 1, 0] - a[..., 0, 0] * a[..., 1, 2]],
+                      axis=-1),
+            jnp.stack([c02,
+                       a[..., 0, 1] * a[..., 2, 0] - a[..., 0, 0] * a[..., 2, 1],
+                       a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]],
+                      axis=-1),
+        ], axis=-2)
+        return det, adj / det[..., None, None]
+    # general fallback
+    det = jnp.linalg.det(J)
+    return det, jnp.linalg.inv(J)
+
+
+def gauss_weight_field(weights):
+    """Outer product of per-axis Gauss weight vectors over the TP grid."""
+    W = jnp.asarray(weights[0])
+    for w in weights[1:]:
+        W = W[..., None] * jnp.asarray(w)
+    return W
+
+
+def host_jacobian_levelorder(geo, grids):
+    """Host fallback: geometry Jacobian on the grid in level-ordered axes
+    (both component and derivative axes reversed from XYZ)."""
+    jac = np.asarray(geo.grid_jacobian(grids))
+    return jac[..., ::-1, ::-1]
+
+
+def host_eval(geo, grids):
+    """Host fallback: geometry values on the grid (XYZ component order)."""
+    from .. import utils
+    return np.asarray(utils.grid_eval(geo, grids))
