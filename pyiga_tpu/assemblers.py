@@ -32,7 +32,8 @@ from .bspline import KnotVector
 def _geo_weight_jacinv(geo_inputs):
     """Common geometry preprocessing: returns ``(W, jacinv)`` where
     ``W = gauss_weight * |det J|`` on the grid and `jacinv` is the
-    level-ordered inverse Jacobian (or None in 'no det/inv needed' cases)."""
+    level-ordered inverse Jacobian in component-leading layout
+    ``(d, d) + grid``."""
     if 'jac' in geo_inputs:
         jac = geo_inputs['jac']
     else:
@@ -56,12 +57,17 @@ def mass_fields(geo_inputs):
 
 def stiffness_fields(geo_inputs):
     """Stiffness: fields ``B_ab = W * (J^-1 J^-T)_ab`` for all axis pairs
-    (a, b) in level order, row-major (reference: stiffness_vf, vform.py:1746)."""
+    (a, b) in level order, row-major (reference: stiffness_vf, vform.py:1746).
+    Computed per (a, b) with component-leading indexing — no grid x d x d
+    intermediate (which would be catastrophically tile-padded on TPU)."""
     W, jacinv = _geo_weight_jacinv(geo_inputs)
-    import jax.numpy as jnp
-    B = jnp.einsum('...ak,...bk->...ab', jacinv, jacinv) * W[..., None, None]
-    d = B.shape[-1]
-    return [B[..., a, b] for a in range(d) for b in range(d)]
+    d = jacinv.shape[0]
+    fields = []
+    for a in range(d):
+        for b in range(d):
+            Bab = sum(jacinv[a, k] * jacinv[b, k] for k in range(d))
+            fields.append(W * Bab)
+    return fields
 
 
 ################################################################################

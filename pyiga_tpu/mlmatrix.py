@@ -163,12 +163,13 @@ class MLStructure:
 
     @staticmethod
     def from_matrix(A):
-        """One-level structure with the sparsity pattern of `A`."""
+        """One-level structure with the sparsity pattern of `A`, in the
+        matrix's natural ``nonzero()`` order (row-major for CSR; this makes
+        Kronecker structures enumerate in scipy's ``kron`` COO order)."""
         I, J = A.nonzero()
-        order = np.lexsort((J, I))      # ensure row-major ordering
         return MLStructure(
             (tuple(A.shape),),
-            (np.column_stack((I[order], J[order])).astype(np.uint32),))
+            (np.column_stack((I, J)).astype(np.uint32),))
 
     @staticmethod
     def from_kronecker(As):

@@ -7,6 +7,11 @@ Here the whole field computation is one traced JAX function: per-axis dense
 basis tables contract against the geometry coefficients (MXU matmuls), then
 pointwise det/inv/weight algebra runs vectorized over the grid (VPU).
 
+Layout rule (TPU tiling): the last two axes of every array are tiled to
+(8, 128)-shaped registers, so small trailing axes (a grid x 3 x 3 Jacobian)
+would be padded by up to ~57x.  All component axes therefore come FIRST:
+values are ``(dim, Q_1, ..., Q_d)``, Jacobians ``(dim, sdim, Q_1, ..., Q_d)``.
+
 Internal axis convention: everything is in *level order* (axis k of the grid
 corresponds to ``kvs[k]``); geometry output components are reversed from the
 XYZ storage order into level order on entry so that Jacobians are square
@@ -21,22 +26,25 @@ from .. import geometry
 from .basis import dense_collocation_tables
 
 
-def tp_apply(tables, coeffs):
-    """Contract per-axis tables ``T_k (Q_k, n_k)`` against the leading axes of
-    `coeffs`; returns array with leading shape ``(Q_1, ..., Q_d)``."""
+def tp_apply(tables, coeffs, lead=0):
+    """Contract per-axis tables ``T_k (Q_k, n_k)`` against axes
+    ``lead..lead+d-1`` of `coeffs`; the contracted axes become the trailing
+    grid axes ``(Q_1, ..., Q_d)`` in order."""
     d = len(tables)
     X = coeffs
     for k in range(d):
-        X = jnp.moveaxis(jnp.tensordot(tables[k], X, axes=(1, k)), 0, k)
+        X = jnp.moveaxis(jnp.tensordot(tables[k], X, axes=(1, lead + k)),
+                         0, lead + k)
     return X
 
 
 def geo_eval_tables(geo, grids, numderiv=1):
     """Host-side setup: dense per-axis basis tables of the geometry space on
-    the given grids, plus the (homogeneous, level-ordered) coefficients.
+    the given grids, plus the (homogeneous, level-ordered, component-leading)
+    coefficients.
 
     Returns ``(tables, coeffs, is_nurbs)`` where tables[k] has shape
-    ``(numderiv+1, Q_k, n_k)``."""
+    ``(numderiv+1, Q_k, n_k)`` and coeffs has shape ``(C, n_1, ..., n_d)``."""
     if isinstance(geo, geometry.NurbsFunc):
         coeffs, is_nurbs = geo.coeffs, True      # homogeneous coords incl. weight
     elif isinstance(geo, geometry.BSplineFunc):
@@ -53,74 +61,67 @@ def geo_eval_tables(geo, grids, numderiv=1):
             (coeffs[..., -2::-1], coeffs[..., -1:]), axis=-1)
     else:
         coeffs = coeffs[..., ::-1]
+    # components to the front: (C, n_1, ..., n_d)
+    coeffs = np.ascontiguousarray(np.moveaxis(coeffs, -1, 0))
     return tables, coeffs, is_nurbs
 
 
 def geo_jacobian_field(tables, coeffs, is_nurbs, sdim):
     """Traced: values and Jacobians of the geometry on the TP grid.
 
-    Returns ``(val, jac)`` with shapes ``grid x dim`` and ``grid x dim x sdim``;
-    components and derivative axes in *level order*."""
+    Returns ``(val, jac)`` with shapes ``(dim,) + grid`` and
+    ``(dim, sdim) + grid``; components and derivative axes in level order."""
     val_tabs = [t[0] for t in tables]
     der_tabs = [t[1] for t in tables]
-    val = tp_apply(val_tabs, coeffs)
+    val = tp_apply(val_tabs, coeffs, lead=1)        # (C, Q...)
     jac_cols = []
     for k in range(sdim):
         ops = [der_tabs[j] if j == k else val_tabs[j] for j in range(sdim)]
-        jac_cols.append(tp_apply(ops, coeffs))
-    jac = jnp.stack(jac_cols, axis=-1)      # grid x comp x lvl-deriv
+        jac_cols.append(tp_apply(ops, coeffs, lead=1))
+    jac = jnp.stack(jac_cols, axis=1)               # (C, sdim, Q...)
 
     if is_nurbs:
-        V, W = val[..., :-1], val[..., -1:]
-        Vj, Wj = jac[..., :-1, :], jac[..., -1:, :]
+        V, W = val[:-1], val[-1:]
+        Vj, Wj = jac[:-1], jac[-1:]
         val = V / W
-        jac = (Vj * W[..., None] - V[..., None] * Wj) / (W[..., None] ** 2)
+        jac = (Vj * W[:, None] - V[:, None] * Wj) / (W[:, None] ** 2)
     return val, jac
 
 
 def det_and_inv(J):
-    """Determinant and inverse of small (1x1/2x2/3x3) matrices batched over
-    the leading axes (explicit adjugate formulas, like the reference's
-    unrolled kernels in assemble_tools_cy.pyx:210)."""
-    d = J.shape[-1]
+    """Determinant and inverse of small (1x1/2x2/3x3) matrices stored
+    component-leading: ``J (d, d) + grid``.  Explicit adjugate formulas (like
+    the reference's unrolled kernels, assemble_tools_cy.pyx:210).
+
+    Returns ``(det, inv)`` with shapes ``grid`` and ``(d, d) + grid``."""
+    d = J.shape[0]
     if d == 1:
-        det = J[..., 0, 0]
-        inv = (1.0 / det)[..., None, None]
-        return det, inv
+        det = J[0, 0]
+        return det, (1.0 / det)[None, None]
     if d == 2:
-        a, b = J[..., 0, 0], J[..., 0, 1]
-        c, dd = J[..., 1, 0], J[..., 1, 1]
-        det = a * dd - b * c
-        inv = jnp.stack([
-            jnp.stack([dd, -b], axis=-1),
-            jnp.stack([-c, a], axis=-1),
-        ], axis=-2) / det[..., None, None]
+        a, b = J[0, 0], J[0, 1]
+        c, e = J[1, 0], J[1, 1]
+        det = a * e - b * c
+        inv = jnp.stack([jnp.stack([e, -b]), jnp.stack([-c, a])]) / det
         return det, inv
     if d == 3:
-        a = J
-        c00 = a[..., 1, 1] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 1]
-        c01 = a[..., 1, 2] * a[..., 2, 0] - a[..., 1, 0] * a[..., 2, 2]
-        c02 = a[..., 1, 0] * a[..., 2, 1] - a[..., 1, 1] * a[..., 2, 0]
-        det = (a[..., 0, 0] * c00 + a[..., 0, 1] * c01 + a[..., 0, 2] * c02)
-        # adjugate (transpose of cofactors)
+        c00 = J[1, 1] * J[2, 2] - J[1, 2] * J[2, 1]
+        c01 = J[1, 2] * J[2, 0] - J[1, 0] * J[2, 2]
+        c02 = J[1, 0] * J[2, 1] - J[1, 1] * J[2, 0]
+        det = J[0, 0] * c00 + J[0, 1] * c01 + J[0, 2] * c02
         adj = jnp.stack([
             jnp.stack([c00,
-                       a[..., 0, 2] * a[..., 2, 1] - a[..., 0, 1] * a[..., 2, 2],
-                       a[..., 0, 1] * a[..., 1, 2] - a[..., 0, 2] * a[..., 1, 1]],
-                      axis=-1),
+                       J[0, 2] * J[2, 1] - J[0, 1] * J[2, 2],
+                       J[0, 1] * J[1, 2] - J[0, 2] * J[1, 1]]),
             jnp.stack([c01,
-                       a[..., 0, 0] * a[..., 2, 2] - a[..., 0, 2] * a[..., 2, 0],
-                       a[..., 0, 2] * a[..., 1, 0] - a[..., 0, 0] * a[..., 1, 2]],
-                      axis=-1),
+                       J[0, 0] * J[2, 2] - J[0, 2] * J[2, 0],
+                       J[0, 2] * J[1, 0] - J[0, 0] * J[1, 2]]),
             jnp.stack([c02,
-                       a[..., 0, 1] * a[..., 2, 0] - a[..., 0, 0] * a[..., 2, 1],
-                       a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]],
-                      axis=-1),
-        ], axis=-2)
-        return det, adj / det[..., None, None]
-    # general fallback
-    det = jnp.linalg.det(J)
-    return det, jnp.linalg.inv(J)
+                       J[0, 1] * J[2, 0] - J[0, 0] * J[2, 1],
+                       J[0, 0] * J[1, 1] - J[0, 1] * J[1, 0]]),
+        ])
+        return det, adj / det
+    raise NotImplementedError('det_and_inv only implemented for d <= 3')
 
 
 def gauss_weight_field(weights):
@@ -132,10 +133,10 @@ def gauss_weight_field(weights):
 
 
 def host_jacobian_levelorder(geo, grids):
-    """Host fallback: geometry Jacobian on the grid in level-ordered axes
-    (both component and derivative axes reversed from XYZ)."""
-    jac = np.asarray(geo.grid_jacobian(grids))
-    return jac[..., ::-1, ::-1]
+    """Host fallback: geometry Jacobian on the grid, level-ordered and
+    component-leading: shape ``(dim, sdim) + grid``."""
+    jac = np.asarray(geo.grid_jacobian(grids))[..., ::-1, ::-1]
+    return np.ascontiguousarray(np.moveaxis(jac, (-2, -1), (0, 1)))
 
 
 def host_eval(geo, grids):

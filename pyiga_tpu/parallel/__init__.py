@@ -1,0 +1,142 @@
+# -*- coding: utf-8 -*-
+"""Multi-device (SPMD) execution over a ``jax.sharding.Mesh``.
+
+The reference has no distributed backend (SURVEY.md section 5.8): its only
+parallelism is OpenMP threads over entry chunks.  The TPU-native equivalent
+shards the tensor-product axes themselves:
+
+* **Assembly**: the Gauss-grid coefficient fields ``C(q_1, ..., q_d)`` are
+  sharded along grid axis 0 over the ``'space'`` mesh axis; the
+  sum-factorization contraction over the sharded axis becomes a sharded
+  matmul for which XLA inserts the reduce/all-gather collectives (the
+  scaling-book recipe: annotate shardings, let XLA place collectives on ICI).
+  The compact output data tensor is sharded along its first level.
+* **Solvers**: dof tensors are sharded along the first TP axis; CG dot
+  products become ``psum`` collectives inserted by XLA.
+* A second mesh axis ``'rhs'`` data-parallelizes over batched right-hand
+  sides (multiple loads / time steps).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices=None, shape=None, axis_names=('space', 'rhs'),
+              devices=None):
+    """Create a device mesh.  By default uses all devices in a 1D 'space'
+    axis; pass `shape` (tuple) for a 2D ('space', 'rhs') mesh."""
+    if devices is None:
+        devices = jax.devices()
+        want = n_devices if n_devices is not None else (
+            int(np.prod(shape)) if shape is not None else None)
+        if want is not None and len(devices) < want:
+            # default backend too small (e.g. single tunneled TPU): fall back
+            # to the host platform mesh (xla_force_host_platform_device_count)
+            try:
+                cpus = jax.devices('cpu')
+                if len(cpus) >= want:
+                    devices = cpus
+            except RuntimeError:
+                pass
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if shape is None:
+        shape = (n, 1) if len(axis_names) == 2 else (n,)
+    devs = np.array(devices).reshape(shape)
+    return Mesh(devs, axis_names[:len(shape)])
+
+
+def _spec(mesh, *names):
+    return NamedSharding(mesh, P(*names))
+
+
+def sharded_stiffness_step(asm, mesh, cg_iters=8, num_rhs=None):
+    """Build a jitted multi-device step for a stiffness assembler: assemble
+    the compact data tensor (grid sharded over 'space'), then run `cg_iters`
+    fixed CG iterations on `num_rhs` right-hand sides (sharded over 'rhs',
+    dof axis 0 over 'space').
+
+    Returns ``(fn, args)``; ``fn(geo_inputs, term_tables, B)`` returns
+    ``(data, X)``.  Used by the multichip dry run and the scaling benchmark.
+    """
+    from ..ops.mlmatvec import ml_matvec
+    from ..ops.sumfac import assemble_terms
+
+    S = asm.structure
+    shape_dofs = tuple(b[0] for b in S.bs)
+    bidx = S.bidx
+    have_rhs_axis = 'rhs' in mesh.axis_names
+    if num_rhs is None:
+        num_rhs = (mesh.shape['rhs'] if have_rhs_axis else 1)
+
+    field_fn = asm.field_fn
+    d = asm.dim
+
+    data_spec = _spec(mesh, 'space')            # shard compact data level 0
+    dof_spec_names = ('rhs', 'space') if have_rhs_axis else (None, 'space')
+
+    def step(geo_inputs, term_tables, B):
+        # ---- assembly: fields sharded over grid axis 0 ----
+        fields = field_fn(geo_inputs)
+        fields = [jax.lax.with_sharding_constraint(C, _spec(mesh, 'space'))
+                  for C in fields]
+        data = assemble_terms(term_tables, fields)
+        data = jax.lax.with_sharding_constraint(data, data_spec)
+
+        # ---- fixed-iteration CG on batched rhs ----
+        B = jax.lax.with_sharding_constraint(B, _spec(mesh, *dof_spec_names))
+
+        def matvec(X):      # X: (num_rhs, n_total) raveled dof vectors
+            def mv(x):
+                y = ml_matvec(data, bidx, shape_dofs, shape_dofs, x)
+                return y.reshape(-1)
+            return jax.vmap(mv)(X)
+
+        def body(i, state):
+            X, R, Pv, rz = state
+            Ap = matvec(Pv)
+            alpha = rz / jnp.sum(Pv * Ap, axis=1)
+            X = X + alpha[:, None] * Pv
+            R = R - alpha[:, None] * Ap
+            rz_new = jnp.sum(R * R, axis=1)
+            Pv = R + (rz_new / rz)[:, None] * Pv
+            return (X, R, Pv, rz_new)
+
+        X0 = jnp.zeros_like(B)
+        R0 = B - matvec(X0)
+        state = (X0, R0, R0, jnp.sum(R0 * R0, axis=1))
+        X, R, _, _ = jax.lax.fori_loop(0, cg_iters, body, state)
+        return data, X
+
+    n_total = int(np.prod(shape_dofs))
+    B = np.random.RandomState(0).rand(num_rhs, n_total)
+    args = (asm._geo_inputs, asm.tables.term_tables(asm.terms), B)
+    return step, args
+
+
+def dryrun(n_devices, dim=2, nspans=4, p=2, cg_iters=4):
+    """Compile and execute one sharded assemble+solve step on an
+    `n_devices`-device mesh with tiny shapes.  Returns the result arrays."""
+    from .. import geometry
+    from ..assemblers import StiffnessAssembler
+    from ..bspline import make_knots
+
+    mesh = make_mesh(shape=(max(1, n_devices // 2), 2)
+                     if n_devices % 2 == 0 and n_devices > 1 else (n_devices,),
+                     axis_names=('space', 'rhs') if n_devices % 2 == 0
+                     and n_devices > 1 else ('space',))
+    kvs = dim * (make_knots(p, 0.0, 1.0, nspans),)
+    geo = (geometry.quarter_annulus() if dim == 2
+           else geometry.twisted_box())
+    asm = StiffnessAssembler(kvs, geo)
+    step, args = sharded_stiffness_step(asm, mesh, cg_iters=cg_iters)
+
+    with mesh:
+        fn = jax.jit(step)
+        data, X = fn(*jax.tree_util.tree_map(jnp.asarray, args))
+        jax.block_until_ready((data, X))
+    return np.asarray(data), np.asarray(X)

@@ -1,0 +1,759 @@
+# -*- coding: utf-8 -*-
+"""Solvers for linear, nonlinear, and time-dependent problems.
+
+L9 layer, API parity with /root/reference/pyiga/solvers.py: fast
+diagonalization, Gauss-Seidel smoothers (native C++ kernels for exact sweep
+order — iteration counts of the local multigrid solver are part of the
+numerical contract), two-grid and local multigrid, Newton, and DIRK /
+Rosenbrock time steppers with embedded-error adaptive step control.
+
+TPU additions: a matrix-free jitted conjugate-gradient solver
+(:func:`cg_jit`) for operators given as traced matvec functions (compact
+mlmatrix / Kronecker matvecs), used by the benchmark path.
+"""
+
+from functools import reduce
+
+import numpy as np
+import scipy.linalg
+import scipy.sparse
+
+from . import native, utils
+from .operators import DiagonalOperator, KroneckerOperator, make_solver
+
+
+def _asdense(X):
+    return X.toarray() if scipy.sparse.issparse(X) else X
+
+
+################################################################################
+# Fast diagonalization [Sangalli, Tani 2016]
+################################################################################
+
+def fastdiag_solver(KM):
+    """Fast-diagonalization inverse of ``sum_d K_d (x) M_1 ... M_d ...``:
+    per-axis generalized eigendecompositions give a Kronecker eigenbasis in
+    which the operator is diagonal.  Input: list of (K_i, M_i) pairs."""
+    dim = len(KM)
+    n = tuple(K.shape[0] for K, _ in KM)
+    EV = [scipy.linalg.eigh(_asdense(K), _asdense(M)) for K, M in KM]
+
+    diags = []
+    for d in range(dim):
+        D = [np.ones(n[j]) for j in range(dim)]
+        D[d] = EV[d][0]
+        diags.append(reduce(np.kron, D))
+    diag = sum(diags)
+
+    l_op = KroneckerOperator(*(U for _, U in EV))
+    r_op = KroneckerOperator(*(U.T for _, U in EV))
+    return l_op * DiagonalOperator(1.0 / diag) * r_op
+
+
+################################################################################
+# Matrix-free CG under jit (TPU path)
+################################################################################
+
+def cg_jit(matvec, b, x0=None, tol=1e-8, maxiter=1000, precond=None):
+    """Conjugate gradients on device: `matvec` (and optional `precond`) are
+    traced functions on raveled vectors; the loop runs as a
+    ``lax.while_loop`` entirely on device.
+
+    Returns ``(x, iterations)``; stops when ``||r|| <= tol * ||r0||``."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    b = jnp.asarray(b)
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    M = precond if precond is not None else (lambda r: r)
+
+    def body(state):
+        x, r, z, p, rz, it = state
+        Ap = matvec(p)
+        alpha = rz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = jnp.vdot(r, z)
+        p = z + (rz_new / rz) * p
+        return (x, r, z, p, rz_new, it + 1)
+
+    def cond(state):
+        _, r, _, _, _, it = state
+        return (jnp.linalg.norm(r) > tol * norm0) & (it < maxiter)
+
+    r0 = b - matvec(x0)
+    norm0 = jnp.linalg.norm(r0)
+    z0 = M(r0)
+    state = (x0, r0, z0, z0, jnp.vdot(r0, z0), jnp.array(0))
+    x, r, _, _, _, it = lax.while_loop(cond, body, state)
+    return x, it
+
+
+################################################################################
+# Smoothers
+################################################################################
+
+def gauss_seidel(A, x, b, iterations=1, indices=None, sweep='forward'):
+    """Gauss-Seidel relaxation on ``Ax = b``, updating `x` in place.
+
+    Sweep order is bit-compatible with the reference (relaxation_cy.pyx):
+    forward/backward full sweeps, or sweeps restricted to `indices` in the
+    given order.  Uses the native C++ kernel when available."""
+    if sweep == 'symmetric':
+        for _ in range(iterations):
+            gauss_seidel(A, x, b, iterations=1, indices=indices, sweep='forward')
+            gauss_seidel(A, x, b, iterations=1, indices=indices, sweep='backward')
+        return
+    if sweep not in ('forward', 'backward'):
+        raise ValueError("valid sweep directions are 'forward', 'backward',"
+                         " and 'symmetric'")
+    reverse = (sweep == 'backward')
+
+    if scipy.sparse.issparse(A):
+        if not scipy.sparse.isspmatrix_csr(A):
+            import warnings
+            warnings.warn('matrix for Gauss-Seidel is not CSR; converting '
+                          '(performance warning)', RuntimeWarning)
+            A = scipy.sparse.csr_matrix(A)
+        for _ in range(iterations):
+            if indices is not None:
+                native.gauss_seidel_sweep_indexed(A, x, b, indices,
+                                                  reverse=reverse)
+            else:
+                native.gauss_seidel_sweep(A, x, b, reverse=reverse)
+        return
+
+    # dense fallback
+    idx = range(A.shape[0]) if indices is None else indices
+    if reverse:
+        idx = list(reversed(list(idx)))
+    for _ in range(iterations):
+        for i in idx:
+            z = A[i].dot(x) - A[i, i] * x[i]
+            x[i] = (b[i] - z) / A[i, i]
+
+
+def OperatorSmoother(S):
+    r"""Smoother ``u <- u + S (f - A u)`` for an arbitrary operator `S`."""
+    def apply(A, u, f):
+        u += S.dot(f - A.dot(u))
+    return apply
+
+
+def GaussSeidelSmoother(iterations=1, sweep='forward'):
+    """Gauss-Seidel smoother with the given sweep direction."""
+    def apply(A, u, f):
+        gauss_seidel(A, u, f, iterations=iterations, sweep=sweep)
+    return apply
+
+
+def SequentialSmoother(smoothers):
+    """Apply several smoothers in sequence."""
+    def apply(A, u, f):
+        for S in smoothers:
+            S(A, u, f)
+    return apply
+
+
+################################################################################
+# Multigrid
+################################################################################
+
+def twogrid(A, f, P, smoother, u0=None, tol=1e-8, smooth_steps=2, maxiter=1000):
+    """Generic two-grid iteration with Galerkin coarse matrix ``P^T A P``."""
+    A_c = P.T.dot(A).dot(P)
+    A_c_inv = make_solver(A_c)
+
+    u = np.array(u0) if u0 is not None else np.zeros(A.shape[0])
+    res0 = np.linalg.norm(f - A.dot(u))
+    numiter = 0
+
+    while True:
+        for _ in range(smooth_steps):
+            smoother(A, u, f)
+        r = f - A.dot(u)
+        res = np.linalg.norm(r)
+        u += P.dot(A_c_inv * P.T.dot(r))
+        numiter += 1
+        if res < tol * res0:
+            break
+        if res > 20 * res0:
+            print('Diverged')
+            break
+        if numiter > maxiter:
+            print('too many iterations, aborting. reduction =', res / res0)
+            break
+    print(numiter, 'iterations')
+    return u
+
+
+def local_mg_step(hs, A, f, Ps, lv_inds, smoother='symmetric_gs',
+                  smooth_steps=2):
+    """One V-cycle of the local multigrid method on the virtual hierarchy of
+    the HB/THB space `hs`; smoothing is restricted to the per-level index
+    sets `lv_inds`.  Returns a function ``step(x)``.
+    (Reference: solvers.py:174.)"""
+    assert smoother in ('gs', 'forward_gs', 'backward_gs', 'symmetric_gs',
+                        'exact'), 'Invalid smoother'
+    As = [A]
+    for P in reversed(Ps):
+        As.append(P.T.dot(As[-1]).dot(P).tocsr())
+    As.reverse()
+
+    Bs = []     # exact solvers
+    exact_levels = range(hs.numlevels) if smoother == 'exact' else [0]
+    for lv in exact_levels:
+        lv_ind = lv_inds[lv]
+        Bs.append(make_solver(As[lv][lv_ind][:, lv_ind], spd=True))
+
+    def pre_smooth(A_l, x, fv, lv_ind):
+        if smoother in ('gs', 'forward_gs'):
+            gauss_seidel(A_l, x, fv, indices=lv_ind, iterations=smooth_steps,
+                         sweep='forward')
+        elif smoother == 'backward_gs':
+            gauss_seidel(A_l, x, fv, indices=lv_ind, iterations=smooth_steps,
+                         sweep='backward')
+        elif smoother == 'symmetric_gs':
+            gauss_seidel(A_l, x, fv, indices=lv_ind, iterations=smooth_steps,
+                         sweep='symmetric')
+
+    def post_smooth(A_l, x, fv, lv_ind):
+        if smoother == 'gs':
+            gauss_seidel(A_l, x, fv, indices=lv_ind, iterations=smooth_steps,
+                         sweep='backward')
+        elif smoother == 'forward_gs':
+            gauss_seidel(A_l, x, fv, indices=lv_ind, iterations=smooth_steps,
+                         sweep='forward')
+        elif smoother == 'backward_gs':
+            gauss_seidel(A_l, x, fv, indices=lv_ind, iterations=smooth_steps,
+                         sweep='backward')
+        elif smoother == 'symmetric_gs':
+            gauss_seidel(A_l, x, fv, indices=lv_ind, iterations=smooth_steps,
+                         sweep='symmetric')
+        # exact: no post-smoothing
+
+    def step(lv, x, fv):
+        if lv == 0:
+            x1 = x.copy()
+            lv_ind = lv_inds[0]
+            x1[lv_ind] = Bs[0].dot(fv[lv_ind])
+            return x1
+        x1 = x.copy()
+        P = Ps[lv - 1]
+        A_l = As[lv]
+        lv_ind = lv_inds[lv]
+
+        if smoother == 'exact':
+            r_fine = (fv - A_l.dot(x1))[lv_ind]
+            x1[lv_ind] += Bs[lv].dot(r_fine)
+        else:
+            pre_smooth(A_l, x1, fv, lv_ind)
+
+        # coarse grid correction
+        r = fv - A_l.dot(x1)
+        r_c = P.T.dot(r)
+        x1 += P.dot(step(lv - 1, np.zeros_like(r_c), r_c))
+
+        post_smooth(A_l, x1, fv, lv_ind)
+        return x1
+
+    return lambda x: step(hs.numlevels - 1, x, f)
+
+
+def iterative_solve(step, A, f, x0=None, active_dofs=None, tol=1e-8,
+                    maxiter=5000):
+    """Run the iteration ``x <- step(x)`` until the residual of ``Ax = f``
+    (restricted to `active_dofs`) is reduced by `tol`.  Returns
+    ``(x, iterations)`` with ``iterations = inf`` on non-convergence."""
+    if active_dofs is None:
+        active_dofs = slice(A.shape[0])
+    if x0 is None:
+        x = np.zeros(A.shape[0])
+        res0 = f
+    else:
+        x = x0
+        res0 = f - A @ x
+    res0 = scipy.linalg.norm(res0[active_dofs])
+    iterations = 0
+    while True:
+        x = step(x)
+        r = f - A @ x
+        res = scipy.linalg.norm(r[active_dofs])
+        iterations += 1
+        if res / res0 < tol:
+            return x, iterations
+        if iterations >= maxiter:
+            print('Warning: iterative solver did not converge in'
+                  ' {} iterations'.format(iterations))
+            return x, np.inf
+
+
+def solve_hmultigrid(hs, A, f, strategy='cell_supp', smoother='gs',
+                     smooth_steps=2, tol=1e-8, maxiter=5000):
+    """Solve a scalar problem on an HB-/THB-spline space by local multigrid.
+
+    `strategy` selects the smoothing index sets ('new', 'trunc',
+    'func_supp', 'cell_supp'); `smoother` one of 'gs', 'forward_gs',
+    'backward_gs', 'symmetric_gs', 'exact'.  Returns ``(x, iterations)``."""
+    Ps = hs.virtual_hierarchy_prolongators()
+    non_dir_dofs = hs.non_dirichlet_dofs()
+    mg_step = local_mg_step(hs, A, f, Ps, hs.indices_to_smooth(strategy),
+                            smoother, smooth_steps)
+    return iterative_solve(mg_step, A, f, active_dofs=non_dir_dofs, tol=tol,
+                           maxiter=maxiter)
+
+
+################################################################################
+# Nonlinear problems
+################################################################################
+
+class NoConvergenceError(Exception):
+    """Raised by :func:`newton` on non-convergence; carries the last iterate."""
+
+    def __init__(self, method, num_iter, last_iterate):
+        super().__init__('%s did not converge in %d iterations'
+                         % (method, num_iter))
+        self.method = method
+        self.num_iter = num_iter
+        self.last_iterate = last_iterate
+
+
+def newton(F, J, x0, atol=1e-6, rtol=1e-6, maxiter=100, freeze_jac=1):
+    """Newton iteration for ``F(x) = 0`` with optional frozen Jacobian
+    (`freeze_jac` > 1 re-factorizes only every so many steps)."""
+    x = np.array(x0)
+    res = F(x)
+    target = max(atol, rtol * np.linalg.norm(res))
+    jac_inv = None
+    for num_it in range(maxiter):
+        if np.linalg.norm(res) < target:
+            return x
+        if num_it % freeze_jac == 0 or jac_inv is None:
+            jac_inv = make_solver(J(x))
+        x -= jac_inv.dot(res)
+        res = F(x)
+    raise NoConvergenceError('newton', maxiter, x)
+
+
+################################################################################
+# DIRK time stepping
+################################################################################
+
+def dirk_step(A, M, F, J, x, tau, data=None, Fx=None):
+    """One step of a (embedded) DIRK method given its extended Butcher array
+    `A` (s stage rows, then b, optionally b_hat).  Returns the new iterate
+    (plus error estimate for embedded schemes) and cached F evaluation."""
+    if M is None:
+        M = scipy.sparse.eye(x.shape[0])
+    if data is None:
+        data = dict()
+    s = A.shape[1]
+    b = A[s, :]
+    is_sa = np.allclose(b, A[s - 1, :])     # stiffly accurate?
+    ys, Fy = [], []
+    for i in range(s):
+        a_ii = A[i, i]
+        if a_ii == 0:
+            assert i == 0
+            ys.append(x)
+            Fy.append(Fx if Fx is not None else F(x))
+        else:
+            rhs = M @ x + tau * sum(A[i, j] * Fy[j] for j in range(i))
+            last_Fz = None
+
+            def newton_F(z):
+                nonlocal last_Fz
+                last_Fz = F(z)
+                return M @ z - tau * a_ii * last_Fz - rhs
+
+            def newton_J(z):
+                return M - tau * a_ii * J(z)
+
+            x_start = x if i == 0 else ys[-1]
+            y_i = newton(newton_F, newton_J, x_start, atol=1e-4, freeze_jac=2)
+            ys.append(y_i)
+            Fy.append(last_Fz)
+
+    def get_Minv():
+        if 'M_inv' not in data:
+            data['M_inv'] = make_solver(M, spd=True)
+        return data['M_inv']
+
+    if is_sa:
+        x_new, F_x_new = ys[s - 1], Fy[s - 1]
+    else:
+        x_new = get_Minv() @ (M @ x + tau * sum(b[i] * Fy[i] for i in range(s)))
+        F_x_new = None
+
+    if A.shape[0] == s + 2:     # embedded scheme
+        b_hat = A[s + 1, :]
+        x_est = get_Minv() @ (M @ x
+                              + tau * sum(b_hat[i] * Fy[i] for i in range(s)))
+        return x_new, x_est, F_x_new
+    return x_new, F_x_new
+
+
+def _constant_step_method(stepper):
+    def _method(M, F, J, x, tau, t_end, *, t0=0.0, progress=False):
+        """Integrate with constant steps; returns (times, solutions)."""
+        times, solutions = [t0], [x]
+        Fx = None
+        data = dict()
+        from math import ceil
+        num_iter = int(ceil((t_end - t0) / tau))
+        tqdm = utils.progress_bar(progress)
+        for i in tqdm(range(num_iter)):
+            try:
+                x, Fx = stepper(M, F, J, x, tau, data, Fx=Fx)
+            except NoConvergenceError:
+                print('Nonlinear solve failed; returning partial results')
+                return times, solutions
+            times.append(t0 + (i + 1) * tau)
+            solutions.append(x)
+        return times, solutions
+    return _method
+
+
+def _adaptive_step_method(stepper, err_order, const_method):
+    def _method(M, F, J, x, tau0, t_end, tol, *, t0=0.0, step_factor=0.9,
+                progress=False):
+        """Integrate with embedded-error adaptive steps; returns
+        (times, solutions)."""
+        if tol is None:
+            return const_method(M, F, J, x, tau0, t_end, t0=t0)
+        times, solutions = [t0], [x]
+        Fx = None
+        tau = tau0
+        data = dict()
+        tqdm = utils.progress_bar(progress)
+        with tqdm(total=t_end - t0) as pbar:
+            t = t0
+            while t < t_end:
+                try:
+                    xnew, xhat, Fxnew = stepper(M, F, J, x, tau, data, Fx=Fx)
+                    d = tol + tol * abs(x)
+                    r = np.linalg.norm((xhat - xnew) / d) / np.sqrt(len(x))
+                    if r == 0:
+                        r = 1e-15
+                    if r <= 1:      # accept step
+                        t += tau
+                        x, Fx = xnew, Fxnew
+                        times.append(t)
+                        solutions.append(x)
+                        pbar.update(tau)
+                        pbar.set_postfix({'tau': tau})
+                    fac = step_factor * r ** (-1.0 / err_order)
+                    tau *= min(5.0, max(0.2, fac))
+                except NoConvergenceError:
+                    tau *= 0.5      # reject step, halve
+        return times, solutions
+    return _method
+
+
+def dirk_method(A, name, displayname):
+    def stepper(*args, **kwargs):
+        return dirk_step(A, *args, **kwargs)
+    f = _constant_step_method(stepper)
+    f.__name__ = f.__qualname__ = name
+    f.__doc__ = ('Solve a time-dependent problem using the %s method.\n'
+                 % displayname) + (f.__doc__ or '')
+    return f
+
+
+def adaptive_dirk_method(A, err_order, name, displayname):
+    const_method = dirk_method(A[:-1, :], name, displayname)
+
+    def stepper(*args, **kwargs):
+        return dirk_step(A, *args, **kwargs)
+    f = _adaptive_step_method(stepper, err_order, const_method)
+    f.__name__ = f.__qualname__ = name
+    f.__doc__ = ('Solve a time-dependent problem using the %s method.\n'
+                 % displayname) + (f.__doc__ or '')
+    return f
+
+
+# -- Butcher tableaus (published coefficients) --------------------------------
+
+def coeffs_sdirk3():
+    # Alexander 1977 / Skvortsov 2006
+    gamma = 0.435866521508
+    b2 = 0.25 * (5 - 20 * gamma + 6 * gamma ** 2)
+    return np.array([
+        [gamma, 0.0, 0.0],
+        [(1 - gamma) / 2, gamma, 0.0],
+        [1 - b2 - gamma, b2, gamma],
+        [1 - b2 - gamma, b2, gamma],
+    ])
+
+
+def coeffs_sdirk3_b():
+    # Norsett's three-stage, 4th-order DIRK (not stiffly accurate)
+    xi = 0.128886400515
+    return np.array([
+        [xi, 0.0, 0.0],
+        [0.5 - xi, xi, 0.0],
+        [2 * xi, 1 - 4 * xi, xi],
+        [1 / (6 * (2 * xi - 1) ** 2),
+         2 * (6 * xi ** 2 - 6 * xi + 1) / (3 * (2 * xi - 1) ** 2),
+         1 / (6 * (2 * xi - 1) ** 2)],
+    ])
+
+
+def coeffs_sdirk21():
+    # Ellsiepen: order 2, embedded order 1
+    alpha = 1 - np.sqrt(2) / 2
+    alp_hat = 2 - 1.25 * np.sqrt(2)
+    A = np.array([
+        [alpha, 0.0],
+        [1 - alpha, alpha],
+        [1 - alpha, alpha],
+        [1 - alp_hat, alp_hat],
+    ])
+    return A, 1
+
+
+def coeffs_dirk34():
+    # 4 stages, order 3, L-stable, stiffly accurate; embedded order 2
+    a21 = a22 = a33 = a44 = 0.1558983899988677
+    a32 = 1.072486270734370
+    a31 = 1 - a32 - a22
+    a42 = 0.7685298292769537
+    a43 = 0.09666483609791597
+    A = np.array([
+        [0.0, 0.0, 0.0, 0.0],
+        [a21, a22, 0.0, 0.0],
+        [a31, a32, a33, 0.0],
+        [0.0, a42, a43, a44],
+        [0.0, a42, a43, a44],
+        [a31, a32, a33, 0.0],
+    ])
+    return A, 2
+
+
+def coeffs_esdirk23():
+    # Jorgensen et al 2018 (arXiv:1803.01613)
+    gamma = (2 - np.sqrt(2)) / 2
+    return np.array([
+        [0.0, 0.0, 0.0],
+        [gamma, gamma, 0.0],
+        [(1 - gamma) / 2, (1 - gamma) / 2, gamma],
+        [(1 - gamma) / 2, (1 - gamma) / 2, gamma],
+        [(6 * gamma - 1) / (12 * gamma),
+         1 / (12 * gamma * (1 - 2 * gamma)),
+         (1 - 3 * gamma) / (3 * (1 - 2 * gamma))],
+    ]), 3
+
+
+def coeffs_esdirk34():
+    # Jorgensen et al 2018 (arXiv:1803.01613)
+    a21 = 0.43586652150845899942
+    a31 = 0.14073777472470619619
+    a32 = -0.1083655513813208000
+    gam = 0.43586652150845899942
+    b = [0.10239940061991099768, -0.3768784522555561061,
+         0.83861253012718610911, gam]
+    b_hat = [0.15702489786032493710, 0.11733044137043884870,
+             0.61667803039212146434, 0.10896663037711474985]
+    return np.array([
+        [0.0, 0.0, 0.0, 0.0],
+        [a21, gam, 0.0, 0.0],
+        [a31, a32, gam, 0.0],
+        b, b, b_hat,
+    ]), 4
+
+
+crank_nicolson = dirk_method(np.array([
+    [0.0, 0.0],
+    [0.5, 0.5],
+    [0.5, 0.5],
+]), 'crank_nicolson', 'Crank-Nicolson')
+
+sdirk3 = dirk_method(coeffs_sdirk3(), 'sdirk3', 'SDIRK3 Runge-Kutta')
+sdirk3_b = dirk_method(coeffs_sdirk3_b(), 'sdirk3_b',
+                       'SDIRK3 (alternate) Runge-Kutta')
+sdirk21 = adaptive_dirk_method(*coeffs_sdirk21(), 'sdirk21',
+                               'SDIRK21 (Ellsiepen) Runge-Kutta')
+dirk34 = adaptive_dirk_method(*coeffs_dirk34(), 'dirk34', 'DIRK34 Runge-Kutta')
+esdirk23 = adaptive_dirk_method(*coeffs_esdirk23(), 'esdirk23',
+                                'ESDIRK23 Runge-Kutta')
+esdirk34 = adaptive_dirk_method(*coeffs_esdirk34(), 'esdirk34',
+                                'ESDIRK34 Runge-Kutta')
+
+
+################################################################################
+# Rosenbrock methods (see doi:10.1016/j.cma.2009.10.005)
+################################################################################
+
+def rosenbrock_step(A, Gamma, b, b_hat, M, F, J, x, tau, data, Fx=None):
+    """One step of a Rosenbrock(-W) method: a single Jacobian evaluation and
+    factorization of ``M - tau*gamma*J`` per step, then s linear stage
+    solves."""
+    gamma = Gamma[0, 0]
+    jac = J(x)
+    C_inv = make_solver(M - tau * gamma * jac)
+
+    ks = []
+    s = A.shape[0]
+    for i in range(s):
+        y_i = x + tau * sum(A[i, j] * ks[j] for j in range(i))
+        rhs = F(y_i)
+        if i > 0:
+            w_i = sum(Gamma[i, j] * ks[j] for j in range(i))
+            rhs = rhs + tau * jac.dot(w_i)
+        ks.append(C_inv.dot(rhs))
+    x_new = x + tau * sum(b[i] * ks[i] for i in range(s))
+
+    if b_hat is not None:
+        x_est = x + tau * sum(b_hat[i] * ks[i] for i in range(s))
+        return x_new, x_est, None
+    return x_new, None
+
+
+def coeffs_ros3p():
+    A = np.array([
+        [0.0, 0.0, 0.0],
+        [1.0, 0.0, 0.0],
+        [1.0, 0.0, 0.0],
+    ])
+    gam = 0.7886751347
+    Gamma = np.array([
+        [gam, 0.0, 0.0],
+        [-1.0, gam, 0.0],
+        [-0.7886751347, -1.077350269, gam],
+    ])
+    b = np.array([2 / 3, 0, 1 / 3])
+    b_hat = np.array([1 / 3, 1 / 3, 1 / 3])
+    return A, Gamma, b, b_hat, 2
+
+
+def coeffs_ros3pw():
+    A = np.array([
+        [0.0, 0.0, 0.0],
+        [1.5773502691896257e+00, 0.0, 0.0],
+        [0.5, 0.0, 0.0],
+    ])
+    gam = 7.8867513459481287e-01
+    Gamma = np.array([
+        [gam, 0.0, 0.0],
+        [-1.5773502691896257e+00, gam, 0.0],
+        [-6.7075317547305480e-01, -1.7075317547305482e-01, gam],
+    ])
+    b = np.array([1.0566243270259355e-01, 4.9038105676657971e-02,
+                  8.4529946162074843e-01])
+    b_hat = np.array([-1.7863279495408180e-01, 1 / 3, 8.4529946162074843e-01])
+    return A, Gamma, b, b_hat, 2
+
+
+def coeffs_rowdaind2():
+    A = np.array([
+        [0.0, 0.0, 0.0, 0.0],
+        [0.5, 0.0, 0.0, 0.0],
+        [0.28, 0.72, 0.0, 0.0],
+        [0.28, 0.72, 0.0, 0.0],
+    ])
+    gam = 0.3
+    Gamma = np.array([
+        [gam, 0.0, 0.0, 0.0],
+        [-1.121794871794876e-1, gam, 0.0, 0.0],
+        [2.54, -3.84, gam, 0.0],
+        [29.0 / 75.0, -0.72, 1.0 / 30.0, gam],
+    ])
+    b = np.array([2.0 / 3.0, 0.0, 1.0 / 30.0, 0.3])
+    b_hat = np.array([4.799002800355166e-1, 5.176203811215082e-1,
+                      2.479338842975209e-3, 0.0])
+    return A, Gamma, b, b_hat, 2
+
+
+def coeffs_rodasp():
+    gamma = 0.25
+    A = np.array([
+        [0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.75, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [8.6120400814152190e-2, 0.1238795991858478, 0.0, 0.0, 0.0, 0.0],
+        [0.7749345355073236, 0.1492651549508680, -0.2941996904581916,
+         0.0, 0.0, 0.0],
+        [5.308746682646142, 1.330892140037269, -5.374137811655562,
+         -0.2655010110278497, 0.0, 0.0],
+        [-1.764437648774483, -0.4747565572063027, 2.369691846915802,
+         0.6195023590649829, 0.25, 0.0],
+    ])
+    B = np.array([
+        [0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [-0.049392, -0.014112, 0.0, 0.0, 0.0, 0.0],
+        [-0.4820494693877561, -0.1008795555555556, 0.9267290249433117,
+         0.0, 0.0, 0.0],
+        [-1.764437648774483, -0.4747565572063027, 2.369691846915802,
+         0.6195023590649829, 0.0, 0.0],
+        [-8.0368370789113464e-2, -5.6490613592447572e-2, 0.4882856300427991,
+         0.5057162114816189, -0.1071428571428569, 0.0],
+    ])
+    np.fill_diagonal(B, gamma)
+    Gamma = B - A
+    b = np.array([-8.0368370789113464e-2, -5.6490613592447572e-2,
+                  0.4882856300427991, 0.5057162114816189,
+                  -0.1071428571428569, gamma])
+    b_hat = np.array([-1.764437648774483, -0.4747565572063027,
+                      2.369691846915802, 0.6195023590649829, gamma, 0])
+    return A, Gamma, b, b_hat, 3
+
+
+def coeffs_rosi2p1():
+    A = np.array([
+        [0.0, 0.0, 0.0, 0.0],
+        [5.0000000000000000e-1, 0.0, 0.0, 0.0],
+        [5.5729261836499822e-1, 1.9270738163500176e-1, 0.0, 0.0],
+        [-3.0084516445435860e-1, 1.8995581939026787e+0,
+         -5.9871302944832006e-1, 0.0],
+    ])
+    gam = 4.3586652150845900e-1
+    Gamma = np.array([
+        [gam, 0.0, 0.0, 0.0],
+        [-5.0000000000000000e-1, gam, 0.0, 0.0],
+        [-6.4492162993321323e-1, 6.3491801247597734e-2, gam, 0.0],
+        [9.3606009252719842e-3, -2.5462058718013519e-1,
+         -3.2645441930944352e-1, gam],
+    ])
+    b = np.array([5.2900072579103834e-2, 1.3492662311920438e+0,
+                  -9.1013275270050265e-1, 5.0796644892935516e-1])
+    b_hat = np.array([1.4974465479289098e-1, 7.0051069041421810e-1, 0.0,
+                      1.4974465479289098e-1])
+    return A, Gamma, b, b_hat, 2
+
+
+def rosenbrock_method(A, Gamma, b, name, displayname):
+    def stepper(*args, **kwargs):
+        return rosenbrock_step(A, Gamma, b, None, *args, **kwargs)
+    f = _constant_step_method(stepper)
+    f.__name__ = f.__qualname__ = name
+    f.__doc__ = ('Solve a time-dependent problem using the %s method.\n'
+                 % displayname) + (f.__doc__ or '')
+    return f
+
+
+def adaptive_rosenbrock_method(A, Gamma, b, b_hat, err_order, name,
+                               displayname):
+    const_method = rosenbrock_method(A, Gamma, b, name, displayname)
+
+    def stepper(*args, **kwargs):
+        return rosenbrock_step(A, Gamma, b, b_hat, *args, **kwargs)
+    f = _adaptive_step_method(stepper, err_order, const_method)
+    f.__name__ = f.__qualname__ = name
+    f.__doc__ = ('Solve a time-dependent problem using the %s method.\n'
+                 % displayname) + (f.__doc__ or '')
+    return f
+
+
+ros3p = adaptive_rosenbrock_method(*coeffs_ros3p(), 'ros3p',
+                                   'ROS3P Rosenbrock')
+ros3pw = adaptive_rosenbrock_method(*coeffs_ros3pw(), 'ros3pw',
+                                    'ROS3PW Rosenbrock')
+rowdaind2 = adaptive_rosenbrock_method(*coeffs_rowdaind2(), 'rowdaind2',
+                                       'ROWDAIND2 Rosenbrock')
+rodasp = adaptive_rosenbrock_method(*coeffs_rodasp(), 'rodasp',
+                                    'RODASP Rosenbrock')
+rosi2p1 = adaptive_rosenbrock_method(*coeffs_rosi2p1(), 'rosi2p1',
+                                     'ROSI2P1 Rosenbrock')

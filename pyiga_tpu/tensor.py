@@ -60,7 +60,7 @@ def fro_norm(X):
     """Frobenius norm of a tensor (format-aware)."""
     if hasattr(X, 'norm'):
         return X.norm()
-    return np.linalg.norm(np.asarray(X).ravel())
+    return np.linalg.norm(asarray(X).ravel())
 
 
 def asarray(X):

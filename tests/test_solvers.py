@@ -1,0 +1,128 @@
+from functools import reduce
+
+import numpy as np
+import scipy.sparse
+
+from pyiga_tpu import assemble, bspline
+from pyiga_tpu.solvers import (
+    GaussSeidelSmoother, OperatorSmoother, SequentialSmoother, cg_jit,
+    crank_nicolson, esdirk34, fastdiag_solver, gauss_seidel, newton, ros3p,
+    rodasp, sdirk3, twogrid,
+)
+
+
+def test_fastdiag_solver():
+    kvs = [bspline.make_knots(4, 0.0, 1.0, 3),
+           bspline.make_knots(3, 0.0, 1.0, 4),
+           bspline.make_knots(2, 0.0, 1.0, 5)]
+    KM = [(assemble.stiffness(kv)[1:-1, 1:-1].toarray(),
+           assemble.mass(kv)[1:-1, 1:-1].toarray()) for kv in kvs]
+    solver = fastdiag_solver(KM)
+
+    def multikron(*Xs):
+        return reduce(np.kron, Xs)
+    A = (multikron(KM[0][0], KM[1][1], KM[2][1])
+         + multikron(KM[0][1], KM[1][0], KM[2][1])
+         + multikron(KM[0][1], KM[1][1], KM[2][0]))
+    f = np.random.rand(A.shape[0])
+    assert np.allclose(f, solver.dot(A.dot(f)))
+
+
+def test_gauss_seidel():
+    A = np.abs(np.random.rand(10, 10)) + np.eye(10)
+    b = np.random.rand(10)
+    for sweep in ('forward', 'backward', 'symmetric'):
+        x1 = np.random.rand(10)
+        x2 = x1.copy()
+        gauss_seidel(scipy.sparse.csr_matrix(A), x1, b, iterations=2, sweep=sweep)
+        gauss_seidel(A, x2, b, iterations=2, sweep=sweep)
+        assert abs(x1 - x2).max() < 1e-12
+
+
+def test_gauss_seidel_indexed():
+    A = np.abs(np.random.rand(10, 10)) + np.eye(10)
+    b = np.random.rand(10)
+    indices = [3, 6, 9]
+    for sweep in ('forward', 'backward', 'symmetric'):
+        x1 = np.random.rand(10)
+        x2 = x1.copy()
+        gauss_seidel(scipy.sparse.csr_matrix(A), x1, b, iterations=2,
+                     indices=indices, sweep=sweep)
+        gauss_seidel(A, x2, b, iterations=2, indices=indices, sweep=sweep)
+        assert abs(x1 - x2).max() < 1e-12
+
+
+def test_twogrid():
+    kv_c = bspline.make_knots(3, 0.0, 1.0, 50)
+    kv = kv_c.refine()
+    P = bspline.prolongation(kv_c, kv)
+    A = assemble.mass(kv) + assemble.stiffness(kv)
+    f = bspline.load_vector(kv, lambda x: 1.0)
+    S = SequentialSmoother((GaussSeidelSmoother(),
+                            OperatorSmoother(1e-6 * np.eye(len(f)))))
+    x = twogrid(A, f, P, S)
+    assert np.linalg.norm(f - A.dot(x)) < 1e-6
+
+
+def test_newton():
+    x = newton(lambda x: np.array([np.sin(x[0]) - 0.5]),
+               lambda x: np.array([[np.cos(x[0])]]), [0.0])
+    assert np.allclose(x, np.pi / 6)
+
+
+def test_ode():
+    A = np.array([[0.0, 1.0], [-1000.0, -1001.0]])
+    M = np.eye(2)
+    F = lambda x: A.dot(x)
+    J = lambda x: A
+    x0 = np.array([1.0, 0.0])
+    exsol = lambda t: -1 / 999 * np.exp(-1000 * t) + 1000 / 999 * np.exp(-t)
+    t_end = 1.0
+    sol_1 = exsol(t_end)
+
+    sols = crank_nicolson(M, F, J, x0, 1e-2, t_end)
+    assert np.isclose(sols[1][-1][0], sol_1, rtol=1e-4)
+
+    sols = sdirk3(M, F, J, x0, 1e-2, t_end)
+    assert np.isclose(sols[1][-1][0], sol_1, rtol=1e-4)
+
+    sols = ros3p(M, F, J, x0, 1e-2, t_end, tol=None)
+    assert np.isclose(sols[1][-1][0], sol_1, rtol=1e-4)
+
+    sols = rodasp(M, F, J, x0, 1e-2, t_end, tol=None)
+    assert np.isclose(sols[1][-1][0], sol_1, rtol=1e-3)
+
+    ts, xs = esdirk34(M, F, J, x0, 1e-2, t_end, tol=1e-5)
+    assert ts[-2] <= t_end <= ts[-1]
+    from scipy.interpolate import interp1d
+    x_end = interp1d(ts, xs, kind='cubic', axis=0)(t_end)
+    assert np.isclose(x_end[0], sol_1, rtol=1e-4)
+
+
+def test_cg_jit_mlmatvec():
+    # matrix-free CG on the compact mlmatrix representation of a 2D problem
+    import jax.numpy as jnp
+    from pyiga_tpu import geometry
+    from pyiga_tpu.assemblers import StiffnessAssembler, MassAssembler
+    from pyiga_tpu.ops.mlmatvec import make_ml_matvec
+
+    kvs = 2 * (bspline.make_knots(2, 0.0, 1.0, 8),)
+    geo = geometry.quarter_annulus()
+    K = StiffnessAssembler(kvs, geo).assemble()
+    M = MassAssembler(kvs, geo).assemble()
+
+    # matvec parity with expanded sparse matrix
+    x = np.random.rand(K.shape[1])
+    mv = make_ml_matvec(K)
+    y_dev = np.asarray(mv(jnp.asarray(x)))
+    y_ref = K.asmatrix().dot(x)
+    assert np.allclose(y_dev, y_ref, atol=1e-12)
+
+    # CG solve of (K + M) u = b matrix-free on device
+    mvM = make_ml_matvec(M)
+    matvec = lambda v: mv(v) + mvM(v)
+    b = np.random.rand(K.shape[1])
+    u, it = cg_jit(matvec, jnp.asarray(b), tol=1e-10, maxiter=2000)
+    A_full = (K.asmatrix() + M.asmatrix())
+    assert np.linalg.norm(A_full.dot(np.asarray(u)) - b) < 1e-8 * np.linalg.norm(b)
+    assert it < 2000
