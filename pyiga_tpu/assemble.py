@@ -380,13 +380,52 @@ def assemble_entries(asm, symmetric=False, format='csr', layout='blocked'):
     assemble.py:703), the sum-factorization assemblers always compute the
     complete compact tensor on device; `symmetric` is accepted for API
     compatibility.  Pass ``format='mlb'`` to obtain the compact
-    :class:`~pyiga_tpu.mlmatrix.MLMatrix` without expanding to scipy."""
+    :class:`~pyiga_tpu.mlmatrix.MLMatrix` without expanding to scipy.
+
+    Vector-valued problems support the reference's two layouts
+    (assemble.py:714): 'blocked' (component-major numbering) and 'packed'
+    (components interleaved per dof)."""
+    is_vector_valued = getattr(getattr(asm, 'vf', None), 'vec', False)
     if asm.arity == 1:
-        return asm.assemble_vector()
+        result = asm.assemble_vector()
+        if is_vector_valued and layout == 'blocked':
+            result = np.moveaxis(result, -1, 0)
+        return result
+    if is_vector_valued:
+        return _combine_vector_blocks(asm, asm.assemble(), format, layout)
     mlm = asm.assemble()
     if format == 'mlb':
         return mlm
     return mlm.asmatrix(format)
+
+
+def _combine_vector_blocks(asm, blocks, format, layout):
+    """Combine per-component MLMatrix blocks into a sparse matrix in the
+    requested layout ('blocked' = component-major, 'packed' = interleaved)."""
+    assert layout in ('blocked', 'packed')
+    ncu, ncv = asm.vf.num_components()[:2] if asm.vf.arity == 2 else (1, 1)
+    ncu = ncu or 1
+    ncv = ncv or 1
+    zero = None
+    if layout == 'blocked':
+        rows = []
+        for cv in range(ncv):
+            row = []
+            for cu in range(ncu):
+                blk = blocks.get((cu, cv))
+                row.append(blk.asmatrix() if blk is not None else zero)
+            rows.append(row)
+        return scipy.sparse.bmat(rows, format=format)
+    # packed: join a trailing dense (ncv, ncu) component level
+    S = asm.structure.join(MLStructure.dense((ncv, ncu)))
+    some = next(iter(blocks.values()))
+    data = np.zeros(some.data.shape + (ncv * ncu,))
+    for (cu, cv), blk in blocks.items():
+        data[..., cv * ncu + cu] = blk.data
+    X = S.make_mlmatrix(data=data)
+    if format == 'mlb':
+        return X
+    return X.asmatrix(format)
 
 
 def mass(kvs, geo=None, format='csr'):
@@ -417,3 +456,168 @@ def stiffness(kvs, geo=None, format='csr'):
     if dim == 3:
         return bsp_stiffness_3d(kvs, geo=geo, format=format)
     raise ValueError('dimension %d not supported' % dim)
+
+
+################################################################################
+# VForm-based assembly (string / VForm / assembler polymorphism)
+################################################################################
+
+def _Jac_to_boundary_matrix(bdspec, dim):
+    """dim x (dim-1) matrix restricting a volumetric Jacobian to the boundary
+    `bdspec`, with signs chosen so the computed normal points outward for
+    positively oriented patches (reference: assemble.py:899)."""
+    ax, side = bdspec
+    ax = dim - 1 - ax       # vform coordinate axes are in XYZ order
+    I = np.eye(dim)
+    I[:, 0::2] *= -1
+    B = np.hstack((I[:, :ax], I[:, ax + 1:]))
+    if side != 0:
+        B[:, 0] *= -1
+    return B
+
+
+def instantiate_assembler(problem, kvs, args, bfuns, boundary=None,
+                          updatable=()):
+    """Normalize `problem` (string / VForm / assembler class / instance) into
+    an instantiated assembler object (reference: assemble.py:914)."""
+    from . import vform as vform_mod
+    from .compile import compile_vform, VFormAssembler
+
+    if isinstance(problem, str):
+        problem = vform_mod.parse_vf(problem, kvs, args=args, bfuns=bfuns,
+                                     boundary=bool(boundary),
+                                     updatable=updatable)
+
+    num_spaces = 1
+    if isinstance(problem, vform_mod.VForm):
+        num_spaces = problem.num_spaces()
+        problem = compile_vform(problem)
+
+    if isinstance(problem, type):
+        used_args = dict()
+        if boundary:
+            bdspec = bspline._parse_bdspec(boundary, len(kvs))
+            used_args['boundary'] = bdspec
+            args = dict(args)
+            args['Jac_to_boundary'] = _Jac_to_boundary_matrix(bdspec, len(kvs))
+        for inp in itertools.chain(problem.inputs().keys(),
+                                   problem.parameters().keys()):
+            if inp == 'geo':
+                pass
+            if inp not in args:
+                raise ValueError("required input parameter '%s' missing" % inp)
+            used_args[inp] = args[inp]
+        if 'Jac_to_boundary' in args:
+            used_args['Jac_to_boundary'] = args['Jac_to_boundary']
+
+        if num_spaces <= 1:
+            return problem(kvs, **used_args)
+        assert num_spaces == 2, 'no more than two spaces allowed'
+        return problem(kvs[0], kvs2=kvs[1], **used_args)
+
+    # already an assembler instance
+    if hasattr(problem, 'assemble') or hasattr(problem, 'assemble_vector'):
+        return problem
+    raise TypeError("invalid type for 'problem': %s" % type(problem))
+
+
+def assemble(problem, kvs, args=None, bfuns=None, boundary=None,
+             symmetric=False, format='csr', layout='blocked', **kwargs):
+    """Assemble a matrix or vector in a function space.
+
+    `problem` may be a string (parsed by :func:`pyiga_tpu.vform.parse_vf`),
+    a :class:`~pyiga_tpu.vform.VForm`, a compiled assembler class, or an
+    assembler instance.  `kvs` is a TP spline space (tuple of KnotVectors),
+    a pair of such spaces, or an :class:`~pyiga_tpu.hierarchical.HSpace`.
+    Named inputs (geometry, coefficient functions, parameters) are passed in
+    `args` or as keyword arguments.  (Reference: assemble.py:837.)"""
+    if args is None:
+        args = dict()
+    args = dict(args)
+    args.update(kwargs)
+
+    try:
+        from .hierarchical import HSpace
+        if isinstance(kvs, HSpace):
+            return _assemble_hspace(problem, kvs, args=args, bfuns=bfuns,
+                                    symmetric=symmetric, format=format,
+                                    layout=layout)
+    except ImportError:
+        pass
+
+    asm = instantiate_assembler(problem, kvs, args, bfuns, boundary)
+    return assemble_entries(asm, symmetric=symmetric, format=format,
+                            layout=layout)
+
+
+def assemble_vf(vf, kvs, symmetric=False, format='csr', layout='blocked',
+                args=None, **kwargs):
+    """Assemble a :class:`~pyiga_tpu.vform.VForm` into a matrix or vector."""
+    if args is None:
+        args = dict()
+    args.update(kwargs)
+    return assemble(vf, kvs, symmetric=symmetric, format=format,
+                    layout=layout, args=args)
+
+
+def _assemble_hspace(problem, hs, args, bfuns=None, symmetric=False,
+                     format='csr', layout='blocked'):
+    """Assemble over a hierarchical spline space (reference assemble.py:824)."""
+    if isinstance(problem, str):
+        from . import vform as vform_mod
+        problem = vform_mod.parse_vf(problem, hs.knotvectors(0), args=args,
+                                     bfuns=bfuns)
+    from .hierarchical import HDiscretization
+    if problem.arity == 2:
+        hdiscr = HDiscretization(hs, problem, asm_args=args)
+        return hdiscr.assemble_matrix(symmetric=symmetric).asformat(format)
+    elif problem.arity == 1:
+        hdiscr = HDiscretization(hs, None, asm_args=args)
+        return hdiscr.assemble_functional(problem)
+
+
+class Assembler:
+    """High-level assembler wrapper with support for updatable inputs
+    (reference: assemble.py:958).  Instantiate once, then call
+    :meth:`assemble`, optionally passing updated input fields."""
+
+    def __init__(self, problem, kvs, args=None, bfuns=None, boundary=None,
+                 symmetric=False, updatable=(), **kwargs):
+        if args is None:
+            args = dict()
+        args = dict(args)
+        args.update(kwargs)
+        self.symmetric = bool(symmetric)
+        self.updatable = tuple(updatable)
+        self.asm = instantiate_assembler(problem, kvs, args, bfuns, boundary,
+                                         self.updatable)
+        if not all(u in self.asm.inputs().keys() or u in
+                   self.asm.parameters().keys() for u in self.updatable):
+            raise ValueError('Assembler received an updatable argument which '
+                             'is not an assembler input')
+
+    def update(self, **kwargs):
+        """Update input fields declared as updatable."""
+        if not all(name in self.updatable for name in kwargs):
+            raise RuntimeError('update() received an argument which was not '
+                               'specified as updatable')
+        self.asm.update(**kwargs)
+
+    def assemble(self, format='csr', layout='blocked', **upd_fields):
+        """Assemble, optionally updating fields first."""
+        if upd_fields:
+            self.update(**upd_fields)
+        return assemble_entries(self.asm, symmetric=self.symmetric,
+                                format=format, layout=layout)
+
+
+def divdiv(kvs, geo=None, layout='blocked', format='csr'):
+    """Assemble the div-div operator for a vector-valued TP space."""
+    from . import geometry as geometry_mod
+    dim = 1 if isinstance(kvs, KnotVector) else len(kvs)
+    if geo is None:
+        geo = geometry_mod.unit_cube(dim=dim)
+    from .vform import divdiv_vf
+    from .compile import compile_vform
+    asm = compile_vform(divdiv_vf(dim))(kvs, geo=geo)
+    return assemble_entries(asm, symmetric=True, layout=layout, format=format)

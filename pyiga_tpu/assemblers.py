@@ -170,3 +170,48 @@ class StiffnessAssembler3D(StiffnessAssembler):
     def __init__(self, kvs, geo, nqp=None):
         assert len(kvs) == 3
         super().__init__(kvs, geo, nqp)
+
+
+################################################################################
+# VForm-derived predefined assemblers (reference: assemblers.pyx pre-generated
+# classes for the standard forms; here they are lazily compiled plans)
+################################################################################
+
+def _vform_asm_alias(vf_factory, dim):
+    """Create a named assembler class for a predefined vform at a fixed dim."""
+    from .compile import compile_vform
+
+    class _Alias:
+        def __new__(cls, kvs, *args, **kwargs):
+            base = compile_vform(vf_factory(dim))
+            return base(kvs, *args, **kwargs)
+
+        @staticmethod
+        def inputs():
+            return compile_vform(vf_factory(dim)).inputs()
+
+        @staticmethod
+        def parameters():
+            return compile_vform(vf_factory(dim)).parameters()
+
+    return _Alias
+
+
+def __getattr__(name):
+    """Lazily provide the reference's predefined assembler names
+    (HeatAssembler_ST2D, WaveAssembler_ST3D, DivDivAssembler2D,
+    L2FunctionalAssembler3D, ...)."""
+    from . import vform as vf_mod
+    table = {
+        'HeatAssembler_ST': vf_mod.heat_st_vf,
+        'WaveAssembler_ST': vf_mod.wave_st_vf,
+        'DivDivAssembler': vf_mod.divdiv_vf,
+        'L2FunctionalAssembler': lambda d: vf_mod.L2functional_vf(d),
+        'L2FunctionalAssemblerPhys':
+            lambda d: vf_mod.L2functional_vf(d, physical=True),
+    }
+    for prefix, factory in table.items():
+        if name.startswith(prefix) and name[len(prefix):] in ('1D', '2D', '3D'):
+            dim = int(name[len(prefix)])
+            return _vform_asm_alias(factory, dim)
+    raise AttributeError(name)

@@ -1,0 +1,594 @@
+# -*- coding: utf-8 -*-
+"""Lowering of variational forms to TPU assembly plans.
+
+This is the replacement for the reference's Cython code generator + JIT
+compiler (/root/reference/pyiga/codegen/cython.py, compile.py).  Instead of
+generating source code, :func:`compile_vform` produces an assembler class
+whose ``assemble()`` traces the form's integrand numerically:
+
+1. geometry/input fields are computed on the Gauss grid inside jit
+   (:mod:`pyiga_tpu.ops.geom`);
+2. the integrand is evaluated once per basis-derivative/component
+   combination with the corresponding basis *seed* set to one (linearity of
+   the form makes this exact); structurally zero combinations are pruned by
+   a one-shot random probe on a tiny grid;
+3. the resulting coefficient fields are contracted against per-axis basis
+   pair tables by the sum-factorization engine
+   (:mod:`pyiga_tpu.ops.sumfac`), yielding the compact multilevel-banded
+   data tensor directly.
+
+Compiled plans are cached by ``vf.hash()`` (the analog of the reference's
+in-process VForm-hash cache, compile.py:82; persistent compilation caching
+is provided by XLA's own compile cache)."""
+
+import itertools
+
+import numpy as np
+
+from . import utils
+from .bspline import KnotVector
+from .mlmatrix import MLStructure
+from .ops import geom, sumfac
+from . import vform as vf_mod
+
+
+################################################################################
+# Seed enumeration
+################################################################################
+
+def _derivs_upto(dim, order):
+    """All derivative multi-indices (XYZ order) with total order <= order,
+    sorted by total order then lexicographically."""
+    out = []
+    for total in range(order + 1):
+        for D in itertools.product(range(total + 1), repeat=dim):
+            if sum(D) == total:
+                out.append(D)
+    return out
+
+
+def _seeds_for(bfun_slot, numcomp, dim, order):
+    """Seed list for one basis function: (component, D) pairs."""
+    comps = [None] if numcomp is None else list(range(numcomp))
+    return [(c, D) for c in comps for D in _derivs_upto(dim, order)]
+
+
+################################################################################
+# Evaluation context
+################################################################################
+
+class AsmContext:
+    """Resolves field keys and basis seeds during integrand evaluation.
+
+    `arrays` maps string keys to (traced) grid arrays; geometry-derived
+    fields are computed lazily from the raw jac/inv/hess arrays."""
+
+    def __init__(self, vf, arrays, seed_u=None, seed_v=None):
+        self.vf = vf
+        self.arrays = arrays
+        self.seed_u = seed_u    # (component, D) or None
+        self.seed_v = seed_v
+        self._cache = {}
+
+    def basis_seed(self, bfun, D):
+        slot = 0 if bfun.name == 'u' else 1
+        if self.vf.arity == 1:
+            seed = self.seed_v      # single function: the test function
+        else:
+            seed = self.seed_u if slot == 0 else self.seed_v
+        if seed is None:
+            return 0.0
+        comp, Ds = seed
+        if bfun.component is not None and bfun.component != comp:
+            return 0.0
+        return 1.0 if tuple(D) == tuple(Ds) else 0.0
+
+    def field(self, key):
+        val = self._cache.get(key)
+        if val is None:
+            val = self._compute(key)
+            self._cache[key] = val
+        return val
+
+    def _compute(self, key):
+        vf, arrays = self.vf, self.arrays
+        kind = key[0]
+        d = vf.dim
+        gd = vf.geo_dim
+
+        if kind == 'gw':
+            return geom.gauss_weight_field(arrays['weights'])
+
+        if kind == '_measure':
+            if key[1] == 'dx':
+                return vf.W.eval(self)
+            return vf.SW.eval(self)
+
+        if kind == 'jacinv':
+            m, k = key[1], key[2]
+            inv_lvl = self.field(('_jacinv_lvl',))
+            return inv_lvl[d - 1 - m, d - 1 - k]
+
+        if kind == '_jacinv_lvl':
+            jac_lvl = self.field(('_jac_lvl',))
+            _, inv_lvl = geom.det_and_inv(jac_lvl)
+            return inv_lvl
+
+        if kind == '_jac_lvl':
+            return arrays['geo_jac_lvl']
+
+        if kind == '_geoval_lvl':
+            return arrays['geo_val_lvl']
+
+        if kind == '_geohess_lvl':
+            return arrays['geo_hess_lvl']
+
+        if kind == 'param':
+            _, name, idx = key
+            arr = arrays['param:' + name]
+            return arr[idx] if idx != () else arr
+
+        if kind == 'input':
+            _, name, comp = key
+            if name == 'geo':
+                return self.field(('_geoval_lvl',))[gd - 1 - comp[0]]
+            return arrays['input:' + name][comp]
+
+        if kind == 'input_deriv':
+            _, name, comp, D = key
+            order = sum(D)
+            if name == 'geo':
+                m = gd - 1 - comp[0]
+                if order == 1:
+                    i = D.index(1)
+                    return self.field(('_jac_lvl',))[m, d - 1 - i]
+                if order == 2:
+                    idx = [k for k, nk in enumerate(D) for _ in range(nk)]
+                    i, j = idx
+                    H = self.field(('_geohess_lvl',))
+                    return H[m, d - 1 - i, d - 1 - j]
+                raise NotImplementedError('geometry derivatives of order > 2')
+            arr = arrays['ideriv:%s:%d' % (name, order)]
+            if order == 1:
+                return arr[comp + (D.index(1),)]
+            if order == 2:
+                idx = [k for k, nk in enumerate(D) for _ in range(nk)]
+                i, j = sorted(idx)
+                # symmetric linearized index, components in XYZ order
+                # matching BSplineFunc.grid_hessian: pairs (i,j), i<=j,
+                # enumerated as xx, xy, xz, yy, yz, zz
+                sym = _sym_index(d, i, j)
+                return arr[comp + (sym,)]
+            raise NotImplementedError('input derivatives of order > 2')
+
+        raise KeyError('unknown field key %r' % (key,))
+
+
+def _sym_index(d, i, j):
+    """Index of (i, j), i <= j, in the linearized symmetric Hessian layout
+    (xx, xy, xz, yy, yz, zz for d=3)."""
+    # number of entries before row i: d + (d-1) + ... + (d-i+1)
+    before = i * d - (i * (i - 1)) // 2
+    return before + (j - i)
+
+
+################################################################################
+# Assembler class
+################################################################################
+
+class VFormAssembler:
+    """Assembler for a compiled :class:`~pyiga_tpu.vform.VForm`.
+
+    Subclassed per-vform by :func:`compile_vform`; instantiate with the
+    spline space(s), geometry and any named inputs/parameters."""
+
+    vf = None   # set by compile_vform
+
+    # -- reference-API class metadata -----------------------------------------
+
+    @classmethod
+    def inputs(cls):
+        return {inp.name: inp.shape for inp in cls.vf.inputs}
+
+    @classmethod
+    def parameters(cls):
+        return {p.name: p.shape for p in cls.vf.params
+                if p.name != 'Jac_to_boundary'}
+
+    def __init__(self, kvs, kvs2=None, boundary=None, **args):
+        vf = self.vf
+        if isinstance(kvs, KnotVector):
+            kvs = (kvs,)
+        kvs = tuple(kvs)
+        if kvs2 is not None:
+            kvs2 = tuple(kvs2)
+        self.kvs0 = kvs                     # trial space (matrix columns)
+        self.kvs1 = kvs2 if kvs2 is not None else kvs   # test space (rows)
+        self.kvs = (self.kvs0, self.kvs1)
+        self.arity = vf.arity
+        self.dim = len(self.kvs0)
+        assert self.dim == vf.dim, 'space dimension mismatch'
+
+        self.geo = args.pop('geo')
+        bdspec = args.pop('boundary', boundary)
+        self.bdspec = bdspec
+
+        # quadrature (trial-space mesh; nqp = max(p)+1 over both spaces)
+        nqp = max(kv.p for kv in self.kvs0 + self.kvs1) + 1
+        self.grid, self.gweights = sumfac.quadrature_for(
+            self.kvs0, nqp, bdspec=bdspec)
+
+        # structure & basis tables
+        self.structure = MLStructure.from_kvs(self.kvs0, self.kvs1)
+        self.maxderiv = vf.max_deriv_order()
+        if bdspec is not None:
+            # boundary integral: restrict the normal axis to the single
+            # interpolatory boundary basis function (reference:
+            # codegen/cython.py:577-592 — ndofs = 1 along that axis)
+            bdax, bdside = bdspec
+            bs = list(self.structure.bs)
+            bidx = list(self.structure.bidx)
+            bs[bdax] = (1, 1)
+            bidx[bdax] = np.zeros((1, 2), dtype=np.uint32)
+            self.structure = MLStructure(bs, bidx)
+        self.tables = sumfac.SpaceTables(self.kvs0, self.kvs1, self.grid,
+                                         self.structure.bidx, self.maxderiv)
+        if bdspec is not None:
+            sl = slice(0, 1) if bdspec[1] == 0 else slice(-1, None)
+            shared = self.tables.test is self.tables.trial
+            self.tables.trial[bdax] = self.tables.trial[bdax][:, sl, :]
+            if not shared:
+                self.tables.test[bdax] = self.tables.test[bdax][:, sl, :]
+
+        # seeds & combos
+        ncomp = tuple(bf.numcomp for bf in vf.basis_funs)
+        if vf.arity == 2:
+            seeds_u = _seeds_for(0, ncomp[0], vf.dim, self.maxderiv)
+            seeds_v = _seeds_for(1, ncomp[1], vf.dim, self.maxderiv)
+            self.combos = [(su, sv) for su in seeds_u for sv in seeds_v]
+        else:
+            seeds_v = _seeds_for(0, ncomp[0], vf.dim, self.maxderiv)
+            self.combos = [(None, sv) for sv in seeds_v]
+
+        # input/parameter arrays
+        self._input_values = {}
+        for inp in vf.inputs:
+            if inp.name == 'geo':
+                continue
+            if inp.name not in args:
+                raise ValueError("required input '%s' missing" % inp.name)
+            self._input_values[inp.name] = args[inp.name]
+        self._param_values = {}
+        for p in vf.params:
+            if p.name not in args:
+                raise ValueError("required parameter '%s' missing" % p.name)
+            self._param_values[p.name] = args[p.name]
+
+        self._needed_keys = vf.used_field_keys()
+        self._build_arrays()
+        self._prune_combos()
+
+    # -- array setup -------------------------------------------------------------
+
+    def _needs_geo_hessian(self):
+        for key in self._needed_keys:
+            if key[0] == 'input_deriv' and key[1] == 'geo' and sum(key[3]) >= 2:
+                return True
+        # physical 2nd derivatives of basis functions also need it
+        return self.maxderiv >= 2 and not self.vf.spacetime and \
+            any(key[0] == 'jacinv' for key in self._needed_keys)
+
+    def _build_arrays(self):
+        """Host setup of all grid arrays; geometry stays as tables+coeffs so
+        its fields are computed on device inside the assembly jit."""
+        vf = self.vf
+        arrays = {'weights': [np.asarray(w) for w in self.gweights]}
+
+        geo_derivs = 2 if self._needs_geo_hessian() else 1
+        setup = geom.geo_eval_tables(self.geo, self.grid, numderiv=geo_derivs)
+        if setup is None:
+            # unstructured geometry: evaluate on host
+            arrays['geo_jac_lvl'] = geom.host_jacobian_levelorder(
+                self.geo, self.grid)
+            val = geom.host_eval(self.geo, self.grid)       # grid x dim
+            arrays['geo_val_lvl'] = np.ascontiguousarray(
+                np.moveaxis(val[..., ::-1], -1, 0))
+            self._geo_tables = None
+        else:
+            self._geo_tables, self._geo_coeffs, self._geo_is_nurbs = setup
+
+        # input fields
+        for inp in vf.inputs:
+            if inp.name == 'geo':
+                continue
+            f = self._input_values[inp.name]
+            arrays.update(self._eval_input(inp, f))
+
+        for p in vf.params:
+            arrays['param:' + p.name] = np.asarray(
+                self._param_values[p.name], dtype=float)
+
+        self._host_arrays = arrays
+
+    def _eval_input(self, inp, f):
+        """Evaluate one input field (values + needed derivatives) on the
+        Gauss grid; returns dict of arrays (component axes leading)."""
+        out = {}
+        name = inp.name
+        if inp.physical:
+            vals = utils.grid_eval_transformed(f, self.grid, self.geo)
+        else:
+            vals = utils.grid_eval(f, self.grid)
+        ncomp_axes = len(inp.shape)
+        if ncomp_axes:
+            vals = np.moveaxis(np.asarray(vals),
+                               tuple(range(-ncomp_axes, 0)),
+                               tuple(range(ncomp_axes)))
+        out['input:' + name] = np.asarray(vals)
+
+        # determine needed derivative orders for this input
+        orders = {sum(key[3]) for key in self._needed_keys
+                  if key[0] == 'input_deriv' and key[1] == name}
+        for order in sorted(orders):
+            if inp.physical:
+                raise NotImplementedError(
+                    'derivatives of physical input fields not supported')
+            if order == 1:
+                jac = np.asarray(f.grid_jacobian(self.grid))
+                # shape grid x comp... x sdim, derivative axis already XYZ
+                jac = np.moveaxis(jac, tuple(range(-(ncomp_axes + 1), 0)),
+                                  tuple(range(ncomp_axes + 1)))
+                out['ideriv:%s:1' % name] = jac
+            elif order == 2:
+                hessarr = np.asarray(f.grid_hessian(self.grid))
+                hessarr = np.moveaxis(
+                    hessarr, tuple(range(-(ncomp_axes + 1), 0)),
+                    tuple(range(ncomp_axes + 1)))
+                out['ideriv:%s:2' % name] = hessarr
+            else:
+                raise NotImplementedError('input derivs of order > 2')
+        return out
+
+    def update(self, **upd):
+        """Update updatable input fields and/or parameters (including the
+        geometry, which also refreshes physically-evaluated inputs)."""
+        geo_changed = False
+        for name, f in upd.items():
+            if name == 'geo':
+                self.geo = f
+                geo_changed = True
+                continue
+            inp = [i for i in self.vf.inputs if i.name == name]
+            if inp and inp[0].updatable:
+                self._input_values[name] = f
+                self._host_arrays.update(self._eval_input(inp[0], f))
+                continue
+            if name in self._param_values:
+                self._param_values[name] = f
+                self._host_arrays['param:' + name] = np.asarray(f, dtype=float)
+                continue
+            raise ValueError('%r is not an updatable input' % name)
+        if geo_changed:
+            self._build_arrays()
+        if hasattr(self, '_full_mlm'):
+            del self._full_mlm
+
+    # -- evaluation -------------------------------------------------------------
+
+    def _device_inputs(self):
+        """Assemble the pytree of jit inputs."""
+        inputs = dict(self._host_arrays)
+        if self._geo_tables is not None:
+            inputs['geo_tables'] = [np.asarray(t) for t in self._geo_tables]
+            inputs['geo_coeffs'] = np.asarray(self._geo_coeffs)
+        return inputs
+
+    def _make_context(self, inputs, seed_u, seed_v):
+        arrays = dict(inputs)
+        if self._geo_tables is not None:
+            tabs = inputs['geo_tables']
+            val, jac = geom.geo_jacobian_field(
+                tabs, inputs['geo_coeffs'], self._geo_is_nurbs, self.dim)
+            arrays['geo_val_lvl'] = val
+            arrays['geo_jac_lvl'] = jac
+            if len(tabs[0]) >= 3:   # hessian tables available
+                arrays['geo_hess_lvl'] = geom.geo_hessian_field(
+                    tabs, inputs['geo_coeffs'], self._geo_is_nurbs, self.dim)
+        return AsmContext(self.vf, arrays, seed_u, seed_v)
+
+    def _eval_combo_fields(self, inputs, combos):
+        """Traced: coefficient field for every (seed_u, seed_v) combo."""
+        import jax.numpy as jnp
+        grid_shape = tuple(np.shape(w)[0] for w in inputs['weights'])
+        # shared geometry arrays across combos (computed once, CSE'd anyway)
+        fields = []
+        for su, sv in combos:
+            ctx = self._make_context(inputs, su, sv)
+            C = 0.0
+            for e in self.vf.exprs:
+                C = C + e.eval(ctx)
+            if not hasattr(C, 'shape') or C.shape != grid_shape:
+                C = jnp.broadcast_to(jnp.asarray(C), grid_shape)
+            fields.append(C)
+        return fields
+
+    def _prune_combos(self):
+        """Drop structurally-zero seed combinations using a random probe on a
+        tiny grid (one jitted evaluation)."""
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(987123)
+        tiny_grid = 2
+        gshape = self.dim * (tiny_grid,)
+
+        def rnd(shape):
+            return rng.rand(*shape) + 0.5
+
+        probe = {'weights': [rnd((tiny_grid,)) for _ in range(self.dim)]}
+        # geometry arrays directly (host-path keys)
+        probe['geo_val_lvl'] = rnd((self.vf.geo_dim,) + gshape)
+        probe['geo_jac_lvl'] = rnd((self.vf.geo_dim, self.dim) + gshape)
+        if self._needs_geo_hessian():
+            H = rnd((self.vf.geo_dim, self.dim, self.dim) + gshape)
+            probe['geo_hess_lvl'] = 0.5 * (H + H.swapaxes(1, 2))
+        for key, arr in self._host_arrays.items():
+            if key == 'weights':
+                continue
+            if key.startswith('param:'):
+                probe[key] = rnd(np.shape(arr)) if np.shape(arr) else \
+                    np.asarray(rng.rand() + 0.5)
+            else:
+                lead = arr.shape[:arr.ndim - self.dim]
+                probe[key] = rnd(lead + gshape)
+
+        geo_tables_save = self._geo_tables
+        self._geo_tables = None     # force host-path keys during probe
+
+        def probe_fn(inputs):
+            fields = self._eval_combo_fields(inputs, self.combos)
+            return jnp.stack([jnp.max(jnp.abs(C)) for C in fields])
+
+        try:
+            import jax
+            maxima = np.asarray(jax.jit(probe_fn)(probe))
+        finally:
+            self._geo_tables = geo_tables_save
+
+        keep = maxima > 1e-13 * max(maxima.max(), 1e-300)
+        self.combos = [c for c, k in zip(self.combos, keep) if k]
+        if not self.combos:
+            raise ValueError('variational form is identically zero')
+
+    # -- assembly ------------------------------------------------------------------
+
+    def _term_tables_for(self, combos):
+        """Per-combo per-axis pair tables (matrix) or test tables (vector).
+        Derivative multi-indices are converted XYZ -> level order here."""
+        tabs = []
+        for su, sv in combos:
+            Dv_lvl = tuple(reversed(sv[1]))
+            if self.arity == 2:
+                Du_lvl = tuple(reversed(su[1]))
+                tabs.append([self.tables.pair_table(k, Du_lvl[k], Dv_lvl[k])
+                             for k in range(self.dim)])
+            else:
+                tabs.append([self.tables.test[k][Dv_lvl[k]]
+                             for k in range(self.dim)])
+        return tabs
+
+    def _assembly_fn(self):
+        """The traced assembly function: inputs pytree + term tables ->
+        dict of per-component-block data tensors."""
+        combos = self.combos
+
+        def fn(inputs, term_tables):
+            fields = self._eval_combo_fields(inputs, combos)
+            blocks = {}
+            for (su, sv), C, tabs in zip(combos, fields, term_tables):
+                cu = su[0] if su is not None else None
+                cv = sv[0]
+                key = (cu, cv)
+                Y = sumfac.contract_chain(tabs, C)
+                blocks[key] = blocks.get(key, 0.0) + Y
+            return blocks
+        return fn
+
+    _JIT_CACHE = {}
+
+    def _run(self):
+        import jax
+        import jax.numpy as jnp
+        from . import config
+
+        key = (self.vf.hash(), tuple(map(repr, self.combos)),
+               self._geo_tables is None,
+               getattr(self, '_geo_is_nurbs', None),
+               self._needs_geo_hessian())
+        fn = VFormAssembler._JIT_CACHE.get(key)
+        if fn is None:
+            fn = jax.jit(self._assembly_fn())
+            VFormAssembler._JIT_CACHE[key] = fn
+
+        dtype = config.get_dtype()
+        inputs = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, dtype=dtype)
+            if np.issubdtype(np.asarray(x).dtype, np.floating)
+            else jnp.asarray(x),
+            self._device_inputs())
+        term_tables = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, dtype=dtype),
+            self._term_tables_for(self.combos))
+        blocks = fn(inputs, term_tables)
+        return {k: np.asarray(v, dtype=np.float64) for k, v in blocks.items()}
+
+    def assemble(self):
+        """Assemble and return the matrix as an MLMatrix (scalar forms) or a
+        dict of (comp_u, comp_v) -> MLMatrix blocks (vector forms)."""
+        assert self.arity == 2
+        blocks = self._run()
+        if not self.vf.vec:
+            return self.structure.make_mlmatrix(data=blocks[(None, None)])
+        return {k: self.structure.make_mlmatrix(data=v)
+                for k, v in blocks.items()}
+
+    def assemble_vector(self):
+        """Assemble an arity-1 functional; shape = per-axis dofs (+ trailing
+        component axis for vector-valued test functions)."""
+        assert self.arity == 1
+        blocks = self._run()
+        if not self.vf.vec:
+            return blocks[(None, None)]
+        ncomp = self.vf.basis_funs[0].numcomp
+        return np.stack([blocks[(None, c)] for c in range(ncomp)], axis=-1)
+
+    # -- reference-compat helpers -------------------------------------------------
+
+    def num_components(self):
+        """Components per basis function space (vector forms only)."""
+        assert self.vf.vec
+        return self.vf.num_components()
+
+    def multi_entries(self, indices):
+        """Entry lookup (i, j) -> value for a list of global index pairs
+        (used by ACA and hierarchical partial assembly).  Assembles the full
+        compact tensor once and gathers."""
+        if not hasattr(self, '_full_mlm'):
+            self._full_mlm = self.assemble().asmatrix('csr')
+        indices = np.asarray(indices)
+        return np.asarray(
+            self._full_mlm[indices[:, 0], indices[:, 1]]).ravel()
+
+    def multi_blocks(self, indices):
+        """Per-dof component blocks for a list of (i, j) global block index
+        pairs; returns an array of shape (len(indices), ncv, ncu)."""
+        assert self.vf.vec and self.arity == 2
+        blocks = self.assemble()
+        ncu, ncv = self.vf.num_components()
+        # expand each component block to csr once
+        mats = {k: v.asmatrix('csr') for k, v in blocks.items()}
+        indices = np.asarray(indices)
+        out = np.zeros((len(indices), ncv, ncu))
+        for (cu, cv), mat in mats.items():
+            out[:, cv, cu] = np.asarray(
+                mat[indices[:, 0], indices[:, 1]]).ravel()
+        return out
+
+
+_COMPILE_CACHE = {}
+
+
+def compile_vform(vf, on_demand=False, verbose=False):
+    """Compile a VForm into an assembler class (cached by vf.hash())."""
+    key = (vf.hash(), on_demand)
+    cls = _COMPILE_CACHE.get(key)
+    if cls is None:
+        cls = type('VFormAssembler_%x' % (vf.hash() & 0xffffffff),
+                   (VFormAssembler,), {'vf': vf})
+        _COMPILE_CACHE[key] = cls
+    return cls
+
+
+def compile_vforms(vfs, verbose=False):
+    """Compile several vforms at once."""
+    return [compile_vform(vf, verbose=verbose) for vf in vfs]

@@ -88,6 +88,58 @@ def geo_jacobian_field(tables, coeffs, is_nurbs, sdim):
     return val, jac
 
 
+def geo_hessian_field(tables, coeffs, is_nurbs, sdim):
+    """Traced: parametric Hessians of the geometry on the TP grid.
+
+    Requires tables with ``numderiv >= 2``.  Returns an array of shape
+    ``(dim, sdim, sdim) + grid`` (symmetric in the two derivative axes),
+    everything in level order, components leading."""
+    val_tabs = [t[0] for t in tables]
+    der_tabs = [t[1] for t in tables]
+    d2_tabs = [t[2] for t in tables]
+
+    def deriv_combo(D):
+        ops = []
+        for j in range(sdim):
+            ops.append((val_tabs, der_tabs, d2_tabs)[D[j]][j])
+        return tp_apply(ops, coeffs, lead=1)
+
+    # build upper triangle, mirror symmetric entries
+    H = [[None] * sdim for _ in range(sdim)]
+    for i in range(sdim):
+        for j in range(i, sdim):
+            D = sdim * [0]
+            D[i] += 1
+            D[j] += 1
+            H[i][j] = deriv_combo(D)        # (C, Q...)
+            H[j][i] = H[i][j]
+    hess = jnp.stack([jnp.stack(row, axis=1) for row in H], axis=1)
+    # hess: (C, sdim, sdim, Q...)
+
+    if not is_nurbs:
+        return hess
+
+    # NURBS: second-order quotient rule.
+    val = tp_apply(val_tabs, coeffs, lead=1)
+    jac = jnp.stack([deriv_1(val_tabs, der_tabs, coeffs, k, sdim)
+                     for k in range(sdim)], axis=1)
+    V, W = val[:-1], val[-1:]
+    Vj, Wj = jac[:-1], jac[-1:]
+    Nj = (Vj * W[:, None] - V[:, None] * Wj) / (W[:, None] ** 2)
+    Vh, Wh = hess[:-1], hess[-1:]
+    W2 = W[:, None, None]
+    part1 = Vh / W2 - V[:, None, None] * Wh / (W2 ** 2)
+    # sym(jac(V/W) (x) jac(W)) / W
+    mat = (Nj[:, :, None] * Wj[:, None, :]) / W2
+    mat = mat + jnp.swapaxes(mat, 1, 2)
+    return part1 - mat
+
+
+def deriv_1(val_tabs, der_tabs, coeffs, k, sdim):
+    ops = [der_tabs[j] if j == k else val_tabs[j] for j in range(sdim)]
+    return tp_apply(ops, coeffs, lead=1)
+
+
 def det_and_inv(J):
     """Determinant and inverse of small (1x1/2x2/3x3) matrices stored
     component-leading: ``J (d, d) + grid``.  Explicit adjugate formulas (like

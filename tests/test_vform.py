@@ -1,0 +1,265 @@
+import numpy as np
+import pytest
+import scipy.sparse
+from scipy.sparse import kron as spkron
+
+from pyiga_tpu import bspline, geometry
+from pyiga_tpu.approx import interpolate
+from pyiga_tpu.assemble import (
+    Assembler, assemble, assemble_vf, bsp_mixed_deriv_biform_1d, divdiv,
+    inner_products, instantiate_assembler, mass, stiffness,
+)
+from pyiga_tpu.compile import compile_vform
+from pyiga_tpu.vform import (
+    VForm, divdiv_vf, dx, grad, heat_st_vf, inner, mass_vf, parse_vf,
+    stiffness_vf, wave_st_vf, L2functional_vf,
+)
+
+
+def test_mass_stiffness_vf():
+    kv = bspline.make_knots(3, 0.0, 1.0, 8)
+    kvs = (kv, kv)
+    geo = geometry.bspline_quarter_annulus()
+    M = compile_vform(mass_vf(2))(kvs, geo=geo).assemble().asmatrix()
+    assert abs(M - mass(kvs, geo)).max() < 1e-14
+    K = compile_vform(stiffness_vf(2))(kvs, geo=geo).assemble().asmatrix()
+    assert abs(K - stiffness(kvs, geo)).max() < 1e-13
+
+
+def test_assemble_vf():
+    vf = VForm(2)
+    u, v = vf.basisfuns()
+    vf.add(inner(grad(u), grad(v)) * dx)
+    kvs = 2 * (bspline.make_knots(3, 0.0, 1.0, 10),)
+    geo = geometry.quarter_annulus()
+    A = assemble_vf(vf, kvs, geo=geo)
+    assert np.allclose(A.toarray(), stiffness(kvs, geo).toarray())
+
+    vf_f = VForm(2, arity=1)
+    f_in = vf_f.input('f')
+    v = vf_f.basisfuns()
+    vf_f.add(f_in * v * dx)
+    f = lambda x, y: np.exp(x + y)
+    f1 = assemble_vf(vf_f, kvs, geo=geo, f=f)
+    assert np.allclose(f1, inner_products(kvs, f, geo=geo))
+
+
+def test_heat_wave_st():
+    T_end = 2.0
+    geo = geometry.unit_cube(dim=1).cylinderize(0.0, T_end,
+                                                support=(0.0, T_end))
+    kv_t = bspline.make_knots(2, 0.0, T_end, 6)
+    kv = bspline.make_knots(3, 0.0, 1.0, 8)
+    kvs = (kv_t, kv)
+    M, M_t, DxDx = mass(kv), mass(kv_t), stiffness(kv)
+
+    DtD0 = bsp_mixed_deriv_biform_1d(kv_t, 1, 0)
+    A_ref = (spkron(DtD0, M) + spkron(M_t, DxDx)).tocsr()
+    A = compile_vform(heat_st_vf(2))(kvs, geo=geo).assemble().asmatrix()
+    assert abs(A_ref - A).max() < 1e-14
+
+    D0Dt = bsp_mixed_deriv_biform_1d(kv_t, 0, 1)
+    DttDt = bsp_mixed_deriv_biform_1d(kv_t, 2, 1)
+    W_ref = (spkron(DttDt, M) + spkron(D0Dt, DxDx)).tocsr()
+    W = compile_vform(wave_st_vf(2))(kvs, geo=geo).assemble().asmatrix()
+    assert abs(W_ref - W).max() < 1e-12
+
+
+def test_divdiv():
+    kv = bspline.make_knots(3, 0.0, 1.0, 8)
+    kvs = (kv, kv)
+    geo = geometry.bspline_quarter_annulus()
+    A = divdiv(kvs, geo, layout='packed', format='bsr')
+    u = interpolate(kvs, lambda x, y: (x, -y), geo=geo)
+    assert abs(A.dot(u.ravel())).max() < 1e-12
+
+    A = divdiv(kvs, geo, layout='blocked')
+    u_blocked = np.moveaxis(u, -1, 0)
+    assert abs(A.dot(u_blocked.ravel())).max() < 1e-12
+
+
+def test_assemble_string():
+    kvs = 2 * (bspline.make_knots(2, 0.0, 1.0, 10),)
+    geo = geometry.quarter_annulus()
+    A1 = assemble('inner(grad(u), grad(v)) * dx', kvs, geo=geo)
+    A2 = stiffness(kvs, geo)
+    assert np.allclose(A1.toarray(), A2.toarray())
+
+    asm = Assembler('inner(grad(u), grad(v)) * dx', kvs, geo=geo,
+                    symmetric=True, updatable=['geo'])
+    assert np.allclose(asm.assemble().toarray(), A2.toarray())
+    with pytest.raises(RuntimeError):
+        asm.assemble(f=geo)
+    with pytest.raises(ValueError):
+        Assembler('inner(grad(u), grad(v)) * dx', kvs, geo=geo,
+                  updatable=['f'])
+
+    f = lambda x, y: x * y ** 2
+    f1 = assemble('f * v * dx', kvs, geo=geo, f=f)
+    assert np.allclose(f1, inner_products(kvs, f, geo=geo, f_physical=True))
+
+    # vector-valued rhs: packed vs blocked layouts
+    f1 = assemble('f * div(v) * dx', kvs, bfuns=[('v', 2)], geo=geo, f=f,
+                  layout='packed')
+    f2 = assemble('f * div(v) * dx', kvs, bfuns=[('v', 2)], geo=geo, f=f,
+                  layout='blocked')
+    assert np.allclose(f1.transpose(2, 0, 1), f2)
+
+    # 1D problems
+    geo1 = geometry.unit_cube(dim=1)
+    A1 = assemble('inner(grad(u), grad(v)) * dx', kvs[:1], geo=geo1)
+    assert np.allclose(A1.toarray(), stiffness(kvs[0]).toarray())
+    f = lambda x: 1 + x ** 2
+    f1 = assemble('f * v * dx', kvs[:1], geo=geo1, f=f)
+    assert np.allclose(f1, inner_products(kvs[0], f=f, f_physical=True,
+                                          geo=geo1))
+
+    with pytest.raises(ValueError):
+        assemble('inner(grad(u), grad(v)) * dx', kvs)
+
+
+def test_assemble_vf_with_params():
+    geo = geometry.quarter_annulus()
+    kvs = 2 * (bspline.make_knots(3, 0.0, 1.0, 10),)
+    f = assemble('a * inner(grad(u), b) * dx', kvs, geo=geo, a=1.8,
+                 b=(-1.5, 0.7))
+    f2 = assemble('1.8 * inner(grad(u), (-1.5, 0.7)) * dx', kvs, geo=geo)
+    assert np.allclose(f, f2)
+
+
+def test_convection_diffusion():
+    kvs = 2 * (bspline.make_knots(2, 0.0, 1.0, 8),)
+    # B-spline geometry: x-coordinate is exactly representable in the space
+    geo = geometry.bspline_quarter_annulus()
+    A = assemble('(inner(grad(u), grad(v)) + dot(b, grad(u)) * v) * dx',
+                 kvs, geo=geo, b=np.array([1.0, 2.0]))
+    K = stiffness(kvs, geo)
+    C = A - K
+    # convection part applied to constant function is zero columnsum-wise...
+    # check: convection of linear function u(x,y)=x gives (b . e_x, v) = (1, v)
+    ux = interpolate(kvs, lambda x, y: x, geo=geo).ravel()
+    ones_v = inner_products(kvs, lambda x, y: 1.0, f_physical=True,
+                            geo=geo).ravel()
+    assert np.allclose(C.dot(ux), 1.0 * ones_v, atol=1e-12)
+
+
+def test_assemble_surface_vf():
+    vf = VForm(2, geo_dim=3, arity=1)
+    v = vf.basisfuns()
+    from pyiga_tpu.vform import ds
+    vf.add(v * ds)
+    kvs = 2 * (bspline.make_knots(3, 0.0, 1.0, 10),)
+    geo_3d = geometry.tensor_product(geometry.line_segment(0.0, 1.0),
+                                     geometry.quarter_annulus())
+    f = assemble_vf(vf, kvs, geo=geo_3d.boundary('left'))
+    assert np.allclose(f.sum(), (2 * 1 * np.pi) / 4)
+    f = assemble_vf(vf, kvs, geo=geo_3d.boundary('right'))
+    assert np.allclose(f.sum(), (2 * 2 * np.pi) / 4)
+
+
+def test_assemble_boundary_vector():
+    kvs = 3 * (bspline.make_knots(3, 0.0, 1.0, 3),)
+    geo_3d = geometry.tensor_product(geometry.line_segment(0.0, 1.0),
+                                     geometry.quarter_annulus())
+    f = assemble('v * ds', kvs, geo=geo_3d, boundary='left')
+    assert f.shape == (6, 6, 1)
+    assert np.allclose(f.sum(), (2 * 1 * np.pi) / 4)
+    assert np.allclose(assemble('v * ds', kvs, geo=geo_3d,
+                                boundary='right').sum(), (2 * 2 * np.pi) / 4)
+    assert np.allclose(assemble('v * ds', kvs, geo=geo_3d,
+                                boundary='bottom').sum(), 1.0)
+    assert np.allclose(assemble('v * ds', kvs, geo=geo_3d,
+                                boundary='top').sum(), 1.0)
+    assert np.allclose(assemble('v * ds', kvs, geo=geo_3d,
+                                boundary='front').sum(), 3 * np.pi / 4)
+    assert np.allclose(assemble('v * ds', kvs, geo=geo_3d,
+                                boundary='back').sum(), 3 * np.pi / 4)
+
+    # average normal vectors over the faces
+    checks = [('left', [-1, -1, 0]), ('right', [2, 2, 0]),
+              ('bottom', [0, -1, 0]), ('top', [-1, 0, 0]),
+              ('front', 3 * np.pi / 4 * np.array([0, 0, -1.0])),
+              ('back', 3 * np.pi / 4 * np.array([0, 0, 1.0]))]
+    for bd, expected in checks:
+        nv = assemble('inner(v, n) * ds', kvs, bfuns=[('v', 3)], geo=geo_3d,
+                      boundary=bd, layout='packed')
+        assert np.allclose(nv.sum(axis=(0, 1, 2)), expected), bd
+
+    # 2D normal vectors
+    kvs = 2 * (bspline.make_knots(3, 0.0, 1.0, 3),)
+    geo = geometry.unit_square()
+    for bd, expected in [('left', [-1, 0]), ('right', [1, 0]),
+                         ('bottom', [0, -1]), ('top', [0, 1])]:
+        nv = assemble('inner(v, n) * ds', kvs, bfuns=[('v', 2)], geo=geo,
+                      boundary=bd, layout='packed')
+        assert np.allclose(nv.sum(axis=(0, 1)), expected), bd
+
+
+def test_assemble_boundary_matrix():
+    kvs = (bspline.make_knots(3, 0.0, 1.0, 3),
+           bspline.make_knots(3, 0.0, 1.0, 4),
+           bspline.make_knots(3, 0.0, 1.0, 5))
+    geo_3d = geometry.tensor_product(geometry.line_segment(0.0, 1.0),
+                                     geometry.quarter_annulus())
+    A = assemble('inner(grad(u), grad(v)) * ds', kvs, geo=geo_3d,
+                 boundary='left')
+    assert A.shape == (6 * 7, 6 * 7)
+    A = assemble('inner(grad(u), grad(v)) * ds', kvs, geo=geo_3d,
+                 boundary='top')
+    assert A.shape == (6 * 8, 6 * 8)
+    # tangential components on the flat 'front' face = 2D Laplacian
+    A = assemble('inner(cross(n, grad(u)), cross(n, grad(v))) * ds', kvs,
+                 geo=geo_3d, boundary='front')
+    assert A.shape == (7 * 8, 7 * 8)
+    A2 = stiffness(kvs[1:], geo=geometry.quarter_annulus())
+    assert np.allclose(A.toarray(), A2.toarray())
+
+
+def test_assemble_nonsym_vec():
+    kvs = 2 * (bspline.make_knots(2, 0.0, 1.0, 5),)
+    geo = geometry.quarter_annulus()
+    problem = 'inner(as_matrix([[2,1],[0,0]]).dot(u), v) * dx'
+    A = assemble(problem, kvs, geo=geo, bfuns=[('u', 2), ('v', 2)],
+                 layout='packed', format='bsr')
+    u = interpolate(kvs, lambda x, y: (x * y, -2 * x * y), geo=geo)
+    assert np.allclose(A @ u.ravel(), 0)
+
+    asm = instantiate_assembler(problem, kvs, args={'geo': geo},
+                                bfuns=[('u', 2), ('v', 2)])
+    blocks = np.array(asm.multi_blocks([(0, 0), (0, 1), (2, 1)]))
+    AA = A.toarray()
+    assert np.allclose(blocks[0], AA[0:2, 0:2])
+    assert np.allclose(blocks[1], AA[0:2, 2:4])
+    assert np.allclose(blocks[2], AA[4:6, 2:4])
+
+    A = assemble(problem, kvs, geo=geo, bfuns=[('u', 2), ('v', 2)],
+                 layout='blocked')
+    u_blocked = np.moveaxis(u, -1, 0)
+    assert np.allclose(A @ u_blocked.ravel(), 0)
+
+
+def test_updatable_assembler():
+    kvs = 2 * (bspline.make_knots(2, 0.0, 1.0, 6),)
+    geo = geometry.unit_square()
+    asm = Assembler('c * u * v * dx', kvs, geo=geo, c=lambda x, y: 1.0 + 0 * x,
+                    updatable=['c'])
+    M1 = asm.assemble()
+    assert np.allclose(M1.toarray(), mass(kvs, geo).toarray())
+    M2 = asm.assemble(c=lambda x, y: 2.0 + 0 * x)
+    assert np.allclose(M2.toarray(), 2 * M1.toarray())
+
+
+def test_vform_hash():
+    v1, v2 = stiffness_vf(2), stiffness_vf(2)
+    assert v1.hash() == v2.hash()
+    assert mass_vf(2).hash() != v1.hash()
+    assert stiffness_vf(3).hash() != v1.hash()
+
+
+def test_parse_vf_shorthands():
+    kvs = 2 * (bspline.make_knots(2, 0.0, 1.0, 4),)
+    geo = geometry.quarter_annulus()
+    # x = physical coordinates
+    f1 = assemble('x[0] * v * dx', kvs, geo=geo)
+    f2 = inner_products(kvs, lambda x, y: x, f_physical=True, geo=geo)
+    assert np.allclose(f1, f2)
