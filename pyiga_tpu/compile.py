@@ -195,7 +195,7 @@ class VFormAssembler:
         return {p.name: p.shape for p in cls.vf.params
                 if p.name != 'Jac_to_boundary'}
 
-    def __init__(self, kvs, kvs2=None, boundary=None, **args):
+    def __init__(self, kvs, kvs2=None, boundary=None, bbox=None, **args):
         vf = self.vf
         if isinstance(kvs, KnotVector):
             kvs = (kvs,)
@@ -212,11 +212,22 @@ class VFormAssembler:
         self.geo = args.pop('geo')
         bdspec = args.pop('boundary', boundary)
         self.bdspec = bdspec
+        self.bbox = args.pop('bbox', bbox)
 
         # quadrature (trial-space mesh; nqp = max(p)+1 over both spaces)
         nqp = max(kv.p for kv in self.kvs0 + self.kvs1) + 1
-        self.grid, self.gweights = sumfac.quadrature_for(
-            self.kvs0, nqp, bdspec=bdspec)
+        if self.bbox is not None:
+            # on-demand mode: restrict the Gauss grid to the cell bounding box
+            # (reference: codegen/cython.py:541-559).  Entries whose test
+            # function is supported inside the bbox are exact; others partial.
+            assert bdspec is None, 'bbox + boundary not supported'
+            from .quadrature import make_tensor_quadrature
+            meshes = [kv.mesh[bb[0]:bb[1] + 1]
+                      for kv, bb in zip(self.kvs0, self.bbox)]
+            self.grid, self.gweights = make_tensor_quadrature(meshes, nqp)
+        else:
+            self.grid, self.gweights = sumfac.quadrature_for(
+                self.kvs0, nqp, bdspec=bdspec)
 
         # structure & basis tables
         self.structure = MLStructure.from_kvs(self.kvs0, self.kvs1)

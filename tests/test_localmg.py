@@ -1,0 +1,79 @@
+# Exact iteration-count regression for the local multigrid solver
+# (BASELINE config 5: counts must be identical to the reference,
+# test/test_localmg.py:88-98).
+
+import numpy as np
+import scipy.linalg
+import scipy.sparse.linalg
+
+from pyiga_tpu import assemble, geometry, solvers, vform
+from pyiga_tpu.hierarchical import HDiscretization
+
+from test_hierarchical import create_example_hspace
+
+
+def num_iterations(step, sol, tol=1e-8):
+    x = np.zeros_like(sol)
+    for it in range(1, 20000):
+        x = step(x)
+        if scipy.linalg.norm(x - sol) < tol:
+            return it
+    return np.inf
+
+
+def run_local_multigrid(p, dim, n0, disparity, smoother, smooth_steps,
+                        strategy, tol):
+    hs = create_example_hspace(p, dim, n0, disparity, num_levels=3)
+    dir_dofs = hs.dirichlet_dofs()
+    params = {'geo': geometry.unit_square(), 'f': lambda *x: 1.0}
+
+    iters = []
+    for truncate in (False, True):
+        hs.truncate = truncate
+        hd = HDiscretization(hs, vform.stiffness_vf(dim=2), params)
+        A = hd.assemble_matrix()
+        f = hd.assemble_rhs()
+        P = hs.virtual_hierarchy_prolongators()
+        LS = assemble.RestrictedLinearSystem(
+            A, f, (dir_dofs, np.zeros_like(dir_dofs)))
+        u0 = LS.complete(scipy.sparse.linalg.spsolve(LS.A.tocsc(), LS.b))
+        inds = hs.indices_to_smooth(strategy)
+        iters.append(num_iterations(
+            solvers.local_mg_step(hs, A, f, P, inds, smoother, smooth_steps),
+            u0, tol=tol))
+    return tuple(iters)
+
+
+def test_localmg():
+    tol, dim, n0, p = 1e-8, 2, 6, 3
+    smoother, smooth_steps = 'symmetric_gs', 1
+
+    results = dict()
+    for disparity in (np.inf, 1):
+        results[disparity] = [
+            run_local_multigrid(p, dim, n0, disparity, smoother,
+                                smooth_steps, strategy, tol)
+            for strategy in ('new', 'trunc', 'func_supp', 'cell_supp')]
+
+    # exact integers from the reference test suite
+    assert np.array_equal(results[np.inf],
+                          [(107, 118), (49, 19), (49, 15), (41, 15)])
+    assert np.array_equal(results[1],
+                          [(105, 104), (59, 23), (59, 23), (61, 22)])
+
+
+def test_solve_hmultigrid():
+    hs = create_example_hspace(p=3, dim=2, n0=10, disparity=1, num_levels=3)
+    for truncate in (False, True):
+        hs.truncate = truncate
+        hd = HDiscretization(hs, vform.stiffness_vf(dim=2),
+                             {'geo': geometry.unit_square(),
+                              'f': lambda *x: 1.0})
+        A = hd.assemble_matrix()
+        f = hd.assemble_rhs()
+        dir_dofs = hs.dirichlet_dofs()
+        LS = assemble.RestrictedLinearSystem(
+            A, f, (dir_dofs, np.zeros_like(dir_dofs)))
+        u0 = LS.complete(scipy.sparse.linalg.spsolve(LS.A.tocsc(), LS.b))
+        u_mg, iters = solvers.solve_hmultigrid(hs, A, f, tol=1e-8)
+        assert np.allclose(u0, u_mg)
