@@ -555,6 +555,72 @@ class VFormAssembler:
 
     # -- reference-compat helpers -------------------------------------------------
 
+    # -- compact-slice evaluation (for ACA fast assembling) -----------------------
+
+    def _device_fields(self):
+        """Compute (once) the per-combo coefficient fields on device and keep
+        them resident; used by the slice evaluator."""
+        if getattr(self, '_fields_cache', None) is None:
+            import jax
+            import jax.numpy as jnp
+            from . import config
+            dtype = config.get_dtype()
+            inputs = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, dtype=dtype)
+                if np.issubdtype(np.asarray(x).dtype, np.floating)
+                else jnp.asarray(x),
+                self._device_inputs())
+            fn = jax.jit(lambda inp: self._eval_combo_fields(inp, self.combos))
+            self._fields_cache = fn(inputs)
+        return self._fields_cache
+
+    def compact_slice(self, fixed):
+        """Evaluate a slice of the compact data tensor with the axes in the
+        dict `fixed` (axis -> pair index s_k) pinned; returns the dense array
+        over the free axes.
+
+        This is the TPU-native ACA entry callback: instead of per-entry
+        evaluations through a C function pointer (reference fastasm.cc:538),
+        whole rows/slices of the reordered matrix are computed by the
+        sum-factorization chain with rank-1-restricted pair tables."""
+        import jax
+        import jax.numpy as jnp
+        from . import config
+
+        assert not self.vf.vec and self.arity == 2
+        fixed_axes = tuple(sorted(fixed.keys()))
+        fn_cache = getattr(self, '_slice_fns', None)
+        if fn_cache is None:
+            fn_cache = self._slice_fns = {}
+        fn = fn_cache.get(fixed_axes)
+        if fn is None:
+            d = self.dim
+
+            def slice_fn(fields, term_tables, idx):
+                out = None
+                for C, tabs in zip(fields, term_tables):
+                    tabs = list(tabs)
+                    for pos, ax in enumerate(fixed_axes):
+                        tabs[ax] = jax.lax.dynamic_slice(
+                            tabs[ax], (idx[pos], 0), (1, tabs[ax].shape[1]))
+                    Y = sumfac.contract_chain(tabs, C)
+                    out = Y if out is None else out + Y
+                return out.reshape([out.shape[k] for k in range(d)
+                                    if k not in fixed_axes])
+
+            fn = jax.jit(slice_fn)
+            fn_cache[fixed_axes] = fn
+
+        dtype = config.get_dtype()
+        if getattr(self, '_tables_cache', None) is None:
+            import jax.numpy as jnp
+            self._tables_cache = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, dtype=dtype),
+                self._term_tables_for(self.combos))
+        idx = np.array([fixed[ax] for ax in fixed_axes], dtype=np.int64)
+        return np.asarray(fn(self._device_fields(), self._tables_cache, idx),
+                          dtype=np.float64)
+
     def num_components(self):
         """Components per basis function space (vector forms only)."""
         assert self.vf.vec

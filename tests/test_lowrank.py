@@ -1,0 +1,91 @@
+import os.path
+
+import numpy as np
+
+from pyiga_tpu import bspline, geometry
+from pyiga_tpu.assemble import mass_fast, stiffness_fast
+from pyiga_tpu.lowrank import (
+    MatrixGenerator, TensorGenerator, aca, aca_3d, aca_lr,
+)
+from pyiga_tpu.utils import read_sparse_matrix
+
+FIXTURES = os.path.join(os.path.dirname(__file__), 'fixtures')
+
+
+def _random_lowrank_matrix(m, n, r):
+    return np.random.rand(m, r) @ np.random.rand(r, n)
+
+
+def test_aca():
+    A = _random_lowrank_matrix(60, 50, 5)
+    X = aca(A, tol=1e-12, verbose=0)
+    assert np.allclose(A, X, atol=1e-10)
+
+
+def test_aca_generator():
+    A = _random_lowrank_matrix(40, 45, 4)
+    gen = MatrixGenerator.from_array(A)
+    assert np.allclose(gen[3, :], A[3, :])
+    assert np.allclose(gen[:, 7], A[:, 7])
+    assert gen.entry((2, 3)) == A[2, 3]
+    X = aca(gen, tol=1e-12, verbose=0)
+    assert np.allclose(A, X, atol=1e-10)
+
+
+def test_aca_lr():
+    A = _random_lowrank_matrix(30, 35, 3)
+    crosses = aca_lr(A, tol=1e-12, verbose=0)
+    X = sum(np.outer(c, r) for c, r in crosses)
+    assert np.allclose(A, X, atol=1e-10)
+
+
+def test_aca_3d():
+    T = sum(np.einsum('i,j,k->ijk', np.random.rand(20), np.random.rand(21),
+                      np.random.rand(22)) for _ in range(3))
+    X = aca_3d(T, tol=1e-12, verbose=0)
+    assert np.allclose(T, X, atol=1e-9)
+    # low-rank output variant
+    Xlr = aca_3d(T, tol=1e-12, verbose=0, lr=True)
+    assert np.allclose(T, Xlr.asarray(), atol=1e-9)
+
+
+def test_tensor_generator_slices():
+    T = np.random.rand(5, 6, 7)
+    gen = TensorGenerator.from_array(T)
+    assert np.allclose(gen[:, 2, 3], T[:, 2, 3])
+    M = gen.matrix_at((0, 1, 2), axes=(1, 2))
+    assert np.allclose(M[:, 4], T[0, :, 4])
+    assert np.allclose(M[3, :], T[0, 3, :])
+
+
+def test_fast_mass_stiffness_2d():
+    kv = bspline.make_knots(3, 0.0, 1.0, 15)
+    geo = geometry.bspline_quarter_annulus()
+    M = mass_fast((kv, kv), geo, verbose=0)
+    M_ref = read_sparse_matrix(
+        os.path.join(FIXTURES, 'poisson_neu_d2_p3_n15_mass.mtx.gz'))
+    assert abs(M - M_ref).max() < 1e-9
+    A = stiffness_fast((kv, kv), geo, verbose=0)
+    A_ref = read_sparse_matrix(
+        os.path.join(FIXTURES, 'poisson_neu_d2_p3_n15_stiff.mtx.gz'))
+    assert abs(A - A_ref).max() < 1e-9
+
+
+def test_fast_mass_stiffness_3d():
+    kv = bspline.make_knots(2, 0.0, 1.0, 10)
+    geo = geometry.twisted_box()
+    M = mass_fast((kv, kv, kv), geo, verbose=0)
+    M_ref = read_sparse_matrix(
+        os.path.join(FIXTURES, 'poisson_neu_d3_p2_n10_mass.mtx.gz'))
+    assert abs(M - M_ref).max() < 1e-9
+    A = stiffness_fast((kv, kv, kv), geo, verbose=0)
+    A_ref = read_sparse_matrix(
+        os.path.join(FIXTURES, 'poisson_neu_d3_p2_n10_stiff.mtx.gz'))
+    assert abs(A - A_ref).max() < 1e-9
+
+
+def test_fast_no_geo_fallback():
+    kv = bspline.make_knots(2, 0.0, 1.0, 6)
+    from pyiga_tpu.assemble import mass, stiffness
+    assert abs(mass_fast((kv, kv)) - mass((kv, kv))).max() == 0
+    assert abs(stiffness_fast((kv, kv)) - stiffness((kv, kv))).max() == 0
