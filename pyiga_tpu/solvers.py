@@ -69,27 +69,32 @@ def cg_jit(matvec, b, x0=None, tol=1e-8, maxiter=1000, precond=None):
         x0 = jnp.zeros_like(b)
     M = precond if precond is not None else (lambda r: r)
 
-    def body(state):
-        x, r, z, p, rz, it = state
-        Ap = matvec(p)
-        alpha = rz / jnp.vdot(p, Ap)
-        x = x + alpha * p
-        r = r - alpha * Ap
-        z = M(r)
-        rz_new = jnp.vdot(r, z)
-        p = z + (rz_new / rz) * p
-        return (x, r, z, p, rz_new, it + 1)
+    @jax.jit
+    def run(b, x0):
+        r0 = b - matvec(x0)
+        norm0 = jnp.linalg.norm(r0)
 
-    def cond(state):
-        _, r, _, _, _, it = state
-        return (jnp.linalg.norm(r) > tol * norm0) & (it < maxiter)
+        def body(state):
+            x, r, z, p, rz, it = state
+            Ap = matvec(p)
+            alpha = rz / jnp.vdot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = M(r)
+            rz_new = jnp.vdot(r, z)
+            p = z + (rz_new / rz) * p
+            return (x, r, z, p, rz_new, it + 1)
 
-    r0 = b - matvec(x0)
-    norm0 = jnp.linalg.norm(r0)
-    z0 = M(r0)
-    state = (x0, r0, z0, z0, jnp.vdot(r0, z0), jnp.array(0))
-    x, r, _, _, _, it = lax.while_loop(cond, body, state)
-    return x, it
+        def cond(state):
+            _, r, _, _, _, it = state
+            return (jnp.linalg.norm(r) > tol * norm0) & (it < maxiter)
+
+        z0 = M(r0)
+        state = (x0, r0, z0, z0, jnp.vdot(r0, z0), jnp.array(0))
+        x, r, _, _, _, it = lax.while_loop(cond, body, state)
+        return x, it
+
+    return run(b, x0)
 
 
 ################################################################################
