@@ -277,6 +277,7 @@ class VFormAssembler:
 
         self._needed_keys = vf.used_field_keys()
         self._build_arrays()
+        self._num_combos_total = len(self.combos)
         self._prune_combos()
 
     # -- array setup -------------------------------------------------------------
