@@ -1,18 +1,25 @@
-"""Benchmark: 3D degree-3 Poisson stiffness assembly + matrix-free CG.
+"""Benchmark: 3D degree-3 Poisson — stiffness assembly + matrix-free CG.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-value        = end-to-end throughput (dofs/s) of sum-factorization assembly
-               + 50 matrix-free CG iterations on the default (TPU) device,
-               float64 (the entry-parity configuration).
-vs_baseline  = speedup vs the same jitted computation executed on the host
-               CPU backend at a reduced size (throughput ratio).  The
-               reference pyiga publishes no benchmark numbers (BASELINE.md);
-               the CPU comparator stands in for its single-node CPU path.
+Workload (BASELINE north star): twisted-box geometry, degree-3 TP splines,
+``PYIGA_BENCH_N`` knot spans per axis.  Timed on the default (TPU) device:
 
-Env knobs: PYIGA_BENCH_N (spans per axis, default 32),
-           PYIGA_BENCH_N_CPU (default 12), PYIGA_BENCH_DTYPE (float64).
+  1. sum-factorization assembly of the compact stiffness tensor into HBM,
+  2. conjugate gradients to 1e-8 with the matrix-free sum-factorization
+     operator (quadrature application per iteration; no assembled matvec).
+
+value        = dofs / (assembly_time + solve_time), float64 (the
+               entry-parity configuration; set PYIGA_BENCH_DTYPE=float32
+               for the fast path).
+vs_baseline  = speedup vs the same jitted computation on the host CPU
+               backend at PYIGA_BENCH_N_CPU (the stand-in for the
+               reference's single-node CPU path; pyiga publishes no numbers).
+
+Timing notes: the tunneled TPU backend has ~28ms dispatch latency and
+``block_until_ready`` returns early, so each phase is a single dispatch
+synchronized by fetching a scalar.
 """
 
 import json
@@ -22,75 +29,99 @@ import time
 import numpy as np
 
 
-def build_step(n, p=3, cg_iters=50):
+def build(n, p=3):
     from pyiga_tpu import geometry
     from pyiga_tpu.assemblers import StiffnessAssembler
     from pyiga_tpu.bspline import make_knots
-    from __graft_entry__ import _single_chip_step
 
     kvs = 3 * (make_knots(p, 0.0, 1.0, n),)
     geo = geometry.twisted_box()
     asm = StiffnessAssembler(kvs, geo)
-    step, args = _single_chip_step(asm, cg_iters=cg_iters)
     ndofs = int(np.prod([kv.numdofs for kv in kvs]))
-    return step, args, ndofs
+    return asm, ndofs
 
 
-def run_timed(step, args, device, repeats=3):
-    """Time the jitted step on `device`.  NB: synchronization is done by
-    fetching a SCALAR derived from the outputs — on the tunneled axon TPU
-    backend, ``block_until_ready`` returns before execution finishes."""
+def run_on(device, n, dtype, repeats=3):
     import jax
     import jax.numpy as jnp
-
-    def summarized(*a):
-        data, x = step(*a)
-        return jnp.sum(data) + jnp.linalg.norm(x)
+    from pyiga_tpu.ops import sumfac
+    from pyiga_tpu.ops.fastdiag import fastdiag_precond, interior_dofs
+    from pyiga_tpu.ops.matfree import MatrixFreeOperator
+    from pyiga_tpu import solvers
 
     with jax.default_device(device):
-        fn = jax.jit(summarized)
-        args = jax.tree_util.tree_map(
-            lambda x: jax.device_put(np.asarray(x), device), args)
-        np.asarray(fn(*args))           # compile + warmup (sync via fetch)
+        asm, ndofs = build(n)
+        gi = jax.tree_util.tree_map(
+            lambda a: jax.device_put(
+                np.asarray(a, dtype=dtype)
+                if np.issubdtype(np.asarray(a).dtype, np.floating)
+                else np.asarray(a), device),
+            asm._geo_inputs)
+        tt = jax.tree_util.tree_map(
+            lambda a: jax.device_put(np.asarray(a, dtype=dtype), device),
+            asm.tables.term_tables(asm.terms))
+        field_fn = asm.field_fn
+
+        asm_fn = jax.jit(
+            lambda gi, tt: sumfac.assemble_terms(tt, field_fn(gi)))
+
+        # homogeneous-Dirichlet Poisson solve: matrix-free operator on the
+        # interior dofs, fast-diagonalization preconditioner
+        kvs = asm.kvs
+        free = interior_dofs(kvs)
+        op = MatrixFreeOperator(asm, free_dofs=free)
+        P = fastdiag_precond(kvs, dirichlet=True)
+        b = jax.device_put(
+            np.random.RandomState(0).rand(len(free)).astype(dtype), device)
+
+        # warmup / compile both phases
+        data = asm_fn(gi, tt)
+        float(jnp.sum(data))
+        u, it = solvers.cg_jit(op.matvec, b, tol=1e-8, maxiter=600,
+                               precond=P)
+        float(jnp.linalg.norm(u))
+
         best = np.inf
+        iters = int(it)
         for _ in range(repeats):
             t0 = time.perf_counter()
-            np.asarray(fn(*args))
+            data = asm_fn(gi, tt)
+            float(jnp.sum(data))            # sync
+            u, it = solvers.cg_jit(op.matvec, b, tol=1e-8, maxiter=600,
+                                   precond=P)
+            float(jnp.linalg.norm(u))       # sync
             best = min(best, time.perf_counter() - t0)
-    return best
+    return ndofs, best, iters
 
 
 def main():
-    import pyiga_tpu  # noqa: F401  (x64 on)
+    import pyiga_tpu
     import jax
 
-    dtype = os.environ.get('PYIGA_BENCH_DTYPE', 'float64')
-    pyiga_tpu.set_dtype(np.dtype(dtype).type)
-
+    dtype = np.dtype(os.environ.get('PYIGA_BENCH_DTYPE', 'float64')).type
+    pyiga_tpu.set_dtype(dtype)
     n = int(os.environ.get('PYIGA_BENCH_N', '48'))
-    n_cpu = int(os.environ.get('PYIGA_BENCH_N_CPU', '12'))
+    n_cpu = int(os.environ.get('PYIGA_BENCH_N_CPU', '16'))
 
     dev = jax.devices()[0]
-    step, args, ndofs = build_step(n)
-    t_dev = run_timed(step, args, dev)
+    ndofs, t_dev, iters = run_on(dev, n, dtype)
     dofs_per_s = ndofs / t_dev
 
-    vs_baseline = float('nan')
+    vs_baseline = None
     try:
         cpu = jax.devices('cpu')[0]
         if cpu != dev:
-            step_c, args_c, ndofs_c = build_step(n_cpu)
-            t_cpu = run_timed(step_c, args_c, cpu, repeats=2)
-            vs_baseline = dofs_per_s / (ndofs_c / t_cpu)
+            nd_c, t_cpu, _ = run_on(cpu, n_cpu, dtype, repeats=2)
+            vs_baseline = round(dofs_per_s / (nd_c / t_cpu), 3)
     except RuntimeError:
         pass
 
     print(json.dumps({
-        'metric': '3d_p3_stiffness_assembly_plus_cg50_%s_n%d' % (dtype, n),
+        'metric': '3d_p3_poisson_assembly_plus_cg[%s,n=%d,cg_iters=%d]'
+                  % (np.dtype(dtype).name, n, iters),
         'value': round(dofs_per_s, 1),
         'unit': 'dof/s',
-        'vs_baseline': (round(vs_baseline, 3)
-                        if np.isfinite(vs_baseline) else None),
+        'vs_baseline': vs_baseline,
     }))
 
 

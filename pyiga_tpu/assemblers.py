@@ -121,6 +121,21 @@ class BaseGaussAssembler:
                                           term_tables)
         return self.structure.make_mlmatrix(data=np.asarray(data, dtype=np.float64))
 
+    def assemble_banded(self):
+        """Assemble directly into the regular banded layout and return a
+        device-resident :class:`~pyiga_tpu.ops.banded.BandedOperator` (the
+        fast path for matrix-free solvers; data never leaves HBM)."""
+        from .ops.banded import BandedOperator, band_info
+        bws = band_info(self.structure)
+        assert bws is not None, \
+            'space is not regularly banded (repeated interior knots?)'
+        ns = tuple(b[0] for b in self.structure.bs)
+        bsz = tuple(2 * bw + 1 for bw in bws)
+        tabs = self.tables.banded_term_tables(self.terms, bws)
+        D = sumfac.run_banded_assembly(self.field_fn, self._geo_inputs,
+                                       tabs, bsz, ns)
+        return BandedOperator(D, bws, ns)
+
 
 class MassAssembler(BaseGaussAssembler):
     """Mass matrix assembler: ``A[i,j] = int B_j B_i |det J| dx``."""

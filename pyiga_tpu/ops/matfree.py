@@ -1,0 +1,151 @@
+# -*- coding: utf-8 -*-
+"""Matrix-free operator application by sum factorization.
+
+Instead of multiplying with an assembled (banded) matrix, the operator is
+applied through quadrature each time:
+
+    y = sum_t  B_test(dv_t)^T [ C_t  *  B_trial(du_t) x ]
+
+where ``B(d) x`` evaluates the d-th derivative combination of the trial
+function on the tensor Gauss grid (a chain of per-axis (Q_k, n_k) matmuls on
+the MXU), ``C_t`` are the precomputed coefficient fields (geometry data x
+weights, resident in HBM), and the transposed test chain accumulates back to
+coefficients.  This is mathematically identical to the assembled matvec
+(same quadrature), needs no matrix in memory, and runs entirely as
+MXU matmuls + VPU multiplies — the canonical matrix-free FEM formulation,
+replacing both the assembled CSR matvec of the reference and the compact
+banded matvec for Krylov solvers.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import config
+
+
+def _forward_chain(tabs, X):
+    """Contract coefficients (n_1..n_d) with per-axis (Q_k, n_k) tables."""
+    for k in range(len(tabs)):
+        X = jnp.moveaxis(jnp.tensordot(tabs[k], X, axes=(1, k)), 0, k)
+    return X
+
+
+def _backward_chain(tabs, X):
+    """Adjoint: contract grid values (Q_1..Q_d) with (Q_k, n_k) tables
+    transposed."""
+    for k in range(len(tabs)):
+        X = jnp.moveaxis(jnp.tensordot(tabs[k], X, axes=(0, k)), 0, k)
+    return X
+
+
+def matfree_apply(trial_tabs, test_tabs, fields, trial_of_term, test_of_term,
+                  field_of_term, ns_in, ns_out, x):
+    """Traced operator application.
+
+    Args:
+        trial_tabs / test_tabs: lists of per-axis table chains, one chain per
+            unique derivative combination; each chain is a list of (Q_k, n_k)
+            arrays.
+        fields: list of coefficient-field grid arrays.
+        trial_of_term / test_of_term / field_of_term: per term, the indices
+            into the above lists.
+        ns_in / ns_out: trial/test dof shapes.
+        x: raveled input vector.
+    """
+    X = x.reshape(ns_in)
+    # forward-evaluate each needed trial derivative combination once
+    U = [None] * len(trial_tabs)
+    for t in set(trial_of_term):
+        U[t] = _forward_chain(trial_tabs[t], X)
+    # accumulate grid-space contributions per unique test combination
+    Z = [None] * len(test_tabs)
+    for term in range(len(trial_of_term)):
+        contrib = fields[field_of_term[term]] * U[trial_of_term[term]]
+        s = test_of_term[term]
+        Z[s] = contrib if Z[s] is None else Z[s] + contrib
+    # adjoint test chains back to coefficients
+    y = None
+    for s, Zs in enumerate(Z):
+        if Zs is None:
+            continue
+        contrib = _backward_chain(test_tabs[s], Zs)
+        y = contrib if y is None else y + contrib
+    return y.reshape(-1)
+
+
+class MatrixFreeOperator:
+    """Device-resident matrix-free operator for a sum-factorization
+    assembler (``BaseGaussAssembler`` or a compiled VForm assembler for
+    scalar arity-2 forms).
+
+    Supports Dirichlet restriction: pass `free_dofs` (raveled indices) to get
+    the operator on the free dofs (zero-extension / restriction built in)."""
+
+    def __init__(self, asm, free_dofs=None):
+        dtype = config.get_dtype()
+        d = asm.dim
+        if hasattr(asm, 'terms'):       # predefined Gauss assembler
+            terms = asm.terms
+            fields_fn = asm.field_fn
+            geo_inputs = asm._geo_inputs
+            self._fields = jax.jit(fields_fn)(jax.tree_util.tree_map(
+                lambda a: jnp.asarray(np.asarray(a), dtype=dtype)
+                if np.issubdtype(np.asarray(a).dtype, np.floating)
+                else jnp.asarray(a), geo_inputs))
+        else:                           # compiled vform assembler
+            assert asm.arity == 2 and not asm.vf.vec
+            terms = [(tuple(reversed(su[1])), tuple(reversed(sv[1])))
+                     for su, sv in asm.combos]
+            self._fields = asm._device_fields()
+
+        # unique trial/test derivative combos -> table chains (Q_k, n_k)
+        trial_combos = sorted(set(du for du, dv in terms))
+        test_combos = sorted(set(dv for du, dv in terms))
+        tt = asm.tables
+
+        def chain(space_tabs, combo):
+            return [jnp.asarray(space_tabs[k][combo[k]].T, dtype=dtype)
+                    for k in range(d)]
+
+        self._trial_tabs = [chain(tt.trial, c) for c in trial_combos]
+        self._test_tabs = [chain(tt.test, c) for c in test_combos]
+        self._trial_of_term = [trial_combos.index(du) for du, dv in terms]
+        self._test_of_term = [test_combos.index(dv) for du, dv in terms]
+        self._field_of_term = list(range(len(terms)))
+        self._fields = [jnp.asarray(C, dtype=dtype) for C in self._fields]
+
+        self.ns_in = tuple(b[1] for b in asm.structure.bs)
+        self.ns_out = tuple(b[0] for b in asm.structure.bs)
+        n_in = int(np.prod(self.ns_in))
+        n_out = int(np.prod(self.ns_out))
+        self.shape = (n_out, n_in)
+
+        self._free = (jnp.asarray(np.asarray(free_dofs, dtype=np.int64))
+                      if free_dofs is not None else None)
+
+        trial_tabs, test_tabs = self._trial_tabs, self._test_tabs
+        fields = self._fields
+        tot, sot, fot = (tuple(self._trial_of_term),
+                         tuple(self._test_of_term),
+                         tuple(self._field_of_term))
+        ns_in, ns_out = self.ns_in, self.ns_out
+        free = self._free
+
+        @jax.jit
+        def apply_full(x):
+            return matfree_apply(trial_tabs, test_tabs, fields, tot, sot,
+                                 fot, ns_in, ns_out, x)
+
+        if free is None:
+            self.matvec = apply_full
+        else:
+            @jax.jit
+            def apply_free(xf):
+                x = jnp.zeros(n_in, dtype=xf.dtype).at[free].set(xf)
+                return apply_full(x)[free]
+            self.matvec = apply_free
+            self.shape = (len(free_dofs), len(free_dofs))
+
+    def __call__(self, x):
+        return self.matvec(x)

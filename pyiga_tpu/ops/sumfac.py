@@ -54,6 +54,15 @@ def assemble_terms(term_tables, fields):
     return out
 
 
+def banded_reorder(data, bsz, ns):
+    """Traced: reorder an assembly result over banded tables, shaped
+    ``(b_1*n_1, ..., b_d*n_d)``, into ``(b_1, ..., b_d, n_1, ..., n_d)``."""
+    d = len(ns)
+    X = data.reshape([x for b, n in zip(bsz, ns) for x in (b, n)])
+    perm = list(range(0, 2 * d, 2)) + list(range(1, 2 * d, 2))
+    return jnp.transpose(X, perm)
+
+
 ################################################################################
 # Pair tables (host setup, float64)
 ################################################################################
@@ -93,6 +102,32 @@ class SpaceTables:
         return [[self.pair_table(k, du[k], dv[k]) for k in range(self.d)]
                 for (du, dv) in terms]
 
+    def banded_pair_table(self, k, du, dv, bw):
+        """Pair table in regular banded layout: shape ``((2bw+1)*n, Q)`` with
+        row ``mu*n + i`` = test-deriv(i) * trial-deriv(i + mu - bw)``
+        (zero where the column index falls outside the matrix).  Assembling
+        with these tables directly produces the padded banded data tensor."""
+        key = ('banded', k, du, dv, bw)
+        tab = self._pair_cache.get(key)
+        if tab is None:
+            Bt = self.test[k][dv]
+            Bu = self.trial[k][du]
+            n, Q = Bt.shape
+            assert Bu.shape[0] == n, 'banded layout requires square blocks'
+            rows = np.zeros((2 * bw + 1, n, Q))
+            for mu in range(2 * bw + 1):
+                off = mu - bw
+                i0, i1 = max(0, -off), min(n, n - off)
+                rows[mu, i0:i1] = Bt[i0:i1] * Bu[i0 + off:i1 + off]
+            tab = rows.reshape((2 * bw + 1) * n, Q)
+            self._pair_cache[key] = tab
+        return tab
+
+    def banded_term_tables(self, terms, bws):
+        """Banded pair tables for every term (see :meth:`banded_pair_table`)."""
+        return [[self.banded_pair_table(k, du[k], dv[k], bws[k])
+                 for k in range(self.d)] for (du, dv) in terms]
+
     def vector_term_tables(self, terms):
         """Per-axis *test* basis tables (n_k, Q_k) for arity-1 terms
         ``terms[t] = dv_tuple``."""
@@ -120,6 +155,30 @@ def quadrature_for(kvs, nqp=None, bdspec=None):
 ################################################################################
 
 _KERNEL_CACHE = {}
+_BANDED_KERNEL_CACHE = {}
+
+
+def run_banded_assembly(field_fn, geo_inputs, banded_tables, bsz, ns):
+    """Like :func:`run_matrix_assembly`, but with banded pair tables and a
+    device-side reorder into ``(b..., n...)``; returns the device array
+    (kept resident for the banded matvec)."""
+    key = (field_fn, bsz, ns)
+    fn = _BANDED_KERNEL_CACHE.get(key)
+    if fn is None:
+        def kernel(geo_inputs, banded_tables):
+            return banded_reorder(
+                assemble_terms(banded_tables, field_fn(geo_inputs)), bsz, ns)
+        fn = jax.jit(kernel)
+        _BANDED_KERNEL_CACHE[key] = fn
+
+    dtype = config.get_dtype()
+    geo_inputs = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, dtype=dtype)
+        if np.issubdtype(np.asarray(x).dtype, np.floating)
+        else jnp.asarray(x), geo_inputs)
+    banded_tables = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, dtype=dtype), banded_tables)
+    return fn(geo_inputs, banded_tables)
 
 
 def run_matrix_assembly(field_fn, geo_inputs, term_tables):

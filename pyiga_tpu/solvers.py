@@ -54,10 +54,18 @@ def fastdiag_solver(KM):
 # Matrix-free CG under jit (TPU path)
 ################################################################################
 
+import weakref
+
+_CG_CACHE = weakref.WeakKeyDictionary()
+
+
 def cg_jit(matvec, b, x0=None, tol=1e-8, maxiter=1000, precond=None):
     """Conjugate gradients on device: `matvec` (and optional `precond`) are
     traced functions on raveled vectors; the loop runs as a
-    ``lax.while_loop`` entirely on device.
+    ``lax.while_loop`` entirely on device (one dispatch per solve).
+
+    The compiled solver is cached per (matvec, precond, tol, maxiter) so
+    repeated solves with the same operator do not re-trace.
 
     Returns ``(x, iterations)``; stops when ``||r|| <= tol * ||r0||``."""
     import jax
@@ -68,6 +76,15 @@ def cg_jit(matvec, b, x0=None, tol=1e-8, maxiter=1000, precond=None):
     if x0 is None:
         x0 = jnp.zeros_like(b)
     M = precond if precond is not None else (lambda r: r)
+
+    try:
+        per_op = _CG_CACHE.setdefault(matvec, {})
+    except TypeError:           # unhashable/non-weakref-able callable
+        per_op = {}
+    key = (id(precond) if precond is not None else None, tol, maxiter)
+    cached = per_op.get(key)
+    if cached is not None:
+        return cached(b, x0)
 
     @jax.jit
     def run(b, x0):
@@ -94,6 +111,7 @@ def cg_jit(matvec, b, x0=None, tol=1e-8, maxiter=1000, precond=None):
         x, r, _, _, _, it = lax.while_loop(cond, body, state)
         return x, it
 
+    per_op[key] = run
     return run(b, x0)
 
 

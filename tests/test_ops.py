@@ -1,0 +1,78 @@
+import numpy as np
+import jax.numpy as jnp
+
+from pyiga_tpu import geometry, solvers
+from pyiga_tpu.assemblers import MassAssembler, StiffnessAssembler
+from pyiga_tpu.bspline import make_knots
+from pyiga_tpu.mlmatrix import MLStructure
+from pyiga_tpu.ops.banded import BandedOperator, band_info
+from pyiga_tpu.ops.matfree import MatrixFreeOperator
+
+
+def _setup(p=3, n=5, d=3):
+    kvs = d * (make_knots(p, 0.0, 1.0, n),)
+    geo = geometry.twisted_box() if d == 3 else geometry.quarter_annulus()
+    return kvs, geo
+
+
+def test_banded_matvec():
+    kvs, geo = _setup(p=2, n=6)
+    asm = StiffnessAssembler(kvs, geo)
+    K = asm.assemble()
+    assert band_info(K.structure) == [2, 2, 2]
+    x = np.random.rand(K.shape[1])
+    y_ref = K.asmatrix() @ x
+
+    # conversion path
+    op = BandedOperator.from_mlmatrix(K)
+    assert np.allclose(np.asarray(op.matvec(jnp.asarray(x))), y_ref)
+
+    # direct banded assembly path
+    op2 = asm.assemble_banded()
+    assert np.allclose(np.asarray(op2.matvec(jnp.asarray(x))), y_ref)
+
+
+def test_banded_rejects_irregular():
+    kvm = make_knots(2, 0.0, 1.0, 4, mult=2)
+    S = MLStructure.from_kvs((kvm,), (kvm,))
+    assert band_info(S) is None
+
+
+def test_matfree_operator():
+    kvs, geo = _setup(p=3, n=5)
+    asm = StiffnessAssembler(kvs, geo)
+    K = asm.assemble().asmatrix()
+    op = MatrixFreeOperator(asm)
+    x = np.random.rand(K.shape[1])
+    y = np.asarray(op(jnp.asarray(x)))
+    assert np.allclose(y, K @ x)
+
+    # restricted operator
+    free = np.arange(40, 300)
+    opf = MatrixFreeOperator(asm, free_dofs=free)
+    yf = np.asarray(opf(jnp.asarray(x[free])))
+    assert np.allclose(yf, (K[free][:, free]) @ x[free])
+
+
+def test_matfree_from_vform_assembler():
+    from pyiga_tpu.compile import compile_vform
+    from pyiga_tpu.vform import stiffness_vf
+    kvs, geo = _setup(p=2, n=6, d=2)
+    asm = compile_vform(stiffness_vf(2))(kvs, geo=geo)
+    K = asm.assemble().asmatrix()
+    op = MatrixFreeOperator(asm)
+    x = np.random.rand(K.shape[1])
+    assert np.allclose(np.asarray(op(jnp.asarray(x))), K @ x)
+
+
+def test_matfree_cg_solve():
+    kvs, geo = _setup(p=2, n=6)
+    K = MatrixFreeOperator(StiffnessAssembler(kvs, geo))
+    M = MatrixFreeOperator(MassAssembler(kvs, geo))
+    mv = lambda v: K(v) + M(v)
+    b = np.random.rand(K.shape[1])
+    u, it = solvers.cg_jit(mv, jnp.asarray(b), tol=1e-10, maxiter=2000)
+    A = (StiffnessAssembler(kvs, geo).assemble().asmatrix()
+         + MassAssembler(kvs, geo).assemble().asmatrix())
+    r = np.linalg.norm(A @ np.asarray(u) - b) / np.linalg.norm(b)
+    assert r < 1e-8 and int(it) < 2000
