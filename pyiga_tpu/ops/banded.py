@@ -115,6 +115,11 @@ class BandedOperator:
         self.bws = tuple(bws)
         self.ns = tuple(ns)
         self.shape = (int(np.prod(ns)), int(np.prod(ns)))
+        # operand protocol (see solvers.cg_jit): D threaded as a jit argument
+        self.operands = {'D': D}
+        bws_t, ns_t = self.bws, self.ns
+        self.apply_with_operands = (
+            lambda operands, x: banded_matvec(operands['D'], x, bws_t, ns_t))
 
     @staticmethod
     def from_mlmatrix(mlm, data=None):

@@ -20,7 +20,7 @@ import scipy.linalg
 from .. import config
 
 
-def fastdiag_precond(kvs, free_dofs=None, dirichlet=False):
+def fastdiag_precond(kvs, free_dofs=None, dirichlet=False, dtype=None):
     """Build a traced preconditioner function for the Laplace + (optional)
     identity operator over the TP space `kvs`.
 
@@ -38,7 +38,7 @@ def fastdiag_precond(kvs, free_dofs=None, dirichlet=False):
     """
     from ..assemble import bsp_mass_1d, bsp_stiffness_1d
 
-    dtype = config.get_dtype()
+    dtype = dtype if dtype is not None else config.get_dtype()
     Us, UTs, lams, ns = [], [], [], []
     for kv in kvs:
         K = bsp_stiffness_1d(kv).toarray()
@@ -64,28 +64,43 @@ def fastdiag_precond(kvs, free_dofs=None, dirichlet=False):
     ns = tuple(ns)
     n_total = int(np.prod(ns))
 
-    def apply_tp(tabs, X):
-        for k in range(d):
-            X = jnp.moveaxis(jnp.tensordot(tabs[k], X, axes=(1, k)), 0, k)
-        return X
+    free = (jnp.asarray(np.asarray(free_dofs, dtype=np.int64))
+            if free_dofs is not None else None)
+    return _FastDiagPrecond(Us, UTs, inv_diag, ns, n_total, free)
 
-    def precond_full(r):
-        X = r.reshape(ns)
-        X = apply_tp(UTs, X)
-        X = X * inv_diag
-        X = apply_tp(Us, X)
-        return X.reshape(-1)
 
-    if free_dofs is None:
-        return precond_full
+class _FastDiagPrecond:
+    """Callable preconditioner following the operand protocol (large arrays
+    threaded through jit as arguments, see solvers.cg_jit)."""
 
-    free = jnp.asarray(np.asarray(free_dofs, dtype=np.int64))
+    def __init__(self, Us, UTs, inv_diag, ns, n_total, free):
+        self.operands = {'Us': Us, 'UTs': UTs, 'inv_diag': inv_diag,
+                         'free': free}
+        d = len(ns)
 
-    def precond_free(rf):
-        r = jnp.zeros(n_total, dtype=rf.dtype).at[free].set(rf)
-        return precond_full(r)[free]
+        def apply_with_operands(operands, r):
+            free = operands['free']
+            if free is not None:
+                rf = r
+                r = jnp.zeros(n_total, dtype=rf.dtype).at[free].set(rf)
+            X = r.reshape(ns)
+            for k in range(d):
+                X = jnp.moveaxis(
+                    jnp.tensordot(operands['UTs'][k], X, axes=(1, k)), 0, k)
+            X = X * operands['inv_diag']
+            for k in range(d):
+                X = jnp.moveaxis(
+                    jnp.tensordot(operands['Us'][k], X, axes=(1, k)), 0, k)
+            out = X.reshape(-1)
+            if free is not None:
+                out = out[free]
+            return out
 
-    return precond_free
+        self.apply_with_operands = apply_with_operands
+        self._jit_apply = jax.jit(apply_with_operands)
+
+    def __call__(self, r):
+        return self._jit_apply(self.operands, r)
 
 
 def interior_dofs(kvs):

@@ -82,8 +82,8 @@ class MatrixFreeOperator:
     Supports Dirichlet restriction: pass `free_dofs` (raveled indices) to get
     the operator on the free dofs (zero-extension / restriction built in)."""
 
-    def __init__(self, asm, free_dofs=None):
-        dtype = config.get_dtype()
+    def __init__(self, asm, free_dofs=None, dtype=None):
+        dtype = dtype if dtype is not None else config.get_dtype()
         d = asm.dim
         if hasattr(asm, 'terms'):       # predefined Gauss assembler
             terms = asm.terms
@@ -123,29 +123,40 @@ class MatrixFreeOperator:
 
         self._free = (jnp.asarray(np.asarray(free_dofs, dtype=np.int64))
                       if free_dofs is not None else None)
+        if free_dofs is not None:
+            self.shape = (len(free_dofs), len(free_dofs))
 
-        trial_tabs, test_tabs = self._trial_tabs, self._test_tabs
-        fields = self._fields
+        # IMPORTANT: the large arrays are *operands*, threaded through jit as
+        # arguments — never closed over (closure constants get baked into the
+        # serialized HLO, which breaks remote compilation for 100MB+ fields).
+        self.operands = {
+            'trial_tabs': self._trial_tabs,
+            'test_tabs': self._test_tabs,
+            'fields': self._fields,
+            'free': self._free,
+        }
         tot, sot, fot = (tuple(self._trial_of_term),
                          tuple(self._test_of_term),
                          tuple(self._field_of_term))
         ns_in, ns_out = self.ns_in, self.ns_out
-        free = self._free
 
-        @jax.jit
-        def apply_full(x):
-            return matfree_apply(trial_tabs, test_tabs, fields, tot, sot,
-                                 fot, ns_in, ns_out, x)
-
-        if free is None:
-            self.matvec = apply_full
-        else:
-            @jax.jit
-            def apply_free(xf):
+        def apply_with_operands(operands, x):
+            free = operands['free']
+            if free is not None:
+                xf = x
                 x = jnp.zeros(n_in, dtype=xf.dtype).at[free].set(xf)
-                return apply_full(x)[free]
-            self.matvec = apply_free
-            self.shape = (len(free_dofs), len(free_dofs))
+            y = matfree_apply(operands['trial_tabs'], operands['test_tabs'],
+                              operands['fields'], tot, sot, fot,
+                              ns_in, ns_out, x)
+            if free is not None:
+                y = y[free]
+            return y
+
+        self.apply_with_operands = apply_with_operands
+        self._jit_apply = jax.jit(apply_with_operands)
+
+    def matvec(self, x):
+        return self._jit_apply(self.operands, x)
 
     def __call__(self, x):
         return self.matvec(x)

@@ -59,13 +59,28 @@ import weakref
 _CG_CACHE = weakref.WeakKeyDictionary()
 
 
+def _as_operand_fn(op):
+    """Normalize an operator into ``(operands_pytree, fn(operands, x))``.
+
+    Operators may expose the *operand protocol* (attributes `operands` and
+    `apply_with_operands`); this keeps their large device arrays as jit
+    ARGUMENTS instead of closure constants (closure constants get baked into
+    the serialized HLO, which breaks remote compilation at scale)."""
+    fn = getattr(op, 'apply_with_operands', None)
+    if fn is not None:
+        return op.operands, fn
+    return None, (lambda operands, v: op(v))
+
+
 def cg_jit(matvec, b, x0=None, tol=1e-8, maxiter=1000, precond=None):
     """Conjugate gradients on device: `matvec` (and optional `precond`) are
-    traced functions on raveled vectors; the loop runs as a
-    ``lax.while_loop`` entirely on device (one dispatch per solve).
+    callables on raveled vectors — either plain traced closures or operators
+    following the operand protocol (e.g.
+    :class:`~pyiga_tpu.ops.matfree.MatrixFreeOperator`).  The whole solve is
+    one ``lax.while_loop`` dispatch.
 
     The compiled solver is cached per (matvec, precond, tol, maxiter) so
-    repeated solves with the same operator do not re-trace.
+    repeated solves with the same operator object do not re-trace.
 
     Returns ``(x, iterations)``; stops when ``||r|| <= tol * ||r0||``."""
     import jax
@@ -75,44 +90,92 @@ def cg_jit(matvec, b, x0=None, tol=1e-8, maxiter=1000, precond=None):
     b = jnp.asarray(b)
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    M = precond if precond is not None else (lambda r: r)
+
+    mv_ops, mv_fn = _as_operand_fn(matvec)
+    if precond is None:
+        pc_ops, pc_fn = None, (lambda operands, r: r)
+    else:
+        pc_ops, pc_fn = _as_operand_fn(precond)
 
     try:
         per_op = _CG_CACHE.setdefault(matvec, {})
     except TypeError:           # unhashable/non-weakref-able callable
         per_op = {}
     key = (id(precond) if precond is not None else None, tol, maxiter)
-    cached = per_op.get(key)
-    if cached is not None:
-        return cached(b, x0)
+    run = per_op.get(key)
 
-    @jax.jit
-    def run(b, x0):
-        r0 = b - matvec(x0)
-        norm0 = jnp.linalg.norm(r0)
+    if run is None:
+        @jax.jit
+        def run(b, x0, mv_ops, pc_ops):
+            r0 = b - mv_fn(mv_ops, x0)
+            norm0 = jnp.linalg.norm(r0)
 
-        def body(state):
-            x, r, z, p, rz, it = state
-            Ap = matvec(p)
-            alpha = rz / jnp.vdot(p, Ap)
-            x = x + alpha * p
-            r = r - alpha * Ap
-            z = M(r)
-            rz_new = jnp.vdot(r, z)
-            p = z + (rz_new / rz) * p
-            return (x, r, z, p, rz_new, it + 1)
+            def body(state):
+                x, r, z, p, rz, it = state
+                Ap = mv_fn(mv_ops, p)
+                alpha = rz / jnp.vdot(p, Ap)
+                x = x + alpha * p
+                r = r - alpha * Ap
+                z = pc_fn(pc_ops, r)
+                rz_new = jnp.vdot(r, z)
+                p = z + (rz_new / rz) * p
+                return (x, r, z, p, rz_new, it + 1)
 
-        def cond(state):
-            _, r, _, _, _, it = state
-            return (jnp.linalg.norm(r) > tol * norm0) & (it < maxiter)
+            def cond(state):
+                _, r, _, _, _, it = state
+                return (jnp.linalg.norm(r) > tol * norm0) & (it < maxiter)
 
-        z0 = M(r0)
-        state = (x0, r0, z0, z0, jnp.vdot(r0, z0), jnp.array(0))
-        x, r, _, _, _, it = lax.while_loop(cond, body, state)
-        return x, it
+            z0 = pc_fn(pc_ops, r0)
+            state = (x0, r0, z0, z0, jnp.vdot(r0, z0), jnp.array(0))
+            x, r, _, _, _, it = lax.while_loop(cond, body, state)
+            return x, it
 
-    per_op[key] = run
-    return run(b, x0)
+        per_op[key] = run
+    return run(b, x0, mv_ops, pc_ops)
+
+
+def cg_ir(op_hi, op_lo, b, tol=1e-8, maxiter_inner=200, max_outer=10,
+          precond_lo=None, inner_tol=1e-4):
+    """Mixed-precision CG with iterative refinement.
+
+    On TPU, float64 is software-emulated (roughly an order of magnitude
+    slower and memory-hungry); this solver runs the Krylov iterations in
+    float32 and recovers float64 accuracy through classical iterative
+    refinement: the outer loop computes true float64 residuals with `op_hi`
+    and accumulates corrections from float32 inner CG solves with `op_lo`.
+
+    Args:
+        op_hi: float64 operator (operand protocol or callable).
+        op_lo: float32 operator for the inner solves.
+        b: float64 right-hand side.
+        tol: relative residual target in float64.
+        precond_lo: optional float32 preconditioner for the inner CG.
+        inner_tol: residual reduction per inner solve.
+
+    Returns ``(x, info)`` where info = dict(outer, inner_iters, residual).
+    """
+    import jax.numpy as jnp
+
+    b = jnp.asarray(b, dtype=jnp.float64)
+    x = jnp.zeros_like(b)
+    norm_b = float(jnp.linalg.norm(b))
+    _, hi_fn = _as_operand_fn(op_hi)
+    hi_ops = getattr(op_hi, 'operands', None)
+
+    inner_iters = []
+    res = norm_b
+    for outer in range(max_outer + 1):
+        r = b - hi_fn(hi_ops, x) if outer > 0 else b
+        res = float(jnp.linalg.norm(r))
+        if res <= tol * norm_b or outer == max_outer:
+            break
+        d, it = cg_jit(op_lo, jnp.asarray(r, dtype=jnp.float32),
+                       tol=inner_tol, maxiter=maxiter_inner,
+                       precond=precond_lo)
+        inner_iters.append(int(it))
+        x = x + jnp.asarray(d, dtype=jnp.float64)
+    return x, {'outer': len(inner_iters), 'inner_iters': inner_iters,
+               'residual': res / norm_b}
 
 
 ################################################################################
