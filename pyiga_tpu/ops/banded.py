@@ -106,6 +106,143 @@ def banded_matvec(D, x, bws, ns):
     return y.reshape(-1)
 
 
+################################################################################
+# Pallas kernel (TPU): stream D once, keep x and y resident in VMEM
+################################################################################
+
+def _ceil(x, m):
+    return -(-x // m) * m
+
+
+def banded_matvec_pallas(D_pad, xp, mus, ns, ns_pad, interpret=False):
+    """Pallas banded matvec (3D).
+
+    Args:
+        D_pad: banded data, shape ``(B, n1, n2p, n3p)`` — band-offset
+            combinations flattened into the leading (grid) axis, dof axes
+            zero-padded to TPU tile multiples.
+        xp: band-halo + tile padded input, shape
+            ``(n1 + 2b1, n2p + 2b2, n3p + 2b3)`` (zeros outside the domain).
+        mus: ``(B, 3)`` int32 table of band offsets (scalar-prefetched).
+        ns / ns_pad: logical and padded dof shapes.
+
+    One grid step per band-offset combination: the D block streams through
+    VMEM (DMA-pipelined by Pallas), the shifted window of the VMEM-resident
+    `xp` is multiplied in, and the output block (same block every step)
+    accumulates in VMEM — the data tensor is read exactly once."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = D_pad.shape[0]
+    n1p, n2p, n3p = ns_pad
+
+    xshape = xp.shape
+
+    def kernel(mus_ref, D_ref, xp_ref, y_ref):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _():
+            y_ref[...] = jnp.zeros_like(y_ref)
+
+        # Mosaic vector loads must be tile-aligned in the (sublane, lane)
+        # dims: slice dynamically along the untiled axis 0, then extract the
+        # shifted window in dims 1/2 by dynamic in-register rotations and a
+        # static aligned prefix.
+        xw = xp_ref[pl.ds(mus_ref[step, 0], n1p), :, :]
+        for axis in (1, 2):
+            m = mus_ref[step, axis]
+            sz = xshape[axis]
+            shift = jax.lax.rem(jnp.int32(sz) - m, jnp.int32(sz))
+            xw = pltpu.roll(xw, shift, axis)
+        y_ref[...] += D_ref[0] * xw[:, :n2p, :n3p]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, n1p, n2p, n3p), lambda s, mus: (s, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(xp.shape, lambda s, mus: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n1p, n2p, n3p), lambda s, mus: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    y = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n1p, n2p, n3p), D_pad.dtype),
+        interpret=interpret,
+    )(mus, D_pad, xp)
+    return y[:ns[0], :ns[1], :ns[2]]
+
+
+class PallasBandedOperator:
+    """3D banded operator backed by the Pallas kernel.
+
+    Requires the padded input (``(n1+2b1) * pad8(n2p+2b2) * pad128(n3p+2b3)``
+    elements) to fit in VMEM; use :class:`BandedOperator` otherwise.
+
+    .. note::
+        The kernel extracts shifted input windows with dynamic in-register
+        rotations; the current Mosaic toolchain on this target rejects
+        dynamic sublane rotations ("unsupported unaligned shape"), so the
+        compiled TPU path is unavailable there and the kernel runs in
+        interpreter mode / serves as the reference implementation.  The
+        production solver path is :class:`~pyiga_tpu.ops.matfree.
+        MatrixFreeOperator` (pure MXU matmuls, faster than any assembled
+        matvec measured on hardware); :class:`BandedOperator` is the XLA
+        assembled-operator path."""
+
+    def __init__(self, D, bws, ns, interpret=None):
+        from .. import config
+        assert len(ns) == 3, 'Pallas banded matvec implemented for 3D'
+        self.bws = tuple(bws)
+        self.ns = tuple(ns)
+        bsz = tuple(2 * b + 1 for b in bws)
+        self.shape = (int(np.prod(ns)), int(np.prod(ns)))
+        if interpret is None:
+            interpret = config.pallas_interpret_mode()
+        self.interpret = interpret
+
+        # pad dof axes to tile multiples (sublane 8, lane 128)
+        n1, n2, n3 = ns
+        self.ns_pad = (n1, _ceil(n2, 8), _ceil(n3, 128))
+        Bflat = int(np.prod(bsz))
+        D = D.reshape((Bflat,) + tuple(ns))
+        pad = [(0, 0)] + [(0, p - n) for p, n in zip(self.ns_pad, ns)]
+        self.D_pad = jnp.pad(jnp.asarray(D), pad)
+        self.mus = jnp.asarray(
+            np.stack(np.unravel_index(np.arange(Bflat), bsz), axis=1)
+            .astype(np.int32))
+
+        self._xpad_shape = tuple(p + 2 * b
+                                 for p, b in zip(self.ns_pad, self.bws))
+
+        ns_t, ns_pad_t, bws_t = self.ns, self.ns_pad, self.bws
+        xshape = self._xpad_shape
+        intp = self.interpret
+
+        def apply_with_operands(operands, x):
+            X = x.reshape(ns_t)
+            xp = jnp.zeros(xshape, dtype=x.dtype)
+            xp = jax.lax.dynamic_update_slice(xp, X, bws_t)
+            y = banded_matvec_pallas(operands['D_pad'], xp, operands['mus'],
+                                     ns_t, ns_pad_t, interpret=intp)
+            return y.reshape(-1)
+
+        self.operands = {'D_pad': self.D_pad, 'mus': self.mus}
+        self.apply_with_operands = apply_with_operands
+        self._jit_apply = jax.jit(apply_with_operands)
+
+    def matvec(self, x):
+        return self._jit_apply(self.operands, x)
+
+    def __call__(self, x):
+        return self.matvec(x)
+
+
 class BandedOperator:
     """Device-resident banded operator with a fast matvec; built from an
     :class:`~pyiga_tpu.mlmatrix.MLMatrix` (or directly from banded data)."""

@@ -76,3 +76,15 @@ def test_matfree_cg_solve():
          + MassAssembler(kvs, geo).assemble().asmatrix())
     r = np.linalg.norm(A @ np.asarray(u) - b) / np.linalg.norm(b)
     assert r < 1e-8 and int(it) < 2000
+
+
+def test_pallas_banded_matvec_interpret():
+    from pyiga_tpu.ops.banded import PallasBandedOperator
+    kvs, geo = _setup(p=2, n=5)
+    asm = StiffnessAssembler(kvs, geo)
+    K = asm.assemble()
+    op0 = asm.assemble_banded()
+    pop = PallasBandedOperator(op0.D, op0.bws, op0.ns, interpret=True)
+    x = np.random.rand(K.shape[1])
+    y = np.asarray(pop.matvec(jnp.asarray(x)))
+    assert np.allclose(y, K.asmatrix() @ x)
