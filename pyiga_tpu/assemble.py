@@ -20,7 +20,6 @@ import scipy.sparse
 from . import assemblers, bspline, operators, tensor, utils
 from .bspline import KnotVector
 from .mlmatrix import MLStructure
-from .ops import geom
 from .quadrature import make_iterated_quadrature, make_tensor_quadrature
 
 
@@ -481,7 +480,7 @@ def instantiate_assembler(problem, kvs, args, bfuns, boundary=None,
     """Normalize `problem` (string / VForm / assembler class / instance) into
     an instantiated assembler object (reference: assemble.py:914)."""
     from . import vform as vform_mod
-    from .compile import compile_vform, VFormAssembler
+    from .compile import compile_vform
 
     if isinstance(problem, str):
         problem = vform_mod.parse_vf(problem, kvs, args=args, bfuns=bfuns,

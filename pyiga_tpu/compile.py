@@ -29,7 +29,6 @@ from . import utils
 from .bspline import KnotVector
 from .mlmatrix import MLStructure
 from .ops import geom, sumfac
-from . import vform as vf_mod
 
 
 ################################################################################

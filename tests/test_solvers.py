@@ -126,3 +126,26 @@ def test_cg_jit_mlmatvec():
     A_full = (K.asmatrix() + M.asmatrix())
     assert np.linalg.norm(A_full.dot(np.asarray(u)) - b) < 1e-8 * np.linalg.norm(b)
     assert it < 2000
+
+
+def test_cg_ir():
+    import jax.numpy as jnp
+    from pyiga_tpu import geometry
+    from pyiga_tpu.assemblers import StiffnessAssembler
+    from pyiga_tpu.ops.fastdiag import fastdiag_precond, interior_dofs
+    from pyiga_tpu.ops.matfree import MatrixFreeOperator
+    from pyiga_tpu.solvers import cg_ir
+
+    kvs = 3 * (bspline.make_knots(2, 0.0, 1.0, 6),)
+    geo = geometry.twisted_box()
+    asm = StiffnessAssembler(kvs, geo)
+    free = interior_dofs(kvs)
+    op64 = MatrixFreeOperator(asm, free_dofs=free, dtype=np.float64)
+    op32 = MatrixFreeOperator(asm, free_dofs=free, dtype=np.float32)
+    P32 = fastdiag_precond(kvs, dirichlet=True, dtype=np.float32)
+    b = np.random.rand(len(free))
+    x, info = cg_ir(op64, op32, jnp.asarray(b), tol=1e-10, precond_lo=P32)
+    assert info['residual'] < 1e-10
+    K = asm.assemble().asmatrix()[free][:, free]
+    r = np.linalg.norm(K @ np.asarray(x) - b) / np.linalg.norm(b)
+    assert r < 1e-9
