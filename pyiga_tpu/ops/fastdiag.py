@@ -20,7 +20,8 @@ import scipy.linalg
 from .. import config
 
 
-def fastdiag_precond(kvs, free_dofs=None, dirichlet=False, dtype=None):
+def fastdiag_precond(kvs, free_dofs=None, dirichlet=False, dtype=None,
+                     mass_shift=0.0):
     """Build a traced preconditioner function for the Laplace + (optional)
     identity operator over the TP space `kvs`.
 
@@ -32,6 +33,10 @@ def fastdiag_precond(kvs, free_dofs=None, dirichlet=False, dtype=None):
             drops the first/last basis function per axis exactly.
         dirichlet: eliminate the boundary dofs per axis before
             diagonalization (matches a 'all'-Dirichlet restricted system).
+        mass_shift: added to the eigenvalue sum; use a positive value (e.g.
+            1.0 for a Laplace + identity operator) on spaces without
+            Dirichlet conditions, where the pure Neumann Laplacian is
+            singular (zero eigenvalue).
 
     Returns a function ``precond(r) -> z`` suitable for
     :func:`pyiga_tpu.solvers.cg_jit`.
@@ -55,11 +60,18 @@ def fastdiag_precond(kvs, free_dofs=None, dirichlet=False, dtype=None):
         ns.append(U.shape[0])
 
     d = len(kvs)
-    diag = np.zeros(tuple(ns))
+    diag = np.full(tuple(ns), float(mass_shift))
     for k in range(d):
         shape = [1] * d
         shape[k] = -1
         diag = diag + lams[k].reshape(shape)
+    if np.min(np.abs(diag)) < 1e-12 * np.max(np.abs(diag)):
+        import warnings
+        warnings.warn(
+            'fastdiag preconditioner is nearly singular: the pure-Neumann '
+            'Laplacian has a zero eigenvalue on an unrestricted space. Pass '
+            'dirichlet=True / free_dofs for a Dirichlet problem, or '
+            'mass_shift>0 for a Laplace-plus-identity operator.')
     inv_diag = jnp.asarray(1.0 / diag, dtype=dtype)
     ns = tuple(ns)
     n_total = int(np.prod(ns))

@@ -43,6 +43,8 @@ def make_mesh(n_devices=None, shape=None, axis_names=('space', 'rhs'),
                 pass
     if n_devices is not None:
         devices = devices[:n_devices]
+    if shape is not None:
+        devices = devices[:int(np.prod(shape))]
     n = len(devices)
     if shape is None:
         shape = (n, 1) if len(axis_names) == 2 else (n,)

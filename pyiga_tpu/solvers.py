@@ -178,6 +178,126 @@ def cg_ir(op_hi, op_lo, b, tol=1e-8, maxiter_inner=200, max_outer=10,
                'residual': res / norm_b}
 
 
+_GMRES_CACHE = weakref.WeakKeyDictionary()
+
+
+def gmres_jit(matvec, b, x0=None, tol=1e-8, restart=30, max_restarts=100,
+              precond=None):
+    """Right-preconditioned restarted GMRES(m) on device.
+
+    `matvec`/`precond` follow the same conventions as :func:`cg_jit` (plain
+    callables or operand-protocol operators).  Each restart cycle runs as one
+    jitted computation (Arnoldi with masked modified Gram-Schmidt and Givens
+    rotations); the outer restart loop runs on host on the true residual.
+
+    Returns ``(x, iterations)`` (total inner iterations; `inf` if the target
+    tolerance was not reached)."""
+    import jax
+    import jax.numpy as jnp
+
+    b = jnp.asarray(b)
+    n = b.shape[0]
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+
+    mv_ops, mv_fn = _as_operand_fn(matvec)
+    if precond is None:
+        pc_ops, pc_fn = None, (lambda operands, r: r)
+    else:
+        pc_ops, pc_fn = _as_operand_fn(precond)
+
+    try:
+        per_op = _GMRES_CACHE.setdefault(matvec, {})
+    except TypeError:
+        per_op = {}
+    key = (id(precond) if precond is not None else None, tol, restart,
+           n, b.dtype.name)
+    cycle = per_op.get(key)
+
+    if cycle is None:
+        m = restart
+        eps_break = 1e-30
+
+        @jax.jit
+        def cycle(x0, b, mv_ops, pc_ops, abs_tol):
+            r0 = b - mv_fn(mv_ops, x0)
+            beta = jnp.linalg.norm(r0)
+            V = jnp.zeros((m + 1, n), dtype=b.dtype)
+            V = V.at[0].set(r0 / jnp.maximum(beta, eps_break))
+            H = jnp.zeros((m + 1, m), dtype=b.dtype)
+            cs = jnp.ones(m, dtype=b.dtype)
+            sn = jnp.zeros(m, dtype=b.dtype)
+            g = jnp.zeros(m + 1, dtype=b.dtype).at[0].set(beta)
+
+            def body(j, state):
+                V, H, cs, sn, g, done, j_eff = state
+                w = mv_fn(mv_ops, pc_fn(pc_ops, V[j]))
+                # masked modified Gram-Schmidt (contract against all rows,
+                # zero out the not-yet-computed ones)
+                mask = (jnp.arange(m + 1) <= j)
+                h = (V @ w) * mask
+                w = w - V.T @ h
+                wnorm = jnp.linalg.norm(w)
+                h = h.at[j + 1].set(wnorm)
+                V_new = V.at[j + 1].set(w / jnp.maximum(wnorm, eps_break))
+
+                # apply the previous Givens rotations to the new column
+                def rot(i, hcol):
+                    hi = cs[i] * hcol[i] + sn[i] * hcol[i + 1]
+                    hi1 = -sn[i] * hcol[i] + cs[i] * hcol[i + 1]
+                    sel = i < j
+                    hcol = hcol.at[i].set(jnp.where(sel, hi, hcol[i]))
+                    return hcol.at[i + 1].set(jnp.where(sel, hi1,
+                                                        hcol[i + 1]))
+                h = jax.lax.fori_loop(0, m, rot, h)
+
+                # new rotation annihilating h[j+1]
+                denom = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
+                c_new = h[j] / jnp.maximum(denom, eps_break)
+                s_new = h[j + 1] / jnp.maximum(denom, eps_break)
+                h = h.at[j].set(denom).at[j + 1].set(0.0)
+                g_j1 = -s_new * g[j]
+                g_new = g.at[j + 1].set(g_j1).at[j].set(c_new * g[j])
+
+                new_done = jnp.abs(g_j1) <= abs_tol
+                upd = jnp.logical_not(done)
+                return (jnp.where(upd, V_new, V),
+                        jnp.where(upd, H.at[:, j].set(h), H),
+                        jnp.where(upd, cs.at[j].set(c_new), cs),
+                        jnp.where(upd, sn.at[j].set(s_new), sn),
+                        jnp.where(upd, g_new, g),
+                        jnp.logical_or(done, new_done),
+                        jnp.where(upd, j + 1, j_eff))
+
+            state = (V, H, cs, sn, g, beta <= abs_tol, jnp.array(0))
+            V, H, cs, sn, g, done, j_eff = jax.lax.fori_loop(0, m, body,
+                                                             state)
+
+            # solve the (masked) triangular system H[:j_eff,:j_eff] y = g
+            idx = jnp.arange(m)
+            Hm = H[:m, :m]
+            diag_fix = jnp.where(idx < j_eff, jnp.diagonal(Hm), 1.0)
+            Hm = Hm.at[idx, idx].set(diag_fix)
+            g_m = jnp.where(idx < j_eff, g[:m], 0.0)
+            y = jax.scipy.linalg.solve_triangular(Hm, g_m, lower=False)
+            x = x0 + pc_fn(pc_ops, V[:m].T @ y)
+            res = jnp.abs(g[j_eff])
+            return x, res, j_eff
+
+        per_op[key] = cycle
+
+    norm_b = float(jnp.linalg.norm(b))
+    abs_tol = jnp.asarray(tol * norm_b, dtype=b.dtype)
+    x = x0
+    total = 0
+    for _ in range(max_restarts):
+        x, res, j_eff = cycle(x, b, mv_ops, pc_ops, abs_tol)
+        total += int(j_eff)
+        if float(res) <= tol * norm_b:
+            return x, total
+    return x, np.inf
+
+
 ################################################################################
 # Smoothers
 ################################################################################

@@ -149,3 +149,34 @@ def test_cg_ir():
     K = asm.assemble().asmatrix()[free][:, free]
     r = np.linalg.norm(K @ np.asarray(x) - b) / np.linalg.norm(b)
     assert r < 1e-9
+
+
+def test_gmres():
+    # nonsymmetric convection-diffusion system: CG is inapplicable, GMRES
+    # (reference solvers rely on scipy for this; here it runs on device).
+    import jax.numpy as jnp
+    from pyiga_tpu import assemble, geometry
+    from pyiga_tpu.ops.fastdiag import fastdiag_precond
+    from pyiga_tpu.solvers import gmres_jit
+
+    kvs = 2 * (bspline.make_knots(2, 0.0, 1.0, 10),)
+    geo = geometry.bspline_quarter_annulus()
+    A = assemble.assemble(
+        '(inner(grad(u), grad(v)) + dot(b, grad(u)) * v + u * v) * dx',
+        kvs, geo=geo, b=np.array([3.0, -2.0]))
+    rhs = np.random.RandomState(1).rand(A.shape[0])
+    Adj = jnp.asarray(A.toarray())
+    matvec = lambda v: Adj @ v
+
+    x, it = gmres_jit(matvec, jnp.asarray(rhs), tol=1e-10, restart=30)
+    r = np.linalg.norm(A @ np.asarray(x) - rhs) / np.linalg.norm(rhs)
+    assert r < 1e-9
+
+    # fastdiag-preconditioned: the full (unrestricted) space needs a mass
+    # shift since the pure-Neumann Laplacian eigenvalue sum hits zero
+    P = fastdiag_precond(kvs, mass_shift=1.0)
+    xp, itp = gmres_jit(matvec, jnp.asarray(rhs), tol=1e-10, restart=30,
+                        precond=P)
+    rp = np.linalg.norm(A @ np.asarray(xp) - rhs) / np.linalg.norm(rhs)
+    assert rp < 1e-9
+    assert itp < it    # preconditioning must pay off
