@@ -20,7 +20,7 @@ entrywise (float64 path: <= ~1e-14 relative).
 
 import numpy as np
 
-from .mlmatrix import MLStructure
+from .mlmatrix import MLStructure, transpose_idx_for_bidx
 from .ops import geom, sumfac
 from .bspline import KnotVector
 
@@ -114,11 +114,25 @@ class BaseGaussAssembler:
 
     # subclasses define: terms (list of (du, dv)), field_fn (module function)
 
+    # subclasses with a symmetric coefficient field (C[du,dv] == C[dv,du])
+    # set this to enable symmetric-term folding in assemble()
+    symmetric_fields = False
+
+    def _fold(self):
+        if not (self.symmetric_fields and self.kvs0 == self.kvs1):
+            return None, None
+        plan = sumfac.symmetric_fold_plan(self.terms)
+        if plan is None or all(not m for _, m in plan):
+            return None, None
+        tperms = [transpose_idx_for_bidx(bx) for bx in self.structure.bidx]
+        return plan, tperms
+
     def assemble(self):
         """Assemble the compact data tensor and return it as an MLMatrix."""
         term_tables = self.tables.term_tables(self.terms)
+        fold_plan, tperms = self._fold()
         data = sumfac.run_matrix_assembly(self.field_fn, self._geo_inputs,
-                                          term_tables)
+                                          term_tables, fold_plan, tperms)
         return self.structure.make_mlmatrix(data=np.asarray(data, dtype=np.float64))
 
     def assemble_banded(self):
@@ -153,6 +167,7 @@ class StiffnessAssembler(BaseGaussAssembler):
     ``A[i,j] = int (J^-1 J^-T grad B_j) . grad B_i |det J| dx``."""
 
     field_fn = staticmethod(stiffness_fields)
+    symmetric_fields = True      # B = W J^-1 J^-T is symmetric
 
     def __init__(self, kvs, geo, nqp=None):
         super().__init__(kvs, geo, nqp)

@@ -75,6 +75,35 @@ def banded_from_compact(data, structure, bws):
     return np.ascontiguousarray(np.transpose(D, perm))
 
 
+def banded_gather_maps(structure, bws):
+    """Per-level lookup tables mapping banded flat row ``mu*n + i`` to the
+    compact data index (or -1 on the clipped-band padding).  Host setup for
+    :func:`banded_from_compact_device`."""
+    maps = []
+    for (m, n), bidx, bw in zip(structure.bs, structure.bidx, bws):
+        lookup = -np.ones((2 * bw + 1) * n, dtype=np.int64)
+        i = bidx[:, 0].astype(np.int64)
+        mu = bidx[:, 1].astype(np.int64) - i + bw
+        lookup[mu * n + i] = np.arange(len(bidx))
+        maps.append(lookup)
+    return maps
+
+
+def banded_from_compact_device(data, maps, bsz, ns):
+    """Traced compact -> banded ``(b..., n...)`` conversion: one separable
+    gather per level (take along axis), zeroing the padding — the data never
+    leaves HBM (unlike the host-side :func:`banded_from_compact`)."""
+    from .sumfac import banded_reorder
+    X = data
+    for k, lk in enumerate(maps):
+        lk = jnp.asarray(lk)
+        mask_shape = [1] * data.ndim
+        mask_shape[k] = -1
+        X = (jnp.take(X, jnp.maximum(lk, 0), axis=k)
+             * (lk >= 0).reshape(mask_shape).astype(data.dtype))
+    return banded_reorder(X, bsz, ns)
+
+
 @partial(jax.jit, static_argnames=('bws', 'ns'))
 def banded_matvec(D, x, bws, ns):
     """Banded matvec: `D` in ``(b_1..b_d, n_1..n_d)`` layout, `x` raveled.

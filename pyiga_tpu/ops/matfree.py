@@ -160,3 +160,30 @@ class MatrixFreeOperator:
 
     def __call__(self, x):
         return self.matvec(x)
+
+
+class RestrictedOperator:
+    """Restrict any operand-protocol operator on the full TP space to a free
+    dof subset (homogeneous Dirichlet elimination): the input is scattered
+    into a zero full vector, the operator applied, and the free rows taken.
+    Equivalent to ``A[free][:, free]`` for symmetric elimination
+    (reference: assemble.py RestrictedLinearSystem restriction matrices)."""
+
+    def __init__(self, op, free_dofs, n_full):
+        free = jnp.asarray(np.asarray(free_dofs, dtype=np.int64))
+        self.shape = (len(free_dofs), len(free_dofs))
+        inner_fn = op.apply_with_operands
+        self.operands = {'inner': op.operands, 'free': free}
+
+        def apply_with_operands(operands, x):
+            xf = jnp.zeros(n_full, dtype=x.dtype).at[operands['free']].set(x)
+            return inner_fn(operands['inner'], xf)[operands['free']]
+
+        self.apply_with_operands = apply_with_operands
+        self._jit_apply = jax.jit(apply_with_operands)
+
+    def matvec(self, x):
+        return self._jit_apply(self.operands, x)
+
+    def __call__(self, x):
+        return self.matvec(x)

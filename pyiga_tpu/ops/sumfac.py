@@ -54,6 +54,56 @@ def assemble_terms(term_tables, fields):
     return out
 
 
+def assemble_terms_folded(term_tables, fields, fold_plan, tperms):
+    """Symmetric-term folding: compute only one chain per mirrored term pair.
+
+    For a symmetric form (e.g. stiffness, where the coefficient field
+    ``C[a,b] == C[b,a]``), the term with swapped derivatives contributes the
+    *transpose* of its partner's chain; in the compact multilevel layout the
+    transpose is a separable per-axis index permutation (`tperms`, from
+    :func:`~pyiga_tpu.mlmatrix.transpose_idx_for_bidx`).  This replaces
+    d*(d-1)/2 of the d^2 stiffness contraction chains by one cheap gather —
+    the TPU analog of the reference's symmetric mirroring
+    (/root/reference/pyiga/codegen/cython.py:1136-1140).
+
+    `fold_plan`: sequence of ``(term_index, mirrored)``; mirrored chains are
+    summed and the transposed sum is added once.  Terms not listed (the
+    mirror partners) are never computed — XLA dead-code-eliminates their
+    coefficient fields."""
+    out = None
+    sym = None
+    for t, mirrored in fold_plan:
+        Y = contract_chain(term_tables[t], fields[t])
+        if mirrored:
+            sym = Y if sym is None else sym + Y
+        else:
+            out = Y if out is None else out + Y
+    if sym is not None:
+        symT = sym
+        for k, p in enumerate(tperms):
+            symT = jnp.take(symT, p, axis=k)
+        sym = sym + symT
+        out = sym if out is None else out + sym
+    return out
+
+
+def symmetric_fold_plan(terms):
+    """Fold plan for arity-2 `terms` ``[(du, dv), ...]`` of a *symmetric*
+    bilinear form (caller guarantees the coefficient fields of deriv-swapped
+    terms are equal): each ``du != dv`` pair is computed once (mirrored);
+    returns None if the terms are not closed under deriv swap."""
+    index = {t: i for i, t in enumerate(terms)}
+    plan = []
+    for i, (du, dv) in enumerate(terms):
+        if du == dv:
+            plan.append((i, False))
+        elif (dv, du) not in index:
+            return None
+        elif index[(dv, du)] > i:     # keep the first of each pair
+            plan.append((i, True))
+    return plan
+
+
 def banded_reorder(data, bsz, ns):
     """Traced: reorder an assembly result over banded tables, shaped
     ``(b_1*n_1, ..., b_d*n_d)``, into ``(b_1, ..., b_d, n_1, ..., n_d)``."""
@@ -181,24 +231,38 @@ def run_banded_assembly(field_fn, geo_inputs, banded_tables, bsz, ns):
     return fn(geo_inputs, banded_tables)
 
 
-def run_matrix_assembly(field_fn, geo_inputs, term_tables):
+def run_matrix_assembly(field_fn, geo_inputs, term_tables, fold_plan=None,
+                        tperms=None):
     """Execute ``assemble_terms(term_tables, field_fn(geo_inputs))`` under jit.
 
     `field_fn` must be a traceable function (stable object — module/class
     level) mapping the `geo_inputs` pytree to the list of per-term coefficient
-    fields on the Gauss grid.  Results come back as numpy float64/float32
-    depending on :func:`pyiga_tpu.config.get_dtype`.
+    fields on the Gauss grid.  With `fold_plan`/`tperms`, uses
+    :func:`assemble_terms_folded` (symmetric mirroring).  Results come back
+    as numpy float64/float32 depending on :func:`pyiga_tpu.config.get_dtype`.
     """
-    fn = _KERNEL_CACHE.get(field_fn)
+    key = (field_fn, tuple(fold_plan) if fold_plan is not None else None)
+    fn = _KERNEL_CACHE.get(key)
     if fn is None:
-        def kernel(geo_inputs, term_tables):
-            return assemble_terms(term_tables, field_fn(geo_inputs))
+        if fold_plan is None:
+            def kernel(geo_inputs, term_tables):
+                return assemble_terms(term_tables, field_fn(geo_inputs))
+        else:
+            plan = tuple(fold_plan)
+
+            def kernel(geo_inputs, term_tables, tperms):
+                return assemble_terms_folded(term_tables,
+                                             field_fn(geo_inputs),
+                                             plan, tperms)
         fn = jax.jit(kernel)
-        _KERNEL_CACHE[field_fn] = fn
+        _KERNEL_CACHE[key] = fn
 
     dtype = config.get_dtype()
     geo_inputs = jax.tree_util.tree_map(
         lambda x: jnp.asarray(x, dtype=dtype), geo_inputs)
     term_tables = jax.tree_util.tree_map(
         lambda x: jnp.asarray(x, dtype=dtype), term_tables)
-    return np.asarray(fn(geo_inputs, term_tables))
+    if fold_plan is None:
+        return np.asarray(fn(geo_inputs, term_tables))
+    tperms = [jnp.asarray(p) for p in tperms]
+    return np.asarray(fn(geo_inputs, term_tables, tperms))

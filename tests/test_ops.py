@@ -88,3 +88,59 @@ def test_pallas_banded_matvec_interpret():
     x = np.random.rand(K.shape[1])
     y = np.asarray(pop.matvec(jnp.asarray(x)))
     assert np.allclose(y, K.asmatrix() @ x)
+
+
+def test_symmetric_fold():
+    # folded assembly (6 of 9 chains + transpose gather) must match unfolded
+    for d in (2, 3):
+        kvs, geo = _setup(p=3, n=5, d=d)
+        asm = StiffnessAssembler(kvs, geo)
+        plan, tperms = asm._fold()
+        assert plan is not None and any(m for _, m in plan)
+        assert len(plan) == d * (d + 1) // 2
+        A_fold = asm.assemble().asmatrix()
+        try:
+            StiffnessAssembler.symmetric_fields = False
+            A_ref = StiffnessAssembler(kvs, geo).assemble().asmatrix()
+        finally:
+            StiffnessAssembler.symmetric_fields = True
+        scale = np.abs(A_ref).max()
+        assert np.abs(A_fold - A_ref).max() < 1e-14 * scale
+
+
+def test_banded_from_compact_device():
+    from pyiga_tpu.ops.banded import (band_info, banded_from_compact,
+                                      banded_from_compact_device,
+                                      banded_gather_maps)
+    kvs, geo = _setup(p=2, n=6)
+    K = StiffnessAssembler(kvs, geo).assemble()
+    bws = band_info(K.structure)
+    bsz = tuple(2 * b + 1 for b in bws)
+    ns = tuple(b[0] for b in K.structure.bs)
+    D_host = banded_from_compact(K.data, K.structure, bws)
+    maps = banded_gather_maps(K.structure, bws)
+    D_dev = banded_from_compact_device(jnp.asarray(K.data), maps, bsz, ns)
+    assert np.array_equal(np.asarray(D_dev), D_host)
+
+
+def test_restricted_operator():
+    from pyiga_tpu.ops.banded import (BandedOperator, band_info,
+                                      banded_from_compact_device,
+                                      banded_gather_maps)
+    from pyiga_tpu.ops.fastdiag import interior_dofs
+    from pyiga_tpu.ops.matfree import RestrictedOperator
+    kvs, geo = _setup(p=3, n=5)
+    asm = StiffnessAssembler(kvs, geo)
+    K = asm.assemble()
+    bws = band_info(K.structure)
+    bsz = tuple(2 * b + 1 for b in bws)
+    ns = tuple(b[0] for b in K.structure.bs)
+    maps = banded_gather_maps(K.structure, bws)
+    D = banded_from_compact_device(jnp.asarray(K.data), maps, bsz, ns)
+    free = interior_dofs(kvs)
+    rop = RestrictedOperator(BandedOperator(D, bws, ns), free,
+                             int(np.prod(ns)))
+    x = np.random.rand(len(free))
+    y = np.asarray(rop(jnp.asarray(x)))
+    Aff = K.asmatrix().tocsr()[free][:, free]
+    assert np.abs(y - Aff @ x).max() < 1e-12
