@@ -39,6 +39,29 @@ def _backward_chain(tabs, X):
     return X
 
 
+def box_restriction(free_dofs, ns):
+    """If the raveled `free_dofs` indices form an axis-aligned box in the
+    `ns` grid (e.g. the interior dofs of an 'all'-Dirichlet problem), return
+    ``(los, box_shape)``; else None.  A box restriction is applied with a
+    dynamic_update_slice / static slice instead of a scatter/gather —
+    XLA scatters cost ~1.5 ms per matvec at 100k+ indices on TPU."""
+    free = np.asarray(free_dofs)
+    if free.ndim != 1 or len(free) == 0:
+        return None
+    idx = np.unravel_index(free, ns)
+    axes = [np.unique(ix) for ix in idx]
+    shape = tuple(len(a) for a in axes)
+    if len(free) != int(np.prod(shape)):
+        return None
+    for a in axes:
+        if a[-1] - a[0] + 1 != len(a):
+            return None
+    grid = np.stack(np.meshgrid(*axes, indexing='ij'), 0).reshape(len(ns), -1)
+    if not np.array_equal(free, np.ravel_multi_index(tuple(grid), ns)):
+        return None
+    return tuple(int(a[0]) for a in axes), shape
+
+
 def matfree_apply(trial_tabs, test_tabs, fields, trial_of_term, test_of_term,
                   field_of_term, ns_in, ns_out, x):
     """Traced operator application.
@@ -123,8 +146,12 @@ class MatrixFreeOperator:
 
         self._free = (jnp.asarray(np.asarray(free_dofs, dtype=np.int64))
                       if free_dofs is not None else None)
+        box = (box_restriction(free_dofs, self.ns_in)
+               if free_dofs is not None else None)
         if free_dofs is not None:
             self.shape = (len(free_dofs), len(free_dofs))
+            if box is not None:
+                self._free = None       # box fast path needs no index array
 
         # IMPORTANT: the large arrays are *operands*, threaded through jit as
         # arguments — never closed over (closure constants get baked into the
@@ -142,13 +169,21 @@ class MatrixFreeOperator:
 
         def apply_with_operands(operands, x):
             free = operands['free']
-            if free is not None:
-                xf = x
-                x = jnp.zeros(n_in, dtype=xf.dtype).at[free].set(xf)
+            if box is not None:
+                los, bshape = box
+                x = jax.lax.dynamic_update_slice(
+                    jnp.zeros(ns_in, dtype=x.dtype), x.reshape(bshape),
+                    los).reshape(-1)
+            elif free is not None:
+                x = jnp.zeros(n_in, dtype=x.dtype).at[free].set(x)
             y = matfree_apply(operands['trial_tabs'], operands['test_tabs'],
                               operands['fields'], tot, sot, fot,
                               ns_in, ns_out, x)
-            if free is not None:
+            if box is not None:
+                los, bshape = box
+                y = jax.lax.dynamic_slice(y.reshape(ns_out), los,
+                                          bshape).reshape(-1)
+            elif free is not None:
                 y = y[free]
             return y
 
@@ -169,13 +204,26 @@ class RestrictedOperator:
     Equivalent to ``A[free][:, free]`` for symmetric elimination
     (reference: assemble.py RestrictedLinearSystem restriction matrices)."""
 
-    def __init__(self, op, free_dofs, n_full):
+    def __init__(self, op, free_dofs, n_full, ns=None):
         free = jnp.asarray(np.asarray(free_dofs, dtype=np.int64))
         self.shape = (len(free_dofs), len(free_dofs))
         inner_fn = op.apply_with_operands
+        if ns is None:
+            ns = getattr(op, 'ns', None)
+        box = box_restriction(free_dofs, ns) if ns is not None else None
+        if box is not None:
+            free = None
         self.operands = {'inner': op.operands, 'free': free}
 
         def apply_with_operands(operands, x):
+            if box is not None:
+                los, bshape = box
+                xf = jax.lax.dynamic_update_slice(
+                    jnp.zeros(ns, dtype=x.dtype), x.reshape(bshape),
+                    los).reshape(-1)
+                y = inner_fn(operands['inner'], xf)
+                return jax.lax.dynamic_slice(y.reshape(ns), los,
+                                             bshape).reshape(-1)
             xf = jnp.zeros(n_full, dtype=x.dtype).at[operands['free']].set(x)
             return inner_fn(operands['inner'], xf)[operands['free']]
 

@@ -144,3 +144,29 @@ def test_restricted_operator():
     y = np.asarray(rop(jnp.asarray(x)))
     Aff = K.asmatrix().tocsr()[free][:, free]
     assert np.abs(y - Aff @ x).max() < 1e-12
+
+
+def test_windowed_assembly():
+    # windowed pair tables (support-window contraction) match dense assembly
+    for d in (2, 3):
+        for p in (2, 3):
+            kvs, geo = _setup(p=p, n=6, d=d)
+            for Asm in (MassAssembler, StiffnessAssembler):
+                a = Asm(kvs, geo)
+                A_ref = a.assemble().asmatrix()
+                A_win = a.assemble_windowed().asmatrix()
+                rel = np.abs(A_win - A_ref).max() / np.abs(A_ref).max()
+                assert rel < 1e-14
+
+
+def test_box_restriction():
+    from pyiga_tpu.ops.fastdiag import interior_dofs
+    from pyiga_tpu.ops.matfree import box_restriction
+    kvs, _ = _setup(p=3, n=6)
+    ns = tuple(kv.numdofs for kv in kvs)
+    free = interior_dofs(kvs)
+    assert box_restriction(free, ns) == ((1, 1, 1), (7, 7, 7))
+    # non-box sets are rejected
+    assert box_restriction(np.array([0, 5, 17]), ns) is None
+    sub = np.delete(free, 3)
+    assert box_restriction(sub, ns) is None
