@@ -153,29 +153,91 @@ def cg_ir(op_hi, op_lo, b, tol=1e-8, maxiter_inner=200, max_outer=10,
         inner_tol: residual reduction per inner solve.
 
     Returns ``(x, info)`` where info = dict(outer, inner_iters, residual).
+
+    The whole refinement (outer float64 residual loop + inner float32 CG
+    while-loops) runs as ONE jitted dispatch — on the tunneled TPU backend
+    each host round-trip costs ~30ms, so a host-side outer loop would waste
+    ~0.2s per solve.  Compiled solvers are cached per operator triple.
     """
+    import jax
     import jax.numpy as jnp
+    from jax import lax
 
     b = jnp.asarray(b, dtype=jnp.float64)
-    x = jnp.zeros_like(b)
-    norm_b = float(jnp.linalg.norm(b))
-    _, hi_fn = _as_operand_fn(op_hi)
-    hi_ops = getattr(op_hi, 'operands', None)
+    hi_ops, hi_fn = _as_operand_fn(op_hi)
+    lo_ops, lo_fn = _as_operand_fn(op_lo)
+    if precond_lo is None:
+        pc_ops, pc_fn = None, (lambda operands, r: r)
+    else:
+        pc_ops, pc_fn = _as_operand_fn(precond_lo)
 
-    inner_iters = []
-    res = norm_b
-    for outer in range(max_outer + 1):
-        r = b - hi_fn(hi_ops, x) if outer > 0 else b
-        res = float(jnp.linalg.norm(r))
-        if res <= tol * norm_b or outer == max_outer:
-            break
-        d, it = cg_jit(op_lo, jnp.asarray(r, dtype=jnp.float32),
-                       tol=inner_tol, maxiter=maxiter_inner,
-                       precond=precond_lo)
-        inner_iters.append(int(it))
-        x = x + jnp.asarray(d, dtype=jnp.float64)
-    return x, {'outer': len(inner_iters), 'inner_iters': inner_iters,
-               'residual': res / norm_b}
+    try:
+        per_op = _CG_CACHE.setdefault(op_hi, {})
+    except TypeError:
+        per_op = {}
+    key = ('ir', id(op_lo), id(precond_lo) if precond_lo is not None
+           else None, tol, maxiter_inner, max_outer, inner_tol, b.shape)
+    run = per_op.get(key)
+
+    if run is None:
+        @jax.jit
+        def run(b, hi_ops, lo_ops, pc_ops):
+            norm_b = jnp.linalg.norm(b)
+
+            def inner_cg(r64):
+                b32 = jnp.asarray(r64, jnp.float32)
+                r0 = b32
+                norm0 = jnp.linalg.norm(r0)
+
+                def body(state):
+                    x, r, z, p, rz, it = state
+                    Ap = lo_fn(lo_ops, p)
+                    alpha = rz / jnp.vdot(p, Ap)
+                    x = x + alpha * p
+                    r = r - alpha * Ap
+                    z = pc_fn(pc_ops, r)
+                    rz_new = jnp.vdot(r, z)
+                    p = z + (rz_new / rz) * p
+                    return (x, r, z, p, rz_new, it + 1)
+
+                def cond(state):
+                    _, r, _, _, _, it = state
+                    return ((jnp.linalg.norm(r) > inner_tol * norm0)
+                            & (it < maxiter_inner))
+
+                z0 = pc_fn(pc_ops, r0)
+                x0 = jnp.zeros_like(b32)
+                state = (x0, r0, z0, z0, jnp.vdot(r0, z0), jnp.array(0))
+                x, _, _, _, _, it = lax.while_loop(cond, body, state)
+                return x, it
+
+            def outer_body(state):
+                x, r, res, outer, iters = state
+                d, it = inner_cg(r)
+                x = x + jnp.asarray(d, jnp.float64)
+                r = b - hi_fn(hi_ops, x)
+                res = jnp.linalg.norm(r)
+                iters = iters.at[outer].set(it)
+                return (x, r, res, outer + 1, iters)
+
+            def outer_cond(state):
+                _, _, res, outer, _ = state
+                return (res > tol * norm_b) & (outer < max_outer)
+
+            x0 = jnp.zeros_like(b)
+            iters0 = jnp.zeros((max_outer,), dtype=jnp.int32)
+            state = (x0, b, norm_b, jnp.array(0), iters0)
+            x, _, res, outer, iters = lax.while_loop(outer_cond, outer_body,
+                                                     state)
+            return x, res / norm_b, outer, iters
+
+        per_op[key] = run
+
+    x, res, outer, iters = run(b, hi_ops, lo_ops, pc_ops)
+    outer = int(outer)
+    return x, {'outer': outer,
+               'inner_iters': [int(i) for i in np.asarray(iters)[:outer]],
+               'residual': float(res)}
 
 
 _GMRES_CACHE = weakref.WeakKeyDictionary()
