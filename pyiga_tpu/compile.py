@@ -458,18 +458,57 @@ class VFormAssembler:
 
         def probe_fn(inputs):
             fields = self._eval_combo_fields(inputs, self.combos)
-            return jnp.stack([jnp.max(jnp.abs(C)) for C in fields])
+            return jnp.stack([C.reshape(-1) for C in fields])
 
         try:
             import jax
-            maxima = np.asarray(jax.jit(probe_fn)(probe))
+            values = np.asarray(jax.jit(probe_fn)(probe))
         finally:
             self._geo_tables = geo_tables_save
 
+        maxima = np.abs(values).max(axis=1)
         keep = maxima > 1e-13 * max(maxima.max(), 1e-300)
         self.combos = [c for c, k in zip(self.combos, keep) if k]
         if not self.combos:
             raise ValueError('variational form is identically zero')
+        self._detect_symmetry(values[keep], maxima[keep])
+
+    def _detect_symmetry(self, probe_values, probe_maxima):
+        """Probe-based symmetric-term folding (scalar forms on a single
+        space): a combo (su, sv) whose deriv-swapped partner (sv, su) has a
+        *numerically equal* coefficient field on the random probe contributes
+        the transpose of its partner's chain — assemble one chain of each
+        pair and mirror it by the compact-layout transpose gather (same
+        mechanism as the reference's symmetric entry mirroring,
+        /root/reference/pyiga/codegen/cython.py:1136-1140, but detected
+        automatically: probe equality on random geometry implies structural
+        symmetry with probability 1)."""
+        self._fold_plan = self._fold_tperms = None
+        if (self.arity != 2 or self.vf.vec or self.kvs0 != self.kvs1
+                or self.bdspec is not None or self.bbox is not None):
+            return
+        index = {c: i for i, c in enumerate(self.combos)}
+        scale = max(probe_maxima.max(), 1e-300)
+        plan = []
+        any_mirror = False
+        for i, (su, sv) in enumerate(self.combos):
+            if su == sv:
+                plan.append((i, False))
+                continue
+            j = index.get((sv, su))
+            if j is not None and np.abs(
+                    probe_values[i] - probe_values[j]).max() < 1e-10 * scale:
+                if j > i:
+                    plan.append((i, True))
+                    any_mirror = True
+                # j < i: mirrored by its partner, skip
+            else:
+                plan.append((i, False))
+        if any_mirror:
+            from .mlmatrix import transpose_idx_for_bidx
+            self._fold_plan = plan
+            self._fold_tperms = [transpose_idx_for_bidx(bx)
+                                 for bx in self.structure.bidx]
 
     # -- assembly ------------------------------------------------------------------
 
@@ -492,8 +531,22 @@ class VFormAssembler:
         """The traced assembly function: inputs pytree + term tables ->
         dict of per-component-block data tensors."""
         combos = self.combos
+        fold_plan = getattr(self, '_fold_plan', None)
 
-        def fn(inputs, term_tables):
+        if fold_plan is not None:
+            # scalar symmetric form: folded chains + transpose gather.
+            # tperms are traced arguments — the jit cache is shared across
+            # space sizes, so nothing size-dependent may be closed over.
+            plan = tuple(fold_plan)
+
+            def fn(inputs, term_tables, tperms):
+                fields = self._eval_combo_fields(inputs, combos)
+                Y = sumfac.assemble_terms_folded(term_tables, fields,
+                                                 plan, tperms)
+                return {(None, None): Y}
+            return fn
+
+        def fn(inputs, term_tables, tperms):
             fields = self._eval_combo_fields(inputs, combos)
             blocks = {}
             for (su, sv), C, tabs in zip(combos, fields, term_tables):
@@ -512,7 +565,9 @@ class VFormAssembler:
         import jax.numpy as jnp
         from . import config
 
+        fold = getattr(self, '_fold_plan', None)
         key = (self.vf.hash(), tuple(map(repr, self.combos)),
+               tuple(fold) if fold is not None else None,
                self._geo_tables is None,
                getattr(self, '_geo_is_nurbs', None),
                self._needs_geo_hessian())
@@ -530,7 +585,9 @@ class VFormAssembler:
         term_tables = jax.tree_util.tree_map(
             lambda x: jnp.asarray(x, dtype=dtype),
             self._term_tables_for(self.combos))
-        blocks = fn(inputs, term_tables)
+        tperms = ([jnp.asarray(p) for p in self._fold_tperms]
+                  if fold is not None else None)
+        blocks = fn(inputs, term_tables, tperms)
         return {k: np.asarray(v, dtype=np.float64) for k, v in blocks.items()}
 
     def assemble(self):

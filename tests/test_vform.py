@@ -263,3 +263,32 @@ def test_parse_vf_shorthands():
     f1 = assemble('x[0] * v * dx', kvs, geo=geo)
     f2 = inner_products(kvs, lambda x, y: x, f_physical=True, geo=geo)
     assert np.allclose(f1, f2)
+
+
+def test_vform_symmetry_folding():
+    # probe-detected symmetric folding: stiffness folds (and is then exactly
+    # symmetric); the convection part of a convection-diffusion form must
+    # stay unfolded and the result match the sum of separate assemblies
+    import numpy as np
+    from pyiga_tpu import assemble, geometry
+    from pyiga_tpu.bspline import make_knots
+    from pyiga_tpu.compile import compile_vform
+    from pyiga_tpu.vform import stiffness_vf
+
+    kvs = 2 * (make_knots(2, 0.0, 1.0, 6),)
+    geo = geometry.bspline_quarter_annulus()
+    asm = compile_vform(stiffness_vf(2))(kvs, geo=geo)
+    assert asm._fold_plan is not None
+    assert sum(1 for _, m in asm._fold_plan if m) == 1
+    A = asm.assemble().asmatrix()
+    assert abs(A - A.T).max() == 0.0
+
+    b = np.array([2.0, 1.0])
+    B = assemble.assemble(
+        '(inner(grad(u), grad(v)) + dot(b, grad(u)) * v) * dx',
+        kvs, geo=geo, b=b)
+    K = compile_vform(stiffness_vf(2))(kvs, geo=geo).assemble().asmatrix()
+    C = assemble.assemble('dot(b, grad(u)) * v * dx', kvs, geo=geo, b=b)
+    rel = abs(B - K - C).max() / abs(B).max()
+    assert rel < 1e-14
+    assert abs(B - B.T).max() > 1e-6      # convection not mirrored away
