@@ -120,6 +120,66 @@ def sharded_stiffness_step(asm, mesh, cg_iters=8, num_rhs=None):
     return step, args
 
 
+def sharded_matfree_cg(asm, mesh, free_dofs=None, precond=None,
+                       tol=1e-8, maxiter=200):
+    """Preconditioned CG with the production matrix-free operator, sharded
+    over the mesh's ``'space'`` axis: the dof tensor and the Gauss-grid
+    intermediates of the sum-factorization chains shard along their first
+    axis; the per-axis basis contractions over the sharded axis become
+    sharded matmuls (XLA inserts the ICI collectives), and CG dot products
+    reduce with psum.  Returns ``(solve, operands)``; ``solve(operands, b)``
+    is jittable under the mesh and returns ``(x, iterations)``.
+    """
+    from ..ops.matfree import MatrixFreeOperator
+    from ..solvers import _as_operand_fn
+
+    op = MatrixFreeOperator(asm, free_dofs=free_dofs)
+    ns = op.ns_in
+    spec = _spec(mesh, 'space')
+    mv_ops = op.operands
+    if precond is None:
+        pc_ops, pc_fn = None, (lambda operands, r: r)
+    else:
+        pc_ops, pc_fn = _as_operand_fn(precond)
+
+    def constrain(v):
+        if free_dofs is not None:
+            return v        # restricted vectors are 1D; shard the full grid
+        return jax.lax.with_sharding_constraint(
+            v.reshape(ns), spec).reshape(-1)
+
+    def matvec(operands, v):
+        return constrain(op.apply_with_operands(operands['mv'], v))
+
+    def solve(operands, b):
+        b = constrain(b)
+        r0 = b
+        norm0 = jnp.linalg.norm(r0)
+
+        def body(state):
+            x, r, z, p, rz, it = state
+            Ap = matvec(operands, p)
+            alpha = rz / jnp.vdot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = pc_fn(operands['pc'], r)
+            rz_new = jnp.vdot(r, z)
+            p = z + (rz_new / rz) * p
+            return (x, r, z, p, rz_new, it + 1)
+
+        def cond(state):
+            _, r, _, _, _, it = state
+            return (jnp.linalg.norm(r) > tol * norm0) & (it < maxiter)
+
+        z0 = pc_fn(operands['pc'], r0)
+        state = (jnp.zeros_like(b), r0, z0, z0, jnp.vdot(r0, z0),
+                 jnp.array(0))
+        x, _, _, _, _, it = jax.lax.while_loop(cond, body, state)
+        return x, it
+
+    return solve, {'mv': mv_ops, 'pc': pc_ops}
+
+
 def dryrun(n_devices, dim=2, nspans=4, p=2, cg_iters=4):
     """Compile and execute one sharded assemble+solve step on an
     `n_devices`-device mesh with tiny shapes.  Returns the result arrays."""
@@ -141,4 +201,15 @@ def dryrun(n_devices, dim=2, nspans=4, p=2, cg_iters=4):
         fn = jax.jit(step)
         data, X = fn(*jax.tree_util.tree_map(jnp.asarray, args))
         jax.block_until_ready((data, X))
+
+        # also compile + run the production matrix-free CG over the mesh
+        # (the flagship solve path; mass system — SPD and well-conditioned)
+        from ..assemblers import MassAssembler
+        masm = MassAssembler(kvs, geo)
+        solve, ops_ = sharded_matfree_cg(masm, mesh, tol=1e-8, maxiter=200)
+        n = int(np.prod([kv.numdofs for kv in kvs]))
+        b = jnp.asarray(np.random.RandomState(1).rand(n))
+        x, it = jax.jit(solve)(jax.tree_util.tree_map(
+            lambda a: a if a is None else jnp.asarray(a), ops_), b)
+        jax.block_until_ready(x)
     return np.asarray(data), np.asarray(X)

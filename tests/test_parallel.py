@@ -54,3 +54,27 @@ def test_sharded_step_cg_correctness():
     for k in range(B.shape[0]):
         r = np.linalg.norm(A @ np.asarray(X[k]) - B[k]) / np.linalg.norm(B[k])
         assert r < 1e-6
+
+
+def test_sharded_matfree_cg():
+    devs = _cpu_devices(8)
+    if devs is None:
+        pytest.skip('not enough CPU devices')
+    import jax.numpy as jnp
+    from pyiga_tpu.parallel import make_mesh, sharded_matfree_cg
+
+    kvs = 3 * (make_knots(2, 0.0, 1.0, 5),)
+    geo = geometry.twisted_box()
+    asm = MassAssembler(kvs, geo)
+    mesh = make_mesh(8, axis_names=('space',))
+    solve, ops_ = sharded_matfree_cg(asm, mesh, tol=1e-10, maxiter=300)
+    n = asm.assemble().shape[0]
+    b = np.random.RandomState(0).rand(n)
+    with mesh:
+        x, it = jax.jit(solve)(jax.tree_util.tree_map(
+            lambda a: a if a is None else jnp.asarray(a), ops_),
+            jnp.asarray(b))
+    M = asm.assemble().asmatrix()
+    r = np.linalg.norm(M @ np.asarray(x) - b) / np.linalg.norm(b)
+    assert r < 1e-8
+    assert int(it) < 300
