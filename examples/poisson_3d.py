@@ -1,6 +1,14 @@
 # -*- coding: utf-8 -*-
-"""3D Poisson on the twisted box: sum-factorization assembly + matrix-free
-CG on the compact multilevel-banded matrix (the benchmark workload)."""
+"""3D Poisson on the twisted box — the benchmark workload, on the production
+solve path:
+
+* sum-factorization assembly of the compact stiffness tensor (symmetric
+  chains folded, MXU matmuls),
+* homogeneous Dirichlet conditions via the box-restriction fast path,
+* matrix-free preconditioned CG: float32 Krylov iterations with the
+  fast-diagonalization (Sangalli-Tani) preconditioner, refined to full
+  float64 accuracy by the device-fused iterative refinement (cg_ir).
+"""
 
 import os
 import sys
@@ -12,33 +20,41 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 import jax.numpy as jnp
 
-from pyiga_tpu import assemble, bspline, geometry, solvers
-from pyiga_tpu.assemblers import MassAssembler, StiffnessAssembler
-from pyiga_tpu.ops.mlmatvec import make_ml_matvec
+from pyiga_tpu import bspline, geometry, solvers
+from pyiga_tpu.assemblers import StiffnessAssembler
+from pyiga_tpu.ops.fastdiag import fastdiag_precond, interior_dofs
+from pyiga_tpu.ops.matfree import MatrixFreeOperator
 
 
 def main(n=16, p=3):
     kvs = 3 * (bspline.make_knots(p, 0.0, 1.0, n),)
     geo = geometry.twisted_box()
-    ndofs = np.prod([kv.numdofs for kv in kvs])
+    ndofs = int(np.prod([kv.numdofs for kv in kvs]))
     print('dofs:', ndofs)
 
+    asm = StiffnessAssembler(kvs, geo)
     t0 = time.perf_counter()
-    K = StiffnessAssembler(kvs, geo).assemble()     # compact MLMatrix
-    M = MassAssembler(kvs, geo).assemble()
+    K = asm.assemble()                  # compact MLMatrix (float64)
     print('assembly: %.3fs' % (time.perf_counter() - t0))
 
-    # matrix-free CG on device for (K + M) u = b
-    mvK, mvM = make_ml_matvec(K), make_ml_matvec(M)
-    matvec = lambda v: mvK(v) + mvM(v)
-    b = np.ones(K.shape[1])
-    t0 = time.perf_counter()
-    u, it = solvers.cg_jit(matvec, jnp.asarray(b), tol=1e-8, maxiter=2000)
-    u = np.asarray(u)
-    print('CG: %d iterations, %.3fs' % (int(it), time.perf_counter() - t0))
+    # Dirichlet Poisson on the interior dofs, matrix-free
+    free = interior_dofs(kvs)
+    op64 = MatrixFreeOperator(asm, free_dofs=free, dtype=np.float64)
+    op32 = MatrixFreeOperator(asm, free_dofs=free, dtype=np.float32)
+    P32 = fastdiag_precond(kvs, dirichlet=True, dtype=np.float32)
 
-    res = np.linalg.norm((K.asmatrix() + M.asmatrix()) @ u - b)
-    print('residual:', res / np.linalg.norm(b))
+    b = np.ones(len(free))
+    t0 = time.perf_counter()
+    u, info = solvers.cg_ir(op64, op32, jnp.asarray(b), tol=1e-10,
+                            precond_lo=P32)
+    u = np.asarray(u)
+    print('cg_ir: %d outer / %s inner iterations, %.3fs'
+          % (info['outer'], info['inner_iters'], time.perf_counter() - t0))
+
+    Kff = K.asmatrix().tocsr()[free][:, free]
+    res = np.linalg.norm(Kff @ u - b) / np.linalg.norm(b)
+    print('true residual: %.2e' % res)
+    assert res < 1e-9
     return u
 
 
