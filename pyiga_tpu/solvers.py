@@ -229,15 +229,21 @@ def cg_ir(op_hi, op_lo, b, tol=1e-8, maxiter_inner=200, max_outer=10,
             state = (x0, b, norm_b, jnp.array(0), iters0)
             x, _, res, outer, iters = lax.while_loop(outer_cond, outer_body,
                                                      state)
-            return x, res / norm_b, outer, iters
+            # pack the info scalars into one array: each host fetch costs a
+            # full round-trip on tunneled backends
+            info = jnp.concatenate([
+                (res / norm_b)[None], outer[None].astype(jnp.float64),
+                iters.astype(jnp.float64)])
+            return x, info
 
         per_op[key] = run
 
-    x, res, outer, iters = run(b, hi_ops, lo_ops, pc_ops)
-    outer = int(outer)
+    x, info = run(b, hi_ops, lo_ops, pc_ops)
+    info = np.asarray(info)
+    outer = int(info[1])
     return x, {'outer': outer,
-               'inner_iters': [int(i) for i in np.asarray(iters)[:outer]],
-               'residual': float(res)}
+               'inner_iters': [int(i) for i in info[2:2 + outer]],
+               'residual': float(info[0])}
 
 
 _GMRES_CACHE = weakref.WeakKeyDictionary()
