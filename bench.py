@@ -71,12 +71,35 @@ def run_on(device, n, dtype, repeats=3):
         field_fn = asm.field_fn
 
         # symmetric-term folding: only 6 of the 9 stiffness chains computed,
-        # the mirrored ones recovered by a separable transpose gather
+        # the mirrored ones recovered by a separable transpose gather.
+        # float64 uses the Ozaki-split contraction (bf16 chunk products with
+        # exact f32 MXU accumulation, ~3e-14 assembled relative accuracy —
+        # two orders inside the <=1e-10 parity target, ~3x faster than the
+        # emulated f64 dot)
+        # Ozaki splitting only pays where f64 is emulated; the CPU comparator
+        # keeps its native-f64 best path
+        mode = ('ozaki' if dtype == np.float64
+                and device.platform not in ('cpu',) else 'exact')
         fold_plan, tperms = asm._fold()
         tperms = [jax.device_put(np.asarray(p), device) for p in tperms]
-        asm_fn = jax.jit(
-            lambda gi, tt, tp: sumfac.assemble_terms_folded(
-                tt, field_fn(gi), tuple(fold_plan), tp))
+        if mode == 'ozaki':
+            # two dispatches (diagonal terms; mirrored pairs + transpose):
+            # halves the live-buffer peak — the chunk/diagonal arrays of the
+            # Ozaki contraction on top of the full six-chain graph exceed
+            # HBM at n=48
+            direct = tuple((t, False) for t, m in fold_plan if not m)
+            mirrored = tuple((t, True) for t, m in fold_plan if m)
+            fn_d = jax.jit(lambda gi, tt: sumfac.assemble_terms_folded(
+                tt, field_fn(gi), direct, None, mode='ozaki'))
+            fn_m = jax.jit(lambda gi, tt, tp: sumfac.assemble_terms_folded(
+                tt, field_fn(gi), mirrored, tp, mode='ozaki'))
+
+            def asm_fn(gi, tt, tp):
+                return fn_d(gi, tt) + fn_m(gi, tt, tp)
+        else:
+            asm_fn = jax.jit(
+                lambda gi, tt, tp: sumfac.assemble_terms_folded(
+                    tt, field_fn(gi), tuple(fold_plan), tp, mode=mode))
 
         # homogeneous-Dirichlet Poisson solve: matrix-free operator on the
         # interior dofs, fast-diagonalization preconditioner.  For float64,

@@ -1,4 +1,5 @@
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from pyiga_tpu import geometry, solvers
@@ -170,3 +171,33 @@ def test_box_restriction():
     assert box_restriction(np.array([0, 5, 17]), ns) is None
     sub = np.delete(free, 3)
     assert box_restriction(sub, ns) is None
+
+
+def test_ozaki_assembly():
+    # Ozaki-split (bf16 chunk) f64 contraction matches the exact f64 chains
+    # far inside the 1e-10 entry-parity target
+    from pyiga_tpu.ops import sumfac
+    for d in (2, 3):
+        kvs, geo = _setup(p=3, n=5, d=d)
+        asm = StiffnessAssembler(kvs, geo)
+        tt = [[jnp.asarray(t) for t in tabs]
+              for tabs in asm.tables.term_tables(asm.terms)]
+        gi = jax.tree_util.tree_map(lambda a: jnp.asarray(np.asarray(a)),
+                                    asm._geo_inputs)
+        fields = asm.field_fn(gi)
+        plan, tperms = asm._fold()
+        tperms = [jnp.asarray(p) for p in tperms]
+        ref = sumfac.assemble_terms_folded(tt, fields, tuple(plan), tperms)
+        oz = sumfac.assemble_terms_folded(tt, fields, tuple(plan), tperms,
+                                          mode='ozaki')
+        rel = float(jnp.max(jnp.abs(oz - ref)) / jnp.max(jnp.abs(ref)))
+        assert rel < 5e-13
+
+    # raw contraction chain on data with per-row dynamic range
+    rng = np.random.RandomState(3)
+    tabs = [jnp.asarray(rng.randn(20, 12) * np.exp(rng.randn(20, 1)))
+            for _ in range(3)]
+    X = jnp.asarray(rng.randn(12, 12, 12) * np.exp(rng.randn(12, 1, 1)))
+    ref = sumfac.contract_chain(tabs, X)
+    oz = sumfac.contract_chain_ozaki(tabs, X)
+    assert float(jnp.max(jnp.abs(oz - ref)) / jnp.max(jnp.abs(ref))) < 1e-12
