@@ -127,12 +127,18 @@ class BaseGaussAssembler:
         tperms = [transpose_idx_for_bidx(bx) for bx in self.structure.bidx]
         return plan, tperms
 
-    def assemble(self):
-        """Assemble the compact data tensor and return it as an MLMatrix."""
+    def assemble(self, mode='exact'):
+        """Assemble the compact data tensor and return it as an MLMatrix.
+
+        ``mode='ozaki'`` computes the float64 contractions by the Ozaki
+        splitting (bf16 chunk products with exact f32 MXU accumulation,
+        ~3e-14 relative accuracy, ~2-3x faster than the emulated f64 dot on
+        TPU — see :func:`~pyiga_tpu.ops.sumfac.contract_chain_ozaki`)."""
         term_tables = self.tables.term_tables(self.terms)
         fold_plan, tperms = self._fold()
         data = sumfac.run_matrix_assembly(self.field_fn, self._geo_inputs,
-                                          term_tables, fold_plan, tperms)
+                                          term_tables, fold_plan, tperms,
+                                          mode=mode)
         return self.structure.make_mlmatrix(data=np.asarray(data, dtype=np.float64))
 
     def assemble_windowed(self):

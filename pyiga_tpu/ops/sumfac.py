@@ -495,7 +495,7 @@ def run_banded_assembly(field_fn, geo_inputs, banded_tables, bsz, ns):
 
 
 def run_matrix_assembly(field_fn, geo_inputs, term_tables, fold_plan=None,
-                        tperms=None):
+                        tperms=None, mode='exact'):
     """Execute ``assemble_terms(term_tables, field_fn(geo_inputs))`` under jit.
 
     `field_fn` must be a traceable function (stable object — module/class
@@ -504,19 +504,21 @@ def run_matrix_assembly(field_fn, geo_inputs, term_tables, fold_plan=None,
     :func:`assemble_terms_folded` (symmetric mirroring).  Results come back
     as numpy float64/float32 depending on :func:`pyiga_tpu.config.get_dtype`.
     """
-    key = (field_fn, tuple(fold_plan) if fold_plan is not None else None)
+    key = (field_fn, tuple(fold_plan) if fold_plan is not None else None,
+           mode)
     fn = _KERNEL_CACHE.get(key)
     if fn is None:
         if fold_plan is None:
             def kernel(geo_inputs, term_tables):
-                return assemble_terms(term_tables, field_fn(geo_inputs))
+                return assemble_terms(term_tables, field_fn(geo_inputs),
+                                      mode)
         else:
             plan = tuple(fold_plan)
 
             def kernel(geo_inputs, term_tables, tperms):
                 return assemble_terms_folded(term_tables,
                                              field_fn(geo_inputs),
-                                             plan, tperms)
+                                             plan, tperms, mode)
         fn = jax.jit(kernel)
         _KERNEL_CACHE[key] = fn
 
