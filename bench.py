@@ -83,19 +83,22 @@ def run_on(device, n, dtype, repeats=3):
         fold_plan, tperms = asm._fold()
         tperms = [jax.device_put(np.asarray(p), device) for p in tperms]
         if mode == 'ozaki':
-            # two dispatches (diagonal terms; mirrored pairs + transpose):
-            # halves the live-buffer peak — the chunk/diagonal arrays of the
+            # fields once, then two chain dispatches (diagonal terms;
+            # mirrored pairs + transpose): the chunk/diagonal buffers of the
             # Ozaki contraction on top of the full six-chain graph exceed
-            # HBM at n=48
+            # HBM at n=48, and splitting also avoids recomputing the shared
+            # geometry fields per dispatch
             direct = tuple((t, False) for t, m in fold_plan if not m)
             mirrored = tuple((t, True) for t, m in fold_plan if m)
-            fn_d = jax.jit(lambda gi, tt: sumfac.assemble_terms_folded(
-                tt, field_fn(gi), direct, None, mode='ozaki'))
-            fn_m = jax.jit(lambda gi, tt, tp: sumfac.assemble_terms_folded(
-                tt, field_fn(gi), mirrored, tp, mode='ozaki'))
+            fields_fn = jax.jit(field_fn)
+            fn_d = jax.jit(lambda F, tt: sumfac.assemble_terms_folded(
+                tt, F, direct, None, mode='ozaki'))
+            fn_m = jax.jit(lambda F, tt, tp: sumfac.assemble_terms_folded(
+                tt, F, mirrored, tp, mode='ozaki'))
 
             def asm_fn(gi, tt, tp):
-                return fn_d(gi, tt) + fn_m(gi, tt, tp)
+                F = fields_fn(gi)
+                return fn_d(F, tt) + fn_m(F, tt, tp)
         else:
             asm_fn = jax.jit(
                 lambda gi, tt, tp: sumfac.assemble_terms_folded(
