@@ -135,7 +135,7 @@ def cg_jit(matvec, b, x0=None, tol=1e-8, maxiter=1000, precond=None):
 
 
 def cg_ir(op_hi, op_lo, b, tol=1e-8, maxiter_inner=200, max_outer=10,
-          precond_lo=None, inner_tol=1e-4):
+          precond_lo=None, inner_tol=1e-3):
     """Mixed-precision CG with iterative refinement.
 
     On TPU, float64 is software-emulated (roughly an order of magnitude
@@ -150,7 +150,11 @@ def cg_ir(op_hi, op_lo, b, tol=1e-8, maxiter_inner=200, max_outer=10,
         b: float64 right-hand side.
         tol: relative residual target in float64.
         precond_lo: optional float32 preconditioner for the inner CG.
-        inner_tol: residual reduction per inner solve.
+        inner_tol: residual reduction per inner solve.  The error reduction
+            per outer step is capped by float32 effects (~kappa * 2^-24)
+            regardless of how far the inner solve converges, so a loose
+            inner tolerance is usually optimal (measured: 1e-2..1e-3 give
+            the same outer count as 1e-5 on the benchmark problem).
 
     Returns ``(x, info)`` where info = dict(outer, inner_iters, residual).
 
