@@ -90,11 +90,17 @@ def run_on(device, n, dtype, repeats=3):
             # geometry fields per dispatch
             direct = tuple((t, False) for t, m in fold_plan if not m)
             mirrored = tuple((t, True) for t, m in fold_plan if m)
-            fields_fn = jax.jit(field_fn)
-            fn_d = jax.jit(lambda F, tt: sumfac.assemble_terms_folded(
-                tt, F, direct, None, mode='ozaki'))
-            fn_m = jax.jit(lambda F, tt, tp: sumfac.assemble_terms_folded(
-                tt, F, mirrored, tp, mode='ozaki'))
+            # double-float32 field pipeline + pair-chained Ozaki contraction:
+            # fields and all chain intermediates stay as f32 pairs (fused f32
+            # elementwise + bf16 MXU dots; no emulated-f64 arithmetic at
+            # all).  Assembled accuracy ~7e-15 relative — better than the
+            # f64-intermediate Ozaki variant.
+            from pyiga_tpu.assemblers import stiffness_fields_df_pair
+            fields_fn = jax.jit(stiffness_fields_df_pair)
+            fn_d = jax.jit(lambda F, tt: sumfac.assemble_terms_folded_pair(
+                tt, F, direct, None))
+            fn_m = jax.jit(lambda F, tt, tp: sumfac.assemble_terms_folded_pair(
+                tt, F, mirrored, tp))
 
             def asm_fn(gi, tt, tp):
                 F = fields_fn(gi)

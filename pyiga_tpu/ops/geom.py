@@ -195,3 +195,52 @@ def host_eval(geo, grids):
     """Host fallback: geometry values on the grid (XYZ component order)."""
     from .. import utils
     return np.asarray(utils.grid_eval(geo, grids))
+
+
+def det_and_inv_df(J):
+    """Like :func:`det_and_inv` but in double-float32 arithmetic
+    (:mod:`~pyiga_tpu.ops.twofloat`): input f64 ``(d, d) + grid``, returns
+    ``(det_df, inv_df)`` as two-float pairs (nested lists for inv).  On TPU
+    this fuses into f32 elementwise code, avoiding the poorly-fusing
+    emulated-f64 ops of the direct formulas (the float64 assembly fast
+    path's field pipeline)."""
+    from . import twofloat as tf
+    d = J.shape[0]
+    j = [[tf.df_from_f64(J[a, b]) for b in range(d)] for a in range(d)]
+
+    def m(a, b):
+        return tf.df_mul(a, b)
+
+    def sub(a, b):
+        return tf.df_sub(a, b)
+
+    if d == 1:
+        det = j[0][0]
+        return det, [[tf.df_div(tf.df(jnp.ones_like(det[0])), det)]]
+    if d == 2:
+        det = sub(m(j[0][0], j[1][1]), m(j[0][1], j[1][0]))
+        adj = [[j[1][1], tf.df_neg(j[0][1])],
+               [tf.df_neg(j[1][0]), j[0][0]]]
+        inv = [[tf.df_div(adj[a][b], det) for b in range(2)]
+               for a in range(2)]
+        return det, inv
+    if d == 3:
+        c00 = sub(m(j[1][1], j[2][2]), m(j[1][2], j[2][1]))
+        c01 = sub(m(j[1][2], j[2][0]), m(j[1][0], j[2][2]))
+        c02 = sub(m(j[1][0], j[2][1]), m(j[1][1], j[2][0]))
+        det = tf.df_sum([m(j[0][0], c00), m(j[0][1], c01), m(j[0][2], c02)])
+        adj = [
+            [c00,
+             sub(m(j[0][2], j[2][1]), m(j[0][1], j[2][2])),
+             sub(m(j[0][1], j[1][2]), m(j[0][2], j[1][1]))],
+            [c01,
+             sub(m(j[0][0], j[2][2]), m(j[0][2], j[2][0])),
+             sub(m(j[0][2], j[1][0]), m(j[0][0], j[1][2]))],
+            [c02,
+             sub(m(j[0][1], j[2][0]), m(j[0][0], j[2][1])),
+             sub(m(j[0][0], j[1][1]), m(j[0][1], j[1][0]))],
+        ]
+        inv = [[tf.df_div(adj[a][b], det) for b in range(3)]
+               for a in range(3)]
+        return det, inv
+    raise NotImplementedError('det_and_inv_df only implemented for d <= 3')

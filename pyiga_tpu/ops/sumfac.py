@@ -67,8 +67,15 @@ def _ozaki_slice(V, axis, L=_OZAKI_L, w=_OZAKI_W, n_hi=3):
     float32 (their scale is below 2^(-w*n_hi), so f32 carries them to
     ~2^-48 overall) to avoid emulated-f64 elementwise cost."""
     a = jnp.max(jnp.abs(V), axis=axis, keepdims=True)
-    e = jnp.ceil(jnp.log2(jnp.where(a > 0, a, 1.0)))
-    s = jnp.exp2(e)
+    # exact power-of-2 scale with s >= a via frexp (a = m * 2^e, m in
+    # [0.5, 1)); a rounded log2 can underestimate by one power of 2, which
+    # would make the first chunk need 9 bits and silently round in bf16.
+    # frexp/ldexp run in f32 (their f64 lowering crashes the TPU compiler;
+    # exp2 is approximate even at integer inputs): f32 rounding of `a` can
+    # at worst land r marginally above 1, which the trunc chunks absorb.
+    a32 = jnp.where(a > 0, a, 1.0).astype(jnp.float32)
+    _, e = jnp.frexp(a32)
+    s = jnp.ldexp(jnp.ones_like(a32), e).astype(V.dtype)
     r = V / s
     chunks = []
     for i in range(min(n_hi, L)):
@@ -109,6 +116,98 @@ def _ozaki_contract_axis(X, k, table, L=_OZAKI_L):
     # scales: result axis is last; sX loses axis k, sA contributes (m,)
     C = C * jnp.squeeze(sX, k)[..., None] * sA[:, 0]
     return jnp.moveaxis(C, -1, k)
+
+
+def _ozaki_slice_pair(hi, lo, axis, L=_OZAKI_L, w=_OZAKI_W):
+    """Slice a two-float value ``hi + lo`` (f32 pair, |lo| <= ulp(hi)/2)
+    into bf16 chunks — float32-only arithmetic throughout: the first 24/w
+    chunks consume `hi` exactly (f32 mantissa = 3 x 8 bits), the rest come
+    from `lo` scaled up by 2^24.  Returns ``(chunks, s)`` with `s` an exact
+    power-of-2 f32 scale."""
+    n_hi = 24 // w
+    a = jnp.max(jnp.abs(hi), axis=axis, keepdims=True)
+    # exact power-of-2 scale with s >= a (see _ozaki_slice)
+    _, e = jnp.frexp(jnp.where(a > 0, a, 1.0))
+    s = jnp.ldexp(jnp.ones_like(a), e)   # exact (f32 exp2 is approximate!)
+    r = hi / s                       # exact (power-of-2 divide)
+    chunks = []
+    for i in range(min(n_hi, L)):
+        scale = jnp.float32(2.0 ** (w * (i + 1)))
+        q = jnp.trunc(r * scale) / scale
+        chunks.append(q.astype(jnp.bfloat16))
+        r = r - q                    # exact: q is a bit-slice of r
+    if L > n_hi:
+        # the tail: remaining hi bits (elements below the per-vector max
+        # still have mantissa below the chunk grid) plus lo
+        r32 = (r + lo / s) * jnp.float32(2.0 ** (w * n_hi))
+        for i in range(n_hi, L):
+            scale = jnp.float32(2.0 ** (w * (i + 1 - n_hi)))
+            q = jnp.trunc(r32 * scale) / scale
+            chunks.append((q * jnp.float32(2.0 ** (-w * n_hi)))
+                          .astype(jnp.bfloat16))
+            r32 = r32 - q
+    return chunks, s
+
+
+def _ozaki_contract_axis_pair(X, k, table, L=_OZAKI_L):
+    """Pair-in / pair-out Ozaki contraction of axis `k`: `X` is a two-float
+    f32 pair, `table` an f64 (m, Q) array; the result axis returns to `k`.
+    No f64 arithmetic anywhere — diagonals combine with two-float adds and
+    the power-of-2 scales multiply exactly."""
+    from . import twofloat as tf
+    Ac, sA = _ozaki_slice(table, 1, L)
+    Xc, sX = _ozaki_slice_pair(X[0], X[1], k, L)
+    acc = None
+    for d in range(L):
+        Dd = None
+        for i in range(d + 1):
+            Y = jnp.tensordot(Xc[d - i], Ac[i], axes=(k, 1),
+                              preferred_element_type=jnp.float32)
+            Dd = Y if Dd is None else Dd + Y
+        acc = tf.df(Dd) if acc is None else tf.df_add(acc, tf.df(Dd))
+    # scales: result axis is last; sA is f64 (from the f64 table) but holds
+    # exact powers of two -> exact in f32
+    sfull = jnp.squeeze(sX, k)[..., None] * sA[:, 0].astype(jnp.float32)
+    hi, lo = acc[0] * sfull, acc[1] * sfull
+    return jnp.moveaxis(hi, -1, k), jnp.moveaxis(lo, -1, k)
+
+
+def contract_chain_ozaki_pair(tables, field_pair):
+    """Windowless Ozaki chain with two-float intermediates: the field enters
+    and every stage result stays as an f32 pair (slice -> bf16 dots ->
+    two-float diagonal combine), eliminating emulated-f64 elementwise ops
+    from the whole chain.  Returns an f32 pair; convert once with
+    :func:`~pyiga_tpu.ops.twofloat.df_to_f64`."""
+    X = field_pair
+    for k in range(len(tables)):
+        X = _ozaki_contract_axis_pair(X, k, tables[k])
+    return X
+
+
+def assemble_terms_folded_pair(term_tables, field_pairs, fold_plan, tperms):
+    """Folded sum of pair-chains (see :func:`assemble_terms_folded`); fields
+    and all arithmetic are two-float f32.  Returns the f64 data tensor."""
+    from . import twofloat as tf
+    direct = [t for t, m in fold_plan if not m]
+    mirrored = [t for t, m in fold_plan if m]
+
+    def chain_sum(idxs):
+        out = None
+        for t in idxs:
+            Y = contract_chain_ozaki_pair(term_tables[t], field_pairs[t])
+            out = Y if out is None else tf.df_add(out, Y)
+        return out
+
+    out = chain_sum(direct) if direct else None
+    if mirrored:
+        sym = chain_sum(mirrored)
+        hiT, loT = sym
+        for k, p in enumerate(tperms):
+            hiT = jnp.take(hiT, p, axis=k)
+            loT = jnp.take(loT, p, axis=k)
+        sym = tf.df_add(sym, (hiT, loT))
+        out = sym if out is None else tf.df_add(out, sym)
+    return tf.df_to_f64(out)
 
 
 def contract_chain_ozaki(tables, field):

@@ -1,0 +1,118 @@
+# -*- coding: utf-8 -*-
+"""Double-float32 (two-float) elementwise arithmetic.
+
+On TPU, float64 is software-emulated and — unlike float32 — its elementwise
+operations barely fuse: the 36 multiply/adds of the stiffness coefficient
+fields cost ~15x their HBM traffic bound (measured, see PLAN.md).  This
+module provides f64-accurate (~2^-48 relative) elementwise arithmetic built
+from error-free transformations on float32 pairs (Dekker splitting + Knuth
+two-sum; no FMA required), which XLA fuses like any other f32 elementwise
+graph.
+
+A value x is represented as ``(hi, lo)`` with ``x ~= hi + lo``,
+``|lo| <= ulp(hi)/2``.  Used by the float64 assembly fast path for the
+geometry field pipeline (det/inv/weight products); the Ozaki-split
+contraction (sumfac) consumes the results.
+
+Reference: Dekker (1971), "A floating-point technique for extending the
+available precision"; the classic double-double algorithms (Hida-Li-Bailey).
+"""
+
+import jax.numpy as jnp
+
+_SPLIT = jnp.float32(4097.0)        # 2^12 + 1 for f32 Dekker splitting
+
+
+def _split(a):
+    c = _SPLIT * a
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def two_sum(a, b):
+    """Knuth: s + err == a + b exactly (f32)."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def quick_two_sum(a, b):
+    """Dekker: requires |a| >= |b|; s + err == a + b exactly."""
+    s = a + b
+    return s, b - (s - a)
+
+
+def two_prod(a, b):
+    """p + err == a * b exactly (f32, Dekker splitting, no FMA)."""
+    p = a * b
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+def df(hi, lo=None):
+    """Build a two-float value."""
+    return (hi, jnp.zeros_like(hi) if lo is None else lo)
+
+
+def df_from_f64(x):
+    """Split an f64 array into a two-float f32 pair (exact to f32-pair
+    precision)."""
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(jnp.float64)).astype(jnp.float32)
+    return hi, lo
+
+
+def df_to_f64(a):
+    return a[0].astype(jnp.float64) + a[1].astype(jnp.float64)
+
+
+def df_neg(a):
+    return -a[0], -a[1]
+
+
+def df_abs(a):
+    m = a[0] < 0
+    return jnp.where(m, -a[0], a[0]), jnp.where(m, -a[1], a[1])
+
+
+def df_add(a, b):
+    """Accurate two-float addition (IEEE-style, safe under cancellation)."""
+    s1, s2 = two_sum(a[0], b[0])
+    t1, t2 = two_sum(a[1], b[1])
+    s2 = s2 + t1
+    s1, s2 = quick_two_sum(s1, s2)
+    s2 = s2 + t2
+    return quick_two_sum(s1, s2)
+
+
+def df_sub(a, b):
+    return df_add(a, df_neg(b))
+
+
+def df_mul(a, b):
+    p, e = two_prod(a[0], b[0])
+    e = e + (a[0] * b[1] + a[1] * b[0])
+    return quick_two_sum(p, e)
+
+
+def df_div(a, b):
+    """Two-float division: f32 quotient + one Newton correction step."""
+    q1 = a[0] / b[0]
+    # r = a - q1*b, computed accurately
+    p, e = two_prod(q1, b[0])
+    e = e + q1 * b[1]
+    r_hi, r_e = two_sum(a[0], -p)
+    r = (r_hi, r_e + (a[1] - e))
+    q2 = (r[0] + r[1]) / b[0]
+    return quick_two_sum(q1, q2)
+
+
+def df_sum(values):
+    """Sum a sequence of two-float values."""
+    acc = values[0]
+    for v in values[1:]:
+        acc = df_add(acc, v)
+    return acc

@@ -201,3 +201,55 @@ def test_ozaki_assembly():
     ref = sumfac.contract_chain(tabs, X)
     oz = sumfac.contract_chain_ozaki(tabs, X)
     assert float(jnp.max(jnp.abs(oz - ref)) / jnp.max(jnp.abs(ref))) < 1e-12
+
+
+def test_twofloat():
+    from pyiga_tpu.ops import twofloat as tf
+    rng = np.random.RandomState(0)
+    x = rng.randn(20000) * np.exp(2 * rng.randn(20000))
+    y = rng.randn(20000) * np.exp(2 * rng.randn(20000))
+    X, Y = jnp.asarray(x), jnp.asarray(y)
+    a, b = tf.df_from_f64(X), tf.df_from_f64(Y)
+
+    def rel(v, ref):
+        return float(jnp.max(jnp.abs(v - ref) / jnp.abs(ref)))
+    assert rel(tf.df_to_f64(tf.df_mul(a, b)), X * Y) < 1e-13
+    assert rel(tf.df_to_f64(tf.df_div(a, b)), X / Y) < 1e-13
+    assert rel(tf.df_to_f64(tf.df_abs(a)), jnp.abs(X)) < 1e-14
+    # addition: accuracy limited only by the 48-bit input representation
+    s = tf.df_to_f64(tf.df_add(a, b))
+    assert float(jnp.max(jnp.abs(s - (X + Y)) /
+                         jnp.maximum(jnp.abs(X), jnp.abs(Y)))) < 1e-13
+
+
+def test_pair_chain_assembly():
+    # pair-chained Ozaki assembly (f32 pairs end to end) matches exact f64
+    from pyiga_tpu.ops import sumfac, twofloat as tf
+    from pyiga_tpu.assemblers import (stiffness_fields,
+                                      stiffness_fields_df_pair)
+    for d in (2, 3):
+        kvs, geo = _setup(p=3, n=5, d=d)
+        asm = StiffnessAssembler(kvs, geo)
+        gi = jax.tree_util.tree_map(lambda a: jnp.asarray(np.asarray(a)),
+                                    asm._geo_inputs)
+        tt = [[jnp.asarray(t) for t in tabs]
+              for tabs in asm.tables.term_tables(asm.terms)]
+        plan, tperms = asm._fold()
+        tperms = [jnp.asarray(p) for p in tperms]
+        ref = sumfac.assemble_terms_folded(tt, stiffness_fields(gi),
+                                           tuple(plan), tperms)
+        pair = sumfac.assemble_terms_folded_pair(
+            tt, stiffness_fields_df_pair(gi), tuple(plan), tperms)
+        rel = float(jnp.max(jnp.abs(pair - ref)) / jnp.max(jnp.abs(ref)))
+        assert rel < 1e-13
+
+    # the pair slicer reconstructs exactly on data including values whose
+    # f32 rounding sits at power-of-2 boundaries (the exp2/frexp trap)
+    rng = np.random.RandomState(1)
+    V = jnp.asarray(np.concatenate([rng.randn(50) * np.exp(3*rng.randn(50)),
+                                    [1.0, -2.0, 0.5 - 2**-30, 2**-20, 0.0]]))
+    hi, lo = tf.df_from_f64(V)
+    ch, s = sumfac._ozaki_slice_pair(hi[None], lo[None], 1)
+    rec = sum(c.astype(jnp.float64) for c in ch) * s.astype(jnp.float64)
+    err = float(jnp.max(jnp.abs(rec[0] - V)))
+    assert err < 1e-14 * float(jnp.max(jnp.abs(V)))
