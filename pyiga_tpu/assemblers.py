@@ -134,6 +134,7 @@ class BaseGaussAssembler:
         splitting (bf16 chunk products with exact f32 MXU accumulation,
         ~3e-14 relative accuracy, ~2-3x faster than the emulated f64 dot on
         TPU — see :func:`~pyiga_tpu.ops.sumfac.contract_chain_ozaki`)."""
+        assert mode in ('exact', 'ozaki'), "mode must be 'exact' or 'ozaki'"
         term_tables = self.tables.term_tables(self.terms)
         fold_plan, tperms = self._fold()
         data = sumfac.run_matrix_assembly(self.field_fn, self._geo_inputs,

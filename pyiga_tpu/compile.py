@@ -527,9 +527,10 @@ class VFormAssembler:
                              for k in range(self.dim)])
         return tabs
 
-    def _assembly_fn(self):
+    def _assembly_fn(self, mode='exact'):
         """The traced assembly function: inputs pytree + term tables ->
-        dict of per-component-block data tensors."""
+        dict of per-component-block data tensors.  ``mode='ozaki'`` uses the
+        bf16-split f64 contraction (see sumfac.contract_chain_ozaki)."""
         combos = self.combos
         fold_plan = getattr(self, '_fold_plan', None)
 
@@ -542,9 +543,12 @@ class VFormAssembler:
             def fn(inputs, term_tables, tperms):
                 fields = self._eval_combo_fields(inputs, combos)
                 Y = sumfac.assemble_terms_folded(term_tables, fields,
-                                                 plan, tperms)
+                                                 plan, tperms, mode=mode)
                 return {(None, None): Y}
             return fn
+
+        chain = (sumfac.contract_chain_ozaki if mode == 'ozaki'
+                 else sumfac.contract_chain)
 
         def fn(inputs, term_tables, tperms):
             fields = self._eval_combo_fields(inputs, combos)
@@ -553,14 +557,14 @@ class VFormAssembler:
                 cu = su[0] if su is not None else None
                 cv = sv[0]
                 key = (cu, cv)
-                Y = sumfac.contract_chain(tabs, C)
+                Y = chain(tabs, C)
                 blocks[key] = blocks.get(key, 0.0) + Y
             return blocks
         return fn
 
     _JIT_CACHE = {}
 
-    def _run(self):
+    def _run(self, mode='exact'):
         import jax
         import jax.numpy as jnp
         from . import config
@@ -570,10 +574,10 @@ class VFormAssembler:
                tuple(fold) if fold is not None else None,
                self._geo_tables is None,
                getattr(self, '_geo_is_nurbs', None),
-               self._needs_geo_hessian())
+               self._needs_geo_hessian(), mode)
         fn = VFormAssembler._JIT_CACHE.get(key)
         if fn is None:
-            fn = jax.jit(self._assembly_fn())
+            fn = jax.jit(self._assembly_fn(mode))
             VFormAssembler._JIT_CACHE[key] = fn
 
         dtype = config.get_dtype()
@@ -590,11 +594,16 @@ class VFormAssembler:
         blocks = fn(inputs, term_tables, tperms)
         return {k: np.asarray(v, dtype=np.float64) for k, v in blocks.items()}
 
-    def assemble(self):
+    def assemble(self, mode='exact'):
         """Assemble and return the matrix as an MLMatrix (scalar forms) or a
-        dict of (comp_u, comp_v) -> MLMatrix blocks (vector forms)."""
+        dict of (comp_u, comp_v) -> MLMatrix blocks (vector forms).
+
+        ``mode='ozaki'`` computes the float64 contractions by the Ozaki
+        splitting (bf16 chunk products with exact f32 MXU accumulation,
+        ~1e-13 relative, ~2-3x faster than emulated f64 on TPU)."""
         assert self.arity == 2
-        blocks = self._run()
+        assert mode in ('exact', 'ozaki'), "mode must be 'exact' or 'ozaki'"
+        blocks = self._run(mode)
         if not self.vf.vec:
             return self.structure.make_mlmatrix(data=blocks[(None, None)])
         return {k: self.structure.make_mlmatrix(data=v)

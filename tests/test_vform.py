@@ -292,3 +292,26 @@ def test_vform_symmetry_folding():
     rel = abs(B - K - C).max() / abs(B).max()
     assert rel < 1e-14
     assert abs(B - B.T).max() > 1e-6      # convection not mirrored away
+
+
+def test_vform_ozaki_mode():
+    # Ozaki-split assembly through the compiled-vform API matches exact f64
+    import numpy as np
+    from pyiga_tpu import geometry
+    from pyiga_tpu.bspline import make_knots
+    from pyiga_tpu.compile import compile_vform
+    from pyiga_tpu.vform import parse_vf, stiffness_vf
+
+    kvs = 2 * (make_knots(3, 0.0, 1.0, 6),)
+    geo = geometry.quarter_annulus()
+    asm = compile_vform(stiffness_vf(2))(kvs, geo=geo)
+    A = asm.assemble().asmatrix()
+    B = asm.assemble(mode='ozaki').asmatrix()
+    assert abs(B - A).max() < 1e-12 * abs(A).max()
+
+    b = np.array([1.5, -0.5])
+    vf = parse_vf('dot(b, grad(u)) * v * dx', kvs, {'b': b})
+    asm2 = compile_vform(vf)(kvs, geo=geo, b=b)
+    C1 = asm2.assemble().asmatrix()
+    C2 = asm2.assemble(mode='ozaki').asmatrix()
+    assert abs(C2 - C1).max() < 1e-12 * abs(C1).max()
