@@ -53,7 +53,9 @@ def run_on(device, n, dtype, repeats=3):
     from pyiga_tpu.ops.banded import (BandedOperator, band_info,
                                       banded_from_compact_device,
                                       banded_gather_maps)
-    from pyiga_tpu.ops.fastdiag import fastdiag_precond, interior_dofs
+    from pyiga_tpu.ops.fastdiag import (fastdiag_precond,
+                                        fastdiag_precond_weighted,
+                                        interior_dofs)
     from pyiga_tpu.ops.matfree import MatrixFreeOperator, RestrictedOperator
     from pyiga_tpu import solvers
 
@@ -133,7 +135,10 @@ def run_on(device, n, dtype, repeats=3):
             op_hi = RestrictedOperator(
                 BandedOperator(None, bws, ns), free, int(np.prod(ns)))
             op = MatrixFreeOperator(asm, free_dofs=free, dtype=np.float32)
-            P = fastdiag_precond(kvs, dirichlet=True, dtype=np.float32)
+            # geometry-averaged 1D coefficients: 57 -> 24 CG iterations on
+            # the twisted box vs the parametric fastdiag
+            P = fastdiag_precond_weighted(asm, dirichlet=True,
+                                          dtype=np.float32)
 
             def solve(data):
                 op_hi.operands['inner']['D'] = to_banded(data)
@@ -147,7 +152,7 @@ def run_on(device, n, dtype, repeats=3):
                 return solve(data)
         else:
             op = MatrixFreeOperator(asm, free_dofs=free)
-            P = fastdiag_precond(kvs, dirichlet=True)
+            P = fastdiag_precond_weighted(asm, dirichlet=True)
 
             def solve(data):
                 u, it = solvers.cg_jit(op, b, tol=1e-8, maxiter=600,

@@ -253,3 +253,27 @@ def test_pair_chain_assembly():
     rec = sum(c.astype(jnp.float64) for c in ch) * s.astype(jnp.float64)
     err = float(jnp.max(jnp.abs(rec[0] - V)))
     assert err < 1e-14 * float(jnp.max(jnp.abs(V)))
+
+
+def test_fastdiag_weighted():
+    # geometry-averaged 1D coefficients must converge strictly faster than
+    # the parametric fastdiag on a strongly mapped geometry, to the same
+    # solution
+    from pyiga_tpu.ops.fastdiag import (fastdiag_precond,
+                                        fastdiag_precond_weighted,
+                                        interior_dofs)
+    kvs, geo = _setup(p=3, n=8)
+    asm = StiffnessAssembler(kvs, geo)
+    free = interior_dofs(kvs)
+    op = MatrixFreeOperator(asm, free_dofs=free, dtype=np.float64)
+    b = np.random.RandomState(0).rand(len(free))
+    P0 = fastdiag_precond(kvs, dirichlet=True)
+    Pw = fastdiag_precond_weighted(asm, dirichlet=True)
+    x0, it0 = solvers.cg_jit(op, jnp.asarray(b), tol=1e-10, maxiter=500,
+                             precond=P0)
+    xw, itw = solvers.cg_jit(op, jnp.asarray(b), tol=1e-10, maxiter=500,
+                             precond=Pw)
+    assert int(itw) < int(it0)
+    K = asm.assemble().asmatrix().tocsr()[free][:, free]
+    r = np.linalg.norm(K @ np.asarray(xw) - b) / np.linalg.norm(b)
+    assert r < 1e-9
