@@ -6,8 +6,9 @@ solve path:
   chains folded, MXU matmuls),
 * homogeneous Dirichlet conditions via the box-restriction fast path,
 * matrix-free preconditioned CG: float32 Krylov iterations with the
-  fast-diagonalization (Sangalli-Tani) preconditioner, refined to full
-  float64 accuracy by the device-fused iterative refinement (cg_ir).
+  geometry-weighted fast-diagonalization preconditioner (Sangalli-Tani
+  with per-axis averaged coefficients), refined to full float64 accuracy
+  by the device-fused iterative refinement (cg_ir).
 """
 
 import os
@@ -22,7 +23,8 @@ import jax.numpy as jnp
 
 from pyiga_tpu import bspline, geometry, solvers
 from pyiga_tpu.assemblers import StiffnessAssembler
-from pyiga_tpu.ops.fastdiag import fastdiag_precond, interior_dofs
+from pyiga_tpu.ops.fastdiag import (fastdiag_precond_weighted,
+                                    interior_dofs)
 from pyiga_tpu.ops.matfree import MatrixFreeOperator
 
 
@@ -41,7 +43,8 @@ def main(n=16, p=3):
     free = interior_dofs(kvs)
     op64 = MatrixFreeOperator(asm, free_dofs=free, dtype=np.float64)
     op32 = MatrixFreeOperator(asm, free_dofs=free, dtype=np.float32)
-    P32 = fastdiag_precond(kvs, dirichlet=True, dtype=np.float32)
+    P32 = fastdiag_precond_weighted(asm, dirichlet=True,
+                                    dtype=np.float32)
 
     b = np.ones(len(free))
     t0 = time.perf_counter()
