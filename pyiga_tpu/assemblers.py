@@ -314,19 +314,24 @@ def stiffness_fields_df(geo_inputs):
 def stiffness_fields_df_pair(geo_inputs):
     """Like :func:`stiffness_fields_df` but returns the two-float pairs
     directly (no f64 round trip) for the pair-chained Ozaki assembly
-    (:func:`~pyiga_tpu.ops.sumfac.assemble_terms_folded_pair`)."""
+    (:func:`~pyiga_tpu.ops.sumfac.assemble_terms_folded_pair`).  The whole
+    pipeline — geometry Jacobian, det/inv, weight products — runs in fused
+    f32 pair arithmetic; no emulated-f64 ops."""
     from .ops import twofloat as tf
 
     if 'jac' in geo_inputs:
         jac = geo_inputs['jac']
+        d = jac.shape[0]
+        jp = [[tf.df_from_f64(jac[a, b]) for b in range(d)]
+              for a in range(d)]
     else:
         is_nurbs = 'geo_tables_nurbs' in geo_inputs
         key = 'geo_tables_nurbs' if is_nurbs else 'geo_tables_bsp'
         tables = geo_inputs[key]
-        _, jac = geom.geo_jacobian_field(tables, geo_inputs['geo_coeffs'],
-                                         is_nurbs, len(tables))
-    d = jac.shape[0]
-    det, inv = geom.det_and_inv_df(jac)
+        d = len(tables)
+        _, jp = geom.geo_jacobian_field_df(tables, geo_inputs['geo_coeffs'],
+                                           is_nurbs, d)
+    det, inv = geom.det_and_inv_df_pairs(jp)
     gw = tf.df_from_f64(geom.gauss_weight_field(geo_inputs['weights']))
     W = tf.df_mul(gw, tf.df_abs(det))
     fields = []

@@ -207,6 +207,15 @@ def det_and_inv_df(J):
     from . import twofloat as tf
     d = J.shape[0]
     j = [[tf.df_from_f64(J[a, b]) for b in range(d)] for a in range(d)]
+    return det_and_inv_df_pairs(j)
+
+
+def det_and_inv_df_pairs(j):
+    """Like :func:`det_and_inv_df` but on an already-split nested pair
+    matrix ``j[a][b] = (hi, lo)`` (e.g. from
+    :func:`geo_jacobian_field_df`)."""
+    from . import twofloat as tf
+    d = len(j)
 
     def m(a, b):
         return tf.df_mul(a, b)
@@ -244,3 +253,67 @@ def det_and_inv_df(J):
                for a in range(3)]
         return det, inv
     raise NotImplementedError('det_and_inv_df only implemented for d <= 3')
+
+
+def tp_apply_df(tables, coeffs, lead=0, max_unroll=8):
+    """Two-float version of :func:`tp_apply`: contractions over the (small)
+    geometry coefficient axes are unrolled into double-float32 multiply/adds
+    (:mod:`~pyiga_tpu.ops.twofloat`), which fuse as f32 elementwise code —
+    unlike emulated-f64 tensordots.  Falls back to the f64 tensordot (then
+    splits) when an axis exceeds `max_unroll` coefficients.
+
+    Returns a two-float pair."""
+    from . import twofloat as tf
+    d = len(tables)
+    if any(t.shape[1] > max_unroll for t in tables):
+        return tf.df_from_f64(tp_apply(tables, coeffs, lead))
+    X = tf.df_from_f64(jnp.asarray(coeffs))
+    for k in range(d):
+        T = tables[k]                       # (Q_k, n_k), f64
+        Q, n = T.shape
+        ax = lead + k
+        acc = None
+        for j in range(n):
+            # coefficient slice with axis `ax` removed, broadcast against Q
+            hi = jnp.expand_dims(jnp.take(X[0], j, axis=ax), ax)
+            lo = jnp.expand_dims(jnp.take(X[1], j, axis=ax), ax)
+            tshape = [1] * hi.ndim
+            tshape[ax] = Q
+            tj = tf.df_from_f64(T[:, j].reshape(tshape))
+            term = tf.df_mul(tj, (hi, lo))
+            acc = term if acc is None else tf.df_add(acc, term)
+        X = acc
+    return X
+
+
+def geo_jacobian_field_df(tables, coeffs, is_nurbs, sdim):
+    """Two-float analog of :func:`geo_jacobian_field`: returns
+    ``(val, jac)`` with `val` a list of per-component pairs and `jac` a
+    nested ``[c][k]`` list of pairs — no emulated-f64 arithmetic (the
+    geometry coefficient contractions unroll into fused f32 pair ops, the
+    NURBS quotient rule runs in two-float division)."""
+    from . import twofloat as tf
+    val_tabs = [t[0] for t in tables]
+    der_tabs = [t[1] for t in tables]
+    C = coeffs.shape[0]
+    valp = tp_apply_df(val_tabs, coeffs, lead=1)
+    val = [(valp[0][c], valp[1][c]) for c in range(C)]
+    jac = []
+    for k in range(sdim):
+        ops = [der_tabs[j] if j == k else val_tabs[j] for j in range(sdim)]
+        colp = tp_apply_df(ops, coeffs, lead=1)
+        jac.append([(colp[0][c], colp[1][c]) for c in range(C)])
+    # jac[k][c] -> reorder to [c][k]
+    jac = [[jac[k][c] for k in range(sdim)] for c in range(C)]
+
+    if is_nurbs:
+        W = val[-1]
+        V = val[:-1]
+        Wj = jac[-1]
+        Vj = jac[:-1]
+        val = [tf.df_div(v, W) for v in V]
+        jac = [[tf.df_div(tf.df_sub(tf.df_mul(Vj[c][k], W),
+                                    tf.df_mul(V[c], Wj[k])),
+                          tf.df_mul(W, W)) for k in range(sdim)]
+               for c in range(len(V))]
+    return val, jac
