@@ -172,19 +172,23 @@ def _ozaki_contract_axis_pair(X, k, table, L=_OZAKI_L):
     return jnp.moveaxis(hi, -1, k), jnp.moveaxis(lo, -1, k)
 
 
-def contract_chain_ozaki_pair(tables, field_pair):
+def contract_chain_ozaki_pair(tables, field_pair, L=_OZAKI_L):
     """Windowless Ozaki chain with two-float intermediates: the field enters
     and every stage result stays as an f32 pair (slice -> bf16 dots ->
     two-float diagonal combine), eliminating emulated-f64 elementwise ops
     from the whole chain.  Returns an f32 pair; convert once with
-    :func:`~pyiga_tpu.ops.twofloat.df_to_f64`."""
+    :func:`~pyiga_tpu.ops.twofloat.df_to_f64`.
+
+    `L` trades accuracy for dot count (L(L+1)/2 bf16 dots per stage):
+    measured assembled accuracy L=7: 7e-15, L=6: 1e-13, L=5: 3e-11."""
     X = field_pair
     for k in range(len(tables)):
-        X = _ozaki_contract_axis_pair(X, k, tables[k])
+        X = _ozaki_contract_axis_pair(X, k, tables[k], L=L)
     return X
 
 
-def assemble_terms_folded_pair(term_tables, field_pairs, fold_plan, tperms):
+def assemble_terms_folded_pair(term_tables, field_pairs, fold_plan, tperms,
+                               L=_OZAKI_L):
     """Folded sum of pair-chains (see :func:`assemble_terms_folded`); fields
     and all arithmetic are two-float f32.  Returns the f64 data tensor."""
     from . import twofloat as tf
@@ -194,7 +198,7 @@ def assemble_terms_folded_pair(term_tables, field_pairs, fold_plan, tperms):
     def chain_sum(idxs):
         out = None
         for t in idxs:
-            Y = contract_chain_ozaki_pair(term_tables[t], field_pairs[t])
+            Y = contract_chain_ozaki_pair(term_tables[t], field_pairs[t], L)
             out = Y if out is None else tf.df_add(out, Y)
         return out
 
