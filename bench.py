@@ -22,9 +22,16 @@ vs_baseline  = speedup vs the same jitted computation on the host CPU
                runtime bounded while understating, not overstating, the
                speedup.
 
+Numerics: the float64 assembly runs the pair-chained Ozaki contraction
+(bf16 mantissa chunks with exact f32 MXU accumulation, two-float fields;
+L=6 chunks) — assembled entries match the exact-f64 path to ~1e-13
+relative, 1000x inside the <=1e-10 entry-parity target, and the CG
+iteration counts are identical.  The solve runs float32 Krylov iterations
+with device-fused float64 iterative refinement to the 1e-8 target.
+
 Timing notes: the tunneled TPU backend has ~28ms dispatch latency and
 ``block_until_ready`` returns early, so each phase is a single dispatch
-synchronized by fetching a scalar.
+synchronized by fetching a scalar (one combined sync per repeat).
 """
 
 import json

@@ -277,3 +277,38 @@ def test_fastdiag_weighted():
     K = asm.assemble().asmatrix().tocsr()[free][:, free]
     r = np.linalg.norm(K @ np.asarray(xw) - b) / np.linalg.norm(b)
     assert r < 1e-9
+
+
+def test_twofloat_special_values():
+    from pyiga_tpu.ops import twofloat as tf
+    vals = np.array([0.0, -0.0, 1.0, -1.0, 2.0**-30, -(2.0**30),
+                     0.5 - 2.0**-30, 1.0 + 2.0**-40, np.pi, -np.e])
+    X = jnp.asarray(vals)
+    a = tf.df_from_f64(X)
+    # representation round trip: exact to the 48-bit pair precision
+    aX = tf.df_to_f64(a)
+    assert float(jnp.max(jnp.abs(aX - X))) < 2.0**-47 * float(jnp.max(jnp.abs(X)))
+    # values with <= 48 significant bits round-trip exactly
+    assert float(jnp.max(jnp.abs(aX[:7] - X[:7]))) == 0.0
+    # x * 1, x + 0, x / 1 reproduce the represented value exactly
+    one = tf.df_from_f64(jnp.ones_like(X))
+    zero = tf.df_from_f64(jnp.zeros_like(X))
+    assert float(jnp.max(jnp.abs(tf.df_to_f64(tf.df_mul(a, one)) - aX))) == 0.0
+    assert float(jnp.max(jnp.abs(tf.df_to_f64(tf.df_add(a, zero)) - aX))) == 0.0
+    assert float(jnp.max(jnp.abs(tf.df_to_f64(tf.df_div(a, one)) - aX))) == 0.0
+    # x - x == 0 exactly
+    assert float(jnp.max(jnp.abs(tf.df_to_f64(tf.df_sub(a, a))))) == 0.0
+
+
+def test_ozaki_chunk_ladder():
+    # documented accuracy ladder of the pair chain vs chunk count
+    from pyiga_tpu.ops import sumfac, twofloat as tf
+    rng = np.random.RandomState(5)
+    tabs = [jnp.asarray(rng.randn(14, 12)) for _ in range(2)]
+    X = jnp.asarray(rng.randn(12, 12) * np.exp(rng.randn(12, 1)))
+    ref = sumfac.contract_chain(tabs, X)
+    for L, tol in [(7, 1e-12), (6, 1e-10), (5, 1e-8)]:
+        got = tf.df_to_f64(sumfac.contract_chain_ozaki_pair(
+            tabs, tf.df_from_f64(X), L=L))
+        rel = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
+        assert rel < tol
