@@ -60,8 +60,7 @@ def run_on(device, n, dtype, repeats=3):
     from pyiga_tpu.ops.banded import (BandedOperator, band_info,
                                       banded_from_compact_device,
                                       banded_gather_maps)
-    from pyiga_tpu.ops.fastdiag import (fastdiag_precond,
-                                        fastdiag_precond_weighted,
+    from pyiga_tpu.ops.fastdiag import (fastdiag_precond_weighted,
                                         interior_dofs)
     from pyiga_tpu.ops.matfree import MatrixFreeOperator, RestrictedOperator
     from pyiga_tpu import solvers

@@ -281,39 +281,11 @@ def __getattr__(name):
     raise AttributeError(name)
 
 
-def stiffness_fields_df(geo_inputs):
-    """Stiffness coefficient fields computed in double-float32 arithmetic
-    (:mod:`~pyiga_tpu.ops.twofloat`): same values as :func:`stiffness_fields`
-    to ~1e-13 relative, but the det/inv/weight products fuse as f32
-    elementwise code instead of poorly-fusing emulated-f64 ops.  Used by the
-    float64 assembly fast path (with the Ozaki-split contraction)."""
-    import jax.numpy as jnp
-    from .ops import twofloat as tf
-
-    if 'jac' in geo_inputs:
-        jac = geo_inputs['jac']
-    else:
-        is_nurbs = 'geo_tables_nurbs' in geo_inputs
-        key = 'geo_tables_nurbs' if is_nurbs else 'geo_tables_bsp'
-        tables = geo_inputs[key]
-        _, jac = geom.geo_jacobian_field(tables, geo_inputs['geo_coeffs'],
-                                         is_nurbs, len(tables))
-    d = jac.shape[0]
-    det, inv = geom.det_and_inv_df(jac)
-    gw = tf.df_from_f64(geom.gauss_weight_field(geo_inputs['weights']))
-    W = tf.df_mul(gw, tf.df_abs(det))
-    fields = []
-    for a in range(d):
-        for b in range(d):
-            Bab = tf.df_sum([tf.df_mul(inv[a][k], inv[b][k])
-                             for k in range(d)])
-            fields.append(tf.df_to_f64(tf.df_mul(W, Bab)))
-    return fields
-
-
 def stiffness_fields_df_pair(geo_inputs):
-    """Like :func:`stiffness_fields_df` but returns the two-float pairs
-    directly (no f64 round trip) for the pair-chained Ozaki assembly
+    """Stiffness coefficient fields as two-float f32 pairs
+    (:mod:`~pyiga_tpu.ops.twofloat`): same values as
+    :func:`stiffness_fields` to ~1e-13 relative, computed entirely in fused
+    f32 pair arithmetic for the pair-chained Ozaki assembly
     (:func:`~pyiga_tpu.ops.sumfac.assemble_terms_folded_pair`).  The whole
     pipeline — geometry Jacobian, det/inv, weight products — runs in fused
     f32 pair arithmetic; no emulated-f64 ops."""
