@@ -1,8 +1,7 @@
 # -*- coding: utf-8 -*-
-"""Approximation of functions in spline spaces (interpolation, L2 projection).
-
-API parity with /root/reference/pyiga/approx.py.
-"""
+"""Approximate functions in spline spaces: nodal interpolation and
+L2 projection.  Same entry points as the reference (`interpolate`,
+`project_L2`), including the hierarchical-space dispatch."""
 
 import sys
 
@@ -13,66 +12,76 @@ from . import bspline, operators, tensor, utils
 from .bspline import KnotVector
 
 
+def _as_kv_tuple(kvs):
+    return (kvs,) if isinstance(kvs, KnotVector) else tuple(kvs)
+
+
+def _nodal_values(f, kvs, nodes, geo):
+    """Values of `f` on the TP node grid; `f` may already be a value array
+    (shape = per-axis dof counts, trailing component axes allowed)."""
+    if isinstance(f, np.ndarray):
+        want = tuple(kv.numdofs for kv in kvs)
+        if np.shape(f)[:len(kvs)] != want:
+            raise ValueError('value array has shape %s, expected leading %s'
+                             % (np.shape(f), want))
+        return f
+    if geo is not None:
+        return utils.grid_eval_transformed(f, nodes, geo)
+    return utils.grid_eval(f, nodes)
+
+
 def interpolate(kvs, f, geo=None, nodes=None):
-    """Coefficients interpolating `f` in the TP basis `kvs` at `nodes`
-    (Greville abscissae by default).  With `geo`, `f` is evaluated in
-    physical coordinates.  `f` may also be an array of nodal values."""
-    if isinstance(kvs, KnotVector):
-        kvs = (kvs,)
+    """Spline coefficients interpolating `f` at the given `nodes` (Greville
+    abscissae by default); with `geo`, `f` takes physical coordinates."""
+    kvs = _as_kv_tuple(kvs)
     if nodes is None:
         nodes = [kv.greville() for kv in kvs]
-
-    if isinstance(f, np.ndarray):
-        if np.shape(f)[:len(kvs)] != tuple(kv.numdofs for kv in kvs):
-            raise ValueError('array f has wrong shape')
-        rhs = f
-    elif geo is not None:
-        rhs = utils.grid_eval_transformed(f, nodes, geo)
-    else:
-        rhs = utils.grid_eval(f, nodes)
-
-    Cinvs = [operators.make_solver(bspline.collocation(kvs[i], nodes[i]))
-             for i in range(len(kvs))]
-    return tensor.apply_tprod(Cinvs, rhs)
+    vals = _nodal_values(f, kvs, nodes, geo)
+    solve_1d = [operators.make_solver(bspline.collocation(kv, nd))
+                for kv, nd in zip(kvs, nodes)]
+    return tensor.apply_tprod(solve_1d, vals)
 
 
-def _project_L2_hspace(hs, f, f_physical=False, geo=None):
+def project_L2(kvs, f, f_physical=False, geo=None):
+    """L2-projection of `f` onto the spline space.
+
+    Accepts a TP space (knot vector / tuple) or an
+    :class:`~pyiga_tpu.hierarchical.HSpace`.  On TP spaces without geometry
+    the Kronecker mass inverse applies directly; with geometry, CG on the
+    mapped mass matrix is preconditioned by the parameter-domain Kronecker
+    inverse."""
+    from . import assemble
+    from .hierarchical import HSpace
+    if isinstance(kvs, HSpace):
+        return _project_L2_hspace(kvs, f, f_physical, geo)
+
+    kvs = _as_kv_tuple(kvs)
+    rhs = assemble.inner_products(kvs, f, f_physical=f_physical, geo=geo)
+    kron_inv = [operators.make_solver(assemble.mass(kv), spd=True)
+                for kv in kvs]
+    if geo is None:
+        if f_physical:
+            raise ValueError('physical-coordinate f requires a geometry')
+        return tensor.apply_tprod(kron_inv, rhs)
+
+    M = assemble.mass(kvs, geo=geo)
+    if rhs.size != M.shape[1]:
+        raise NotImplementedError(
+            'L2 projection with geometry handles scalar functions only')
+    x, status = scipy.sparse.linalg.cg(
+        M, rhs.ravel(), rtol=1e-12, atol=1e-12, maxiter=100,
+        M=operators.KroneckerOperator(*kron_inv))
+    if status != 0:
+        print('WARNING: L2 projection CG did not converge (info=%s)' % status,
+              file=sys.stderr)
+    return x.reshape(rhs.shape)
+
+
+def _project_L2_hspace(hs, f, f_physical, geo):
     from . import assemble, geometry, vform
     if geo is None:
         geo = geometry.identity(hs.knotvectors(0))
     M = assemble.assemble(vform.mass_vf(hs.dim), hs, geo=geo)
-    rhs = assemble.assemble(
-        vform.L2functional_vf(hs.dim, physical=f_physical), hs, geo=geo, f=f)
-    return operators.make_solver(M, spd=True).dot(rhs)
-
-
-def project_L2(kvs, f, f_physical=False, geo=None):
-    """L2-projection of `f` into the TP basis `kvs` (or a hierarchical space).
-
-    With a geometry, the mass system is solved by CG preconditioned with the
-    Kronecker parameter-domain mass inverse."""
-    from . import assemble
-    try:
-        from .hierarchical import HSpace
-        if isinstance(kvs, HSpace):
-            return _project_L2_hspace(kvs, f, f_physical, geo)
-    except ImportError:
-        pass
-    if isinstance(kvs, KnotVector):
-        kvs = (kvs,)
-    Minvs = [operators.make_solver(assemble.mass(kv), spd=True) for kv in kvs]
-    rhs = assemble.inner_products(kvs, f, f_physical=f_physical, geo=geo)
-    if geo is None:
-        assert not f_physical, 'Cannot use physical coordinates without geometry'
-        return tensor.apply_tprod(Minvs, rhs)
-    M = assemble.mass(kvs, geo=geo)
-    b = rhs.ravel()
-    assert b.shape[0] == M.shape[1], \
-        'L2 projection with geometry only implemented for scalar functions'
-    x, info = scipy.sparse.linalg.cg(M, b, rtol=1e-12, atol=1e-12,
-                                     maxiter=100,
-                                     M=operators.KroneckerOperator(*Minvs))
-    if info:
-        print('WARNING: L2 projection - CG did not converge:', info,
-              file=sys.stderr)
-    return x.reshape(rhs.shape)
+    b = assemble.assemble(vform.L2functional_vf(hs.dim, physical=f_physical),
+                          hs, geo=geo, f=f)
+    return operators.make_solver(M, spd=True).dot(b)

@@ -1,9 +1,10 @@
 # -*- coding: utf-8 -*-
-"""Basis for the subspace S-tilde: splines with vanishing odd derivatives at
-the boundary (Hofreither & Takacs, "Robust Multigrid for Isogeometric
+"""Basis for the subspace S-tilde: splines whose odd derivatives vanish at
+the domain boundary (Hofreither & Takacs, "Robust Multigrid for Isogeometric
 Analysis Based on Stable Splittings of Spline Spaces").
 
-API parity with /root/reference/pyiga/stilde.py."""
+Same API as the reference module: ``Stilde_basis_side(kv, side)`` and
+``Stilde_basis(kv)``."""
 
 import numpy as np
 import scipy.linalg
@@ -11,48 +12,42 @@ import scipy.linalg
 from . import bspline
 
 
-def Stilde_basis_side(kv, side):
-    """Nullspace basis of the odd boundary derivatives at one end of the knot
-    vector, plus a basis of its orthogonal complement."""
+def _odd_deriv_constraints(kv, side):
+    """Rows = odd boundary derivatives (scaled by h^k), columns = the p
+    boundary-active basis functions at the chosen end (the outermost
+    function, which trivially satisfies all constraints, is dropped)."""
     p = kv.p
-    u = kv.kv[0] if side == 0 else kv.kv[-1]
-    derivs = bspline.active_deriv(kv, u, p - 1)     # (p, p+1)
+    endpoint = kv.kv[0 if side == 0 else -1]
+    D = bspline.active_deriv(kv, endpoint, p - 1)       # (p, p+1)
+    D = D[:, :-1] if side == 0 else D[:, 1:]
+    scale = kv.meshsize_avg() ** np.arange(p)
+    D = scale[:, None] * D
+    D[0::2, :] = 0.0        # zero the even-derivative rows
+    return D
 
-    # the outermost function is always in the nullspace; drop it
-    derivs = derivs[:, :p] if side == 0 else derivs[:, 1:]
 
-    # scale the k-th derivative row by h^k for conditioning
-    h = kv.meshsize_avg()
-    derivs = (h ** np.arange(p))[:, None] * derivs
-
-    n_tilde = (p + 1) // 2
-    even = range(0, p, 2)
-    assert n_tilde == len(even)
-    derivs[even, :] = 0     # keep only odd derivatives
-
-    _, _, Vt = scipy.linalg.svd(derivs)
-    return (Vt.T[:, -n_tilde:], Vt.T[:, :-n_tilde])
+def Stilde_basis_side(kv, side):
+    """SVD-based splitting at one boundary: returns ``(N, C)`` where the
+    columns of `N` span the nullspace of the odd-derivative constraints and
+    those of `C` span its orthogonal complement."""
+    D = _odd_deriv_constraints(kv, side)
+    dim_null = (kv.p + 1) // 2
+    V = scipy.linalg.svd(D)[2].T
+    return V[:, -dim_null:], V[:, :-dim_null]
 
 
 def Stilde_basis(kv):
-    """Basis for S-tilde and for its orthogonal complement, as a pair of
-    prolongation-like matrices ``(P_tilde, P_compl)``."""
-    p = kv.p
-    b_L, b_compl_L = Stilde_basis_side(kv, 0)
-    b_R, b_compl_R = Stilde_basis_side(kv, 1)
+    """Bases for S-tilde and its orthogonal complement as coefficient
+    matrices ``(P_tilde, P_compl)`` over the full spline space."""
+    p, n = kv.p, kv.numdofs
+    NL, CL = Stilde_basis_side(kv, 0)
+    NR, CR = Stilde_basis_side(kv, 1)
+    interior = n - 2 * p
 
-    n = kv.numdofs
-    n_L, n_R = b_L.shape[1], b_R.shape[1]
-    n_I = n - 2 * p
-    n_c_L, n_c_R = b_compl_L.shape[1], b_compl_R.shape[1]
-
-    P_tilde = np.zeros((n, n_L + n_I + n_R))
-    P_tilde[:p, :n_L] = b_L
-    P_tilde[p:-p, n_L:-n_R] = np.eye(n_I)
-    P_tilde[-p:, -n_R:] = b_R
-
-    P_compl = np.zeros((n, n_c_L + n_c_R))
-    P_compl[:p, :n_c_L] = b_compl_L
-    P_compl[-p:, -n_c_R:] = b_compl_R
-
-    return (P_tilde, P_compl)
+    # S-tilde: boundary nullspace blocks around an untouched interior
+    P_tilde = scipy.linalg.block_diag(NL, np.eye(interior), NR)
+    # complement: only the boundary blocks
+    P_compl = np.zeros((n, CL.shape[1] + CR.shape[1]))
+    P_compl[:p, :CL.shape[1]] = CL
+    P_compl[n - p:, CL.shape[1]:] = CR
+    return P_tilde, P_compl

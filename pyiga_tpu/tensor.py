@@ -191,71 +191,73 @@ def _apply_lowrank(Ts, xs):
 def als1(A, tol=1e-15):
     """Best rank-1 approximation of tensor `A` via alternating least squares.
     Returns a tuple of `d` vectors whose outer product approximates `A`."""
-    d = A.ndim
-    xs = [np.random.rand(1, n) for n in A.shape]
+    factors = [np.random.rand(1, n) for n in A.shape]
+    axes = range(A.ndim)
     while True:
-        delta = 1.0
-        for k in range(d):
-            ys = xs[:k] + [None] + xs[k + 1:]
-            denom = np.prod([xs[l][0].dot(xs[l][0]) for l in range(d) if l != k])
-            xk = asarray(apply_tprod(ys, A)).ravel() / denom
-            delta *= np.linalg.norm(xk - xs[k][0])
-            xs[k][0, :] = xk
-        if delta < tol:
-            break
-    return tuple(x[0] for x in xs)
+        move = 1.0
+        for k in axes:
+            contractors = [f if j != k else None
+                           for j, f in enumerate(factors)]
+            scale = np.prod([f[0] @ f[0] for j, f in enumerate(factors)
+                             if j != k])
+            updated = asarray(apply_tprod(contractors, A)).ravel() / scale
+            move *= np.linalg.norm(updated - factors[k][0])
+            factors[k][0, :] = updated
+        if move < tol:
+            return tuple(f[0] for f in factors)
 
 
 def als(A, R, tol=1e-10, maxiter=10000, startval=None):
     """Best rank-`R` CP approximation of `A` via alternating least squares.
     Returns a :class:`CanonicalTensor`."""
     if startval is None:
-        xs = [np.random.rand(R, n) for n in A.shape]
+        factors = [np.random.rand(R, n) for n in A.shape]
     else:
         if isinstance(startval, CanonicalTensor):
-            assert startval.R == R, 'starting value has wrong rank'
+            if startval.R != R:
+                raise ValueError('starting value has wrong rank')
             startval = startval.Xs
-        xs = [x.T for x in startval]
-        assert all(x.shape == (R, n) for x, n in zip(xs, A.shape)), \
-            'starting value has wrong shape'
+        factors = [x.T for x in startval]
+        if not all(f.shape == (R, n) for f, n in zip(factors, A.shape)):
+            raise ValueError('starting value has wrong shape')
 
     d = A.ndim
-    A_norm = fro_norm(A)
-    gram = [x.dot(x.T) for x in xs]     # R x R Gram matrices per axis
+    scale = fro_norm(A)
+    grams = [f @ f.T for f in factors]      # per-axis R x R Gram matrices
 
     for _ in range(maxiter):
-        delta = 0.0
+        residual_sq = 0.0
         for k in range(d):
-            # right-hand side: per rank-1 term, contract A along all axes != k
-            C = np.empty((R, A.shape[k]))
-            for r in range(R):
-                ys = [xs[j][r:r + 1, :] for j in range(d)]
-                ys[k] = None
-                C[r, :] = asarray(apply_tprod(ys, A)).ravel()
-            Gamma = np.prod(_without_k(gram, k), axis=0)
-            delta += fro_norm(Gamma.dot(xs[k]) - C) ** 2
-            xs[k] = np.linalg.solve(Gamma, C)
-            gram[k] = xs[k].dot(xs[k].T)
-        if np.sqrt(delta) / A_norm < tol:
+            # normal-equations rhs: contract A against every rank-1 term
+            # along all axes except k
+            rhs = np.stack([
+                asarray(apply_tprod(
+                    [None if j == k else factors[j][r:r + 1, :]
+                     for j in range(d)], A)).ravel()
+                for r in range(R)])
+            G = np.prod(_without_k(grams, k), axis=0)
+            residual_sq += fro_norm(G @ factors[k] - rhs) ** 2
+            factors[k] = np.linalg.solve(G, rhs)
+            grams[k] = factors[k] @ factors[k].T
+        if np.sqrt(residual_sq) < tol * scale:
             break
-    return CanonicalTensor(x.T for x in xs)
+    return CanonicalTensor(f.T for f in factors)
 
 
 def grou(B, R, tol=1e-12, return_errors=False):
     """CP approximation by greedy rank-one updates
     (doi:10.1016/j.cam.2019.03.002)."""
-    E = asarray(B).copy()
+    residual = asarray(B).copy()
     terms, errors = [], []
     for _ in range(R):
-        xs = als1(E)
-        terms.append(xs)
-        E = E - outer(*xs)
-        err = fro_norm(E)
-        errors.append(err)
-        if err < tol:
+        t = als1(residual)
+        terms.append(t)
+        residual = residual - outer(*t)
+        errors.append(fro_norm(residual))
+        if errors[-1] < tol:
             break
-    X = CanonicalTensor.from_terms(terms)
-    return (X, errors) if return_errors else X
+    approx = CanonicalTensor.from_terms(terms)
+    return (approx, errors) if return_errors else approx
 
 
 def als1_ls(A, B, tol=1e-15, maxiter=10000, spd=False):
