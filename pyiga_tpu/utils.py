@@ -12,22 +12,22 @@ import numpy as np
 import scipy.sparse
 
 
-def _broadcast_to_grid(X, grid_shape):
-    X = np.asanyarray(X)
-    target_shape = grid_shape + X.shape[len(grid_shape):]
-    if X.shape != target_shape:
-        X = np.broadcast_to(X, target_shape)
-    return X
+def _fill_grid(values, shape):
+    """Broadcast `values` onto the leading grid axes (functions that ignore
+    an argument return under-broadcast arrays); trailing component axes are
+    kept."""
+    values = np.asanyarray(values)
+    want = shape + values.shape[len(shape):]
+    return values if values.shape == want else np.broadcast_to(values, want)
 
 
 def _ensure_grid_shape(values, grid):
-    """Stack tuple-valued results into a trailing axis and broadcast the array
-    to the full grid shape (functions may ignore some arguments)."""
-    grid_shape = tuple(len(g) for g in grid)
+    """Normalize a function result over a tensor grid: tuple components are
+    stacked into a trailing axis, everything is broadcast to the grid."""
+    shape = tuple(map(len, grid))
     if isinstance(values, tuple):
-        values = np.stack([_broadcast_to_grid(v, grid_shape) for v in values],
-                          axis=-1)
-    return _broadcast_to_grid(values, grid_shape)
+        values = np.stack([_fill_grid(v, shape) for v in values], axis=-1)
+    return _fill_grid(values, shape)
 
 
 def grid_eval(f, grid):
