@@ -144,25 +144,26 @@ class HMesh:
         self.P = []
 
     @staticmethod
+    def _level_prolongators(coarse, fine):
+        return tuple(bspline.prolongation(k0, k1).tocsc()
+                     for k0, k1 in zip(coarse.kvs, fine.kvs))
+
+    @staticmethod
     def init_from_kvs(kvs, active, deactivated, P=None):
         """Build an HMesh from per-level knot vectors and cell sets."""
         out = HMesh(TPMesh(kvs[0]))
         out.meshes = [TPMesh(kv) for kv in kvs]
         out.active = active
         out.deactivated = deactivated
-        out.P = P if P else [
-            tuple(bspline.prolongation(k0, k1).tocsc()
-                  for k0, k1 in zip(out.meshes[lv].kvs, out.meshes[lv + 1].kvs))
-            for lv in range(len(kvs) - 1)]
+        out.P = P or [HMesh._level_prolongators(a, b)
+                      for a, b in zip(out.meshes[:-1], out.meshes[1:])]
         return out
 
     def add_level(self):
         self.meshes.append(self.meshes[-1].refine())
         self.active.append(set())
         self.deactivated.append(set())
-        self.P.append(tuple(
-            bspline.prolongation(k0, k1).tocsc()
-            for k0, k1 in zip(self.meshes[-2].kvs, self.meshes[-1].kvs)))
+        self.P.append(self._level_prolongators(*self.meshes[-2:]))
 
     def ensure_levels(self, L):
         while len(self.meshes) < L:
@@ -171,34 +172,32 @@ class HMesh:
     # -- cell hierarchy (dyadic) ------------------------------------------------
 
     def cell_children(self, lv, cells):
-        assert 0 <= lv < len(self.meshes) - 1, 'Invalid level'
-        out = []
+        if not 0 <= lv < len(self.meshes) - 1:
+            raise ValueError('level %d has no finer level' % lv)
+        kids = []
         for c in cells:
-            out.extend(itertools.product(
-                *(range(2 * ci, 2 * ci + 2) for ci in c)))
-        return out
+            kids += itertools.product(*((2 * ci, 2 * ci + 1) for ci in c))
+        return kids
 
     def cell_grandchildren(self, lv, cells, targetlv=None):
-        if not targetlv:
-            targetlv = len(self.meshes) - 1
-        assert 0 <= lv < targetlv < len(self.meshes), 'Invalid levels'
-        while lv < targetlv:
-            cells = self.cell_children(lv, cells)
-            lv += 1
+        targetlv = targetlv or (len(self.meshes) - 1)
+        if not 0 <= lv < targetlv < len(self.meshes):
+            raise ValueError('invalid level pair (%d, %d)' % (lv, targetlv))
+        for l in range(lv, targetlv):
+            cells = self.cell_children(l, cells)
         return cells
 
     def cell_parent(self, lv, cells):
-        assert 1 <= lv < len(self.meshes), 'Invalid level'
-        return {tuple(ci // 2 for ci in c) for c in cells}
+        if not 1 <= lv < len(self.meshes):
+            raise ValueError('level %d has no coarser level' % lv)
+        return {tuple(ci >> 1 for ci in c) for c in cells}
 
     def cell_grandparent(self, lv, cells, targetlv=None):
-        if not targetlv:
-            targetlv = 0
-        assert 1 <= lv < len(self.meshes), 'Invalid level'
-        assert 0 <= targetlv < lv, 'Invalid target level'
-        while lv > targetlv:
-            cells = self.cell_parent(lv, cells)
-            lv -= 1
+        targetlv = targetlv or 0
+        if not 0 <= targetlv < lv < len(self.meshes):
+            raise ValueError('invalid level pair (%d, %d)' % (lv, targetlv))
+        for l in range(lv, targetlv, -1):
+            cells = self.cell_parent(l, cells)
         return cells
 
     # -- function hierarchy (via prolongator sparsity) ---------------------------
