@@ -27,11 +27,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices=None, shape=None, axis_names=('space', 'rhs'),
               devices=None):
     """Create a device mesh.  By default uses all devices in a 1D 'space'
-    axis; pass `shape` (tuple) for a 2D ('space', 'rhs') mesh."""
+    axis; pass `shape` (tuple) for a 2D ('space', 'rhs') mesh.
+
+    Raises ``RuntimeError`` (instead of silently under-provisioning) when
+    fewer devices exist than requested; virtual CPU meshes must be
+    provisioned *before* JAX initializes, via
+    ``XLA_FLAGS=--xla_force_host_platform_device_count=<n>`` and
+    ``JAX_PLATFORMS=cpu`` (see ``tests/conftest.py`` and
+    ``__graft_entry__.dryrun_multichip``).
+    """
+    want = n_devices if n_devices is not None else (
+        int(np.prod(shape)) if shape is not None else None)
     if devices is None:
         devices = jax.devices()
-        want = n_devices if n_devices is not None else (
-            int(np.prod(shape)) if shape is not None else None)
         if want is not None and len(devices) < want:
             # default backend too small (e.g. single tunneled TPU): fall back
             # to the host platform mesh (xla_force_host_platform_device_count)
@@ -41,6 +49,13 @@ def make_mesh(n_devices=None, shape=None, axis_names=('space', 'rhs'),
                     devices = cpus
             except RuntimeError:
                 pass
+    if want is not None and len(devices) < want:
+        raise RuntimeError(
+            f"make_mesh: requested {want} devices but only {len(devices)} "
+            f"are available ({[str(d) for d in devices]}). Provision a "
+            f"virtual CPU mesh by setting XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={want} and "
+            f"JAX_PLATFORMS=cpu before JAX is first imported.")
     if n_devices is not None:
         devices = devices[:n_devices]
     if shape is not None:
@@ -180,9 +195,13 @@ def sharded_matfree_cg(asm, mesh, free_dofs=None, precond=None,
     return solve, {'mv': mv_ops, 'pc': pc_ops}
 
 
-def dryrun(n_devices, dim=2, nspans=4, p=2, cg_iters=4):
+def dryrun(n_devices, dim=3, nspans=4, p=3, cg_iters=4, check_parity=True):
     """Compile and execute one sharded assemble+solve step on an
-    `n_devices`-device mesh with tiny shapes.  Returns the result arrays."""
+    `n_devices`-device mesh with tiny shapes.  Defaults exercise the
+    flagship workload (3D degree-3 stiffness sum-factorization assembly +
+    matrix-free CG).  With ``check_parity``, the same step is also run
+    unsharded on one device and the results are asserted to agree to 1e-10.
+    Returns the result arrays."""
     from .. import geometry
     from ..assemblers import StiffnessAssembler
     from ..bspline import make_knots
@@ -196,10 +215,11 @@ def dryrun(n_devices, dim=2, nspans=4, p=2, cg_iters=4):
            else geometry.twisted_box())
     asm = StiffnessAssembler(kvs, geo)
     step, args = sharded_stiffness_step(asm, mesh, cg_iters=cg_iters)
+    args = jax.tree_util.tree_map(jnp.asarray, args)
 
     with mesh:
         fn = jax.jit(step)
-        data, X = fn(*jax.tree_util.tree_map(jnp.asarray, args))
+        data, X = fn(*args)
         jax.block_until_ready((data, X))
 
         # also compile + run the production matrix-free CG over the mesh
@@ -212,4 +232,23 @@ def dryrun(n_devices, dim=2, nspans=4, p=2, cg_iters=4):
         x, it = jax.jit(solve)(jax.tree_util.tree_map(
             lambda a: a if a is None else jnp.asarray(a), ops_), b)
         jax.block_until_ready(x)
-    return np.asarray(data), np.asarray(X)
+
+    data, X = np.asarray(data), np.asarray(X)
+    if check_parity:
+        # one-device reference: same traced step, no mesh
+        mesh1 = make_mesh(n_devices=1, shape=(1,), axis_names=('space',))
+        step1, args1 = sharded_stiffness_step(asm, mesh1, cg_iters=cg_iters,
+                                              num_rhs=X.shape[0])
+        with mesh1:
+            d1, x1 = jax.jit(step1)(*jax.tree_util.tree_map(
+                jnp.asarray, args1))
+            jax.block_until_ready((d1, x1))
+        scale = max(1.0, float(np.abs(data).max()))
+        err_d = float(np.abs(data - np.asarray(d1)).max()) / scale
+        err_x = float(np.abs(X - np.asarray(x1)).max()) / max(
+            1.0, float(np.abs(X).max()))
+        if err_d > 1e-10 or err_x > 1e-10:
+            raise AssertionError(
+                f"multi-device parity failed: data err {err_d:.2e}, "
+                f"solution err {err_x:.2e} (tol 1e-10)")
+    return data, X

@@ -1,4 +1,9 @@
 # Multi-device sharding tests (run on the virtual 8-device CPU mesh).
+#
+# These tests FAIL (not skip) when the virtual mesh cannot be built: the
+# conftest provisions 8 CPU devices via xla_force_host_platform_device_count,
+# so a missing mesh means the environment is misconfigured and the whole
+# multi-chip suite would otherwise silently vanish green.
 import numpy as np
 import jax
 
@@ -9,19 +14,19 @@ from pyiga_tpu.assemblers import MassAssembler, StiffnessAssembler
 from pyiga_tpu.bspline import make_knots
 
 
-def _cpu_devices(n):
-    try:
-        devs = jax.devices('cpu')
-    except RuntimeError:
-        return None
-    return devs if len(devs) >= n else None
+def _require_cpu_devices(n):
+    devs = jax.devices('cpu')
+    assert len(devs) >= n, (
+        f'multi-device tests need {n} CPU devices but only {len(devs)} '
+        f'exist — conftest.py must set '
+        f'XLA_FLAGS=--xla_force_host_platform_device_count=8 before any '
+        f'jax import')
+    return devs
 
 
 @pytest.mark.parametrize('ndev', [4, 8])
 def test_sharded_assembly_and_cg(ndev):
-    devs = _cpu_devices(ndev)
-    if devs is None:
-        pytest.skip('not enough CPU devices')
+    _require_cpu_devices(ndev)
     from pyiga_tpu.parallel import dryrun
     data, X = dryrun(ndev, dim=2, nspans=4, p=2, cg_iters=4)
     assert np.all(np.isfinite(data)) and np.all(np.isfinite(X))
@@ -33,10 +38,32 @@ def test_sharded_assembly_and_cg(ndev):
     assert np.abs(data - ref).max() < 1e-12
 
 
+def test_sharded_3d_flagship_weak_scaling():
+    """3D p=3 sum-factorization assembly + CG: 1-device vs 8-device meshes
+    must agree to ~1e-12 (the driver's dryrun_multichip workload)."""
+    _require_cpu_devices(8)
+    from pyiga_tpu.parallel import dryrun
+    # check_parity=True runs the same step on a 1-device mesh and asserts
+    # max |difference| <= 1e-10 for both the assembled compact data tensor
+    # and the CG iterates
+    data, X = dryrun(8, dim=3, nspans=4, p=3, cg_iters=4, check_parity=True)
+    assert np.all(np.isfinite(data)) and np.all(np.isfinite(X))
+
+    kvs = 3 * (make_knots(3, 0.0, 1.0, 4),)
+    asm = StiffnessAssembler(kvs, geometry.twisted_box())
+    ref = asm.assemble().data
+    assert np.abs(data - ref).max() / np.abs(ref).max() < 1e-12
+
+
+def test_make_mesh_hard_fails_when_underprovisioned():
+    _require_cpu_devices(8)
+    from pyiga_tpu.parallel import make_mesh
+    with pytest.raises(RuntimeError, match='xla_force_host_platform'):
+        make_mesh(n_devices=1000)
+
+
 def test_sharded_step_cg_correctness():
-    devs = _cpu_devices(8)
-    if devs is None:
-        pytest.skip('not enough CPU devices')
+    _require_cpu_devices(8)
     import jax.numpy as jnp
     from pyiga_tpu.parallel import make_mesh, sharded_stiffness_step
 
@@ -56,10 +83,29 @@ def test_sharded_step_cg_correctness():
         assert r < 1e-6
 
 
+def test_sharded_multi_rhs_axis():
+    """Batched right-hand sides sharded over a dedicated 'rhs' mesh axis
+    must each converge to the same solution as an unbatched solve."""
+    _require_cpu_devices(8)
+    import jax.numpy as jnp
+    from pyiga_tpu.parallel import make_mesh, sharded_stiffness_step
+
+    kvs = 2 * (make_knots(2, 0.0, 1.0, 5),)
+    asm = MassAssembler(kvs, geometry.quarter_annulus())
+    mesh = make_mesh(shape=(2, 4), axis_names=('space', 'rhs'))
+    step, args = sharded_stiffness_step(asm, mesh, cg_iters=60, num_rhs=4)
+    with mesh:
+        data, X = jax.jit(step)(*jax.tree_util.tree_map(jnp.asarray, args))
+    A = asm.assemble().asmatrix()
+    B = np.asarray(args[2])
+    import scipy.sparse.linalg as spla
+    for k in range(4):
+        x_ref = spla.spsolve(A.tocsc(), B[k])
+        assert np.abs(np.asarray(X[k]) - x_ref).max() < 1e-6
+
+
 def test_sharded_matfree_cg():
-    devs = _cpu_devices(8)
-    if devs is None:
-        pytest.skip('not enough CPU devices')
+    _require_cpu_devices(8)
     import jax.numpy as jnp
     from pyiga_tpu.parallel import make_mesh, sharded_matfree_cg
 
