@@ -312,3 +312,23 @@ def test_ozaki_chunk_ladder():
             tabs, tf.df_from_f64(X), L=L))
         rel = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
         assert rel < tol
+
+
+def test_ozaki_long_contraction_split():
+    # contraction lengths K > 2^(24-2w) = 256 violate the exact-f32-
+    # accumulation condition; the contraction must split the axis into
+    # exactness-preserving blocks (ADVICE r1) and keep full accuracy
+    from pyiga_tpu.ops import sumfac, twofloat as tf
+    rng = np.random.RandomState(11)
+    K = 700     # > 2 * _OZAKI_MAX_K: exercises multiple blocks
+    A = jnp.asarray(rng.randn(9, K) * np.exp(rng.randn(9, 1)))
+    X = jnp.asarray(rng.randn(K, 7) * np.exp(rng.randn(K, 1)))
+    ref = jnp.tensordot(X, A, axes=(0, 1)).swapaxes(0, 1)
+    oz = sumfac._ozaki_contract_axis(X, 0, A)
+    rel = float(jnp.max(jnp.abs(oz - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel < 1e-12
+
+    pr = tf.df_to_f64(sumfac._ozaki_contract_axis_pair(
+        tf.df_from_f64(X), 0, A))
+    rel = float(jnp.max(jnp.abs(pr - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel < 1e-12

@@ -315,3 +315,31 @@ def test_vform_ozaki_mode():
     C1 = asm2.assemble().asmatrix()
     C2 = asm2.assemble(mode='ozaki').asmatrix()
     assert abs(C2 - C1).max() < 1e-12 * abs(C1).max()
+
+
+def test_prune_keeps_tiny_asymmetric_terms():
+    # per-combo structural-zero detection (ADVICE r1): a term scaled by a
+    # literal 1e-16 sits far below the old global 1e-13-of-max probe
+    # threshold but is a genuine (asymmetric) term and must survive pruning
+    # and must not be symmetry-folded
+    from pyiga_tpu.assemble import instantiate_assembler
+
+    kvs = 2 * (bspline.make_knots(2, 0.0, 1.0, 5),)
+    geo = geometry.bspline_quarter_annulus()
+    b = np.array([2.0, 1.0])
+
+    base = instantiate_assembler('u * v * dx', kvs, {'geo': geo}, None, None)
+    multi = instantiate_assembler(
+        '(u * v + 1e-16 * dot(b, grad(u)) * v) * dx',
+        kvs, {'geo': geo, 'b': b}, None, None)
+    # the tiny convection combos (first-derivative trial seeds) survive
+    assert len(multi.combos) > len(base.combos)
+    deriv_orders = {sum(su[1]) for su, sv in multi.combos}
+    assert 1 in deriv_orders
+
+    # structural zeros are still pruned: curl-free-like form with an exact
+    # cancellation keeps only the genuine term
+    zero = instantiate_assembler(
+        '(dot(b, grad(u)) * v - dot(b, grad(u)) * v + u * v) * dx',
+        kvs, {'geo': geo, 'b': b}, None, None)
+    assert len(zero.combos) == len(base.combos)
