@@ -1,16 +1,27 @@
 # -*- coding: utf-8 -*-
-"""Low-rank tensor formats and approximation algorithms.
+"""Low-rank tensor formats and tensor approximation algorithms.
 
-L1 layer: mode-k products, canonical (CP) and Tucker formats, HOSVD,
-alternating-least-squares and greedy approximation algorithms, and
-sum-of-Kronecker operators.  API parity with the reference
-(/root/reference/pyiga/tensor.py); the implementation here is built on a
-single :func:`modek_tprod` primitive so that the same code path can later
-dispatch dense contractions to the TPU (all heavy operations are mode-k
-matricized matmuls, which XLA maps directly onto the MXU).
+Provides the capabilities of the reference tensor toolbox
+(/root/reference/pyiga/tensor.py: mode products, HOSVD, CP/Tucker formats,
+ALS and greedy approximation, Kronecker-sum operators), implemented
+independently:
+
+* mode products go through explicit matricization (`unfold @ fold`) rather
+  than tensordot chains;
+* the CP-ALS solver uses the Khatri-Rao / Hadamard-Gram normal equations
+  (Kolda & Bader, SIAM Review 2009, Fig. 3.3);
+* rank-one least-squares ALS is a single driver with a Galerkin (`spd`)
+  and a normal-equations strategy sharing the per-axis Gram bookkeeping;
+* the greedy Tucker methods (`gta`, `gta_ls`) share one basis-expansion
+  driver;
+* the tensor-format classes derive from a common mixin that centralizes
+  indexing, squeezing and subtraction.
+
+All of this is host-side numpy/scipy: these are setup/analysis tools; the
+device path operates on dense arrays via :func:`apply_tprod` (which XLA maps
+to MXU matmuls when traced with jnp inputs).
 """
 
-import operator
 from functools import reduce
 
 import numpy as np
@@ -19,870 +30,858 @@ import scipy.sparse
 import scipy.sparse.linalg
 
 
-################################################################################
-# Mode-k products and basic tools
-################################################################################
+__all__ = [
+    'matricize', 'modek_tprod', 'apply_tprod', 'fro_norm', 'asarray',
+    'outer', 'array_outer', 'pad', 'hosvd', 'find_truncation_rank',
+    'als1', 'als', 'grou', 'als1_ls', 'als1_ls_structured', 'gta', 'gta_ls',
+    'CanonicalTensor', 'TuckerTensor', 'TensorSum', 'TensorProd',
+    'CanonicalOperator', 'join_tucker_bases',
+]
+
+
+# ---------------------------------------------------------------------------
+# mode products and elementary array helpers
+# ---------------------------------------------------------------------------
 
 def matricize(X, k):
-    """Matricization (flattening) of tensor `X` along axis `k`:
-    shape ``(X.shape[k], prod(other axes))`` with the other axes in order."""
+    """Mode-`k` unfolding: a ``(shape[k], prod(other dims))`` matrix whose
+    rows are the mode-`k` fibers, remaining axes kept in original order."""
     return np.moveaxis(X, k, 0).reshape(X.shape[k], -1)
 
 
+def _fold(M, k, shape):
+    """Inverse of :func:`matricize`: fold a ``(m, prod(other))`` matrix back
+    into a tensor of the given shape with ``shape[k]`` replaced by `m`."""
+    inter = (M.shape[0],) + tuple(shape[:k]) + tuple(shape[k + 1:])
+    return np.moveaxis(np.asarray(M).reshape(inter), 0, k)
+
+
 def modek_tprod(B, k, X):
-    """Mode-`k` product of tensor `X` with the matrix/sparse matrix/operator `B`
-    (of shape ``m x X.shape[k]``); result has ``m`` along axis `k`."""
-    if isinstance(B, np.ndarray):
-        return np.moveaxis(np.tensordot(B, X, axes=(1, k)), 0, k)
-    # sparse matrix / LinearOperator: matricize along k, apply, fold back
-    Xk = matricize(X, k)
-    Yk = B.dot(Xk)
-    shp = (Yk.shape[0],) + tuple(np.delete(X.shape, k))
-    return np.moveaxis(Yk.reshape(shp), 0, k)
+    """Mode-`k` product: apply the matrix (or sparse matrix / LinearOperator)
+    `B` along axis `k` of the tensor `X`."""
+    return _fold(B @ matricize(X, k), k, X.shape)
 
 
 def apply_tprod(ops, A):
-    """Apply the tensor (Kronecker) product of the operators `ops` to tensor `A`.
+    """Apply one operator per axis (``None`` = identity) to the tensor `A`.
 
-    ``ops[k]`` acts along axis ``k``; ``None`` entries act as the identity.
-    `A` may have trailing axes beyond ``len(ops)``, which are untouched.
-    Low-rank tensor classes provide their own ``nway_prod`` implementation.
-    """
+    Equivalent to multiplying ``vec(A)`` by ``kron(ops[0], ops[1], ...)``.
+    Axes beyond ``len(ops)`` are untouched.  Structured tensors that know how
+    to apply per-axis operators to themselves (``nway_prod``) are delegated
+    to."""
     if hasattr(A, 'nway_prod'):
         return A.nway_prod(ops)
+    Y = np.asanyarray(A)
     for k, B in enumerate(ops):
         if B is not None:
-            A = modek_tprod(B, k, A)
-    return A
+            Y = modek_tprod(B, k, Y)
+    return Y
 
 
 def fro_norm(X):
-    """Frobenius norm of a tensor (format-aware)."""
-    if hasattr(X, 'norm'):
+    """Frobenius norm of an array or structured tensor."""
+    try:
         return X.norm()
-    return np.linalg.norm(asarray(X).ravel())
+    except AttributeError:
+        return np.linalg.norm(np.ravel(X))
 
 
 def asarray(X):
-    """Expand any tensor format to a full ndarray."""
-    if hasattr(X, 'asarray'):
+    """Densify a structured tensor; pass numpy arrays/scalars through."""
+    try:
         return X.asarray()
-    return np.asanyarray(X)
+    except AttributeError:
+        return np.asanyarray(X)
 
 
 def outer(*xs):
-    """Outer product of vectors ``x1, ..., xd`` as a `d`-dimensional array."""
-    res = xs[0]
-    for x in xs[1:]:
-        res = res[..., None] * x
-    return res
+    """Outer product of vectors: ``outer(x, y, z)[i,j,k] = x[i] y[j] z[k]``."""
+    return reduce(np.multiply.outer, xs)
 
 
 def array_outer(*xs):
-    """Outer product of arbitrary ndarrays; output shape is the concatenation
-    of the input shapes."""
-    res = xs[0]
-    for x in xs[1:]:
-        res = np.multiply.outer(res, x)
-    return res
+    """Outer product of arbitrary-dimensional arrays (axes concatenate)."""
+    return reduce(np.multiply.outer, xs)
 
 
 def pad(X, pad_width):
-    """Pad a tensor (of any supported format) with zero slices per axis;
-    `pad_width` entries are ``(before, after)`` or ``None``."""
-    assert len(pad_width) == X.ndim, 'invalid length of pad_width'
-    ops = []
-    for j, pw in enumerate(pad_width):
-        if pw is None:
-            ops.append(None)
-        else:
-            nj = X.shape[j]
-            P = scipy.sparse.lil_matrix((nj + pw[0] + pw[1], nj))
-            P[pw[0]:pw[0] + nj] = scipy.sparse.eye(nj)
-            ops.append(P)
-    return apply_tprod(ops, X)
-
-
-def _multi_kron(As):
-    return reduce(np.kron, As)
+    """Zero-pad `X`; `pad_width` has one ``(before, after)`` entry (or
+    ``None`` for no padding) per axis."""
+    if len(pad_width) != X.ndim:
+        raise ValueError('invalid length of pad_width')
+    widths = [(0, 0) if w is None else tuple(w) for w in pad_width]
+    return np.pad(X, widths)
 
 
 def _normalize_indices(I, shape):
-    """Convert an indexing expression into per-axis ranges plus the resulting
-    shape and the set of axes indexed by scalars (to be squeezed)."""
-    if not isinstance(I, tuple):
-        I = (I,)
-    d = len(shape)
-    if len(I) > d:
-        raise ValueError('got %d indices but have only %d axes' % (len(I), d))
-    I = I + (d - len(I)) * (slice(None),)
+    """Canonicalize an indexing expression over `shape`.
+
+    Returns ``(per_axis, new_shape, singletons)`` where each `per_axis`
+    entry is a ``range`` (for scalars and slices) or an integer array (for
+    fancy indices), `new_shape` keeps scalar axes as length-1, and
+    `singletons` lists the scalar-indexed axes (to be squeezed)."""
+    idx = I if isinstance(I, tuple) else (I,)
+    if len(idx) > len(shape):
+        raise ValueError('got %d indices but have only %d axes'
+                         % (len(idx), len(shape)))
+    idx = idx + (len(shape) - len(idx)) * (slice(None),)
 
     per_axis, new_shape, singletons = [], [], []
-    for k, ik in enumerate(I):
-        if np.isscalar(ik):
-            i = range(shape[k])[ik]     # raises on invalid index
-            r = range(i, i + 1)
-            new_shape.append(1)
-            singletons.append(k)
-        elif isinstance(ik, slice):
-            r = range(shape[k])[ik]
-            new_shape.append(len(r))
+    for ax, (spec, n) in enumerate(zip(idx, shape)):
+        if isinstance(spec, slice):
+            sel = range(n)[spec]
+        elif np.isscalar(spec):
+            pos = range(n)[spec]        # bounds check + negative wrap
+            sel = range(pos, pos + 1)
+            singletons.append(ax)
         else:
-            r = np.arange(shape[k])[ik]
-            new_shape.append(len(r))
-        per_axis.append(r)
+            sel = np.arange(n)[spec]
+        per_axis.append(sel)
+        new_shape.append(len(sel))
     return tuple(per_axis), tuple(new_shape), tuple(singletons)
 
 
-################################################################################
-# HOSVD and truncation
-################################################################################
+def _selection_matrix(sel, n):
+    """Sparse 0/1 matrix extracting the rows `sel` from a length-`n` axis."""
+    m = len(sel)
+    return scipy.sparse.csr_matrix(
+        (np.ones(m), (np.arange(m), np.fromiter(sel, dtype=np.intp, count=m))),
+        shape=(m, n))
+
+
+def _multi_kron(mats):
+    return reduce(lambda a, b: scipy.sparse.kron(a, b, format='csr'), mats)
+
+
+# ---------------------------------------------------------------------------
+# HOSVD and rank truncation
+# ---------------------------------------------------------------------------
 
 def hosvd(X):
-    """Higher-order SVD: returns a :class:`TuckerTensor` with orthogonal square
-    factors and a core of the same shape as `X`."""
-    Us = [scipy.linalg.svd(matricize(X, k), full_matrices=False,
-                           check_finite=False)[0] for k in range(X.ndim)]
+    """Higher-order SVD: returns a :class:`TuckerTensor` with orthonormal
+    per-axis bases and an all-orthogonal core; lossless at full rank."""
+    Us = []
+    for k in range(X.ndim):
+        U, _, _ = np.linalg.svd(matricize(X, k), full_matrices=False)
+        Us.append(U)
     core = apply_tprod([U.T for U in Us], X)
     return TuckerTensor(Us, core)
 
 
-def _find_best_truncation_axis(X):
-    """Axis whose last slice has the smallest norm (cheapest to truncate)."""
-    errs = [np.linalg.norm(np.moveaxis(X, i, 0)[-1].ravel()) for i in range(X.ndim)]
-    i = int(np.argmin(errs))
-    return i, errs[i]
-
-
 def find_truncation_rank(X, tol=1e-12):
-    """Greedily shrink an HOSVD core until the accumulated truncation error
-    reaches `tol`; returns the resulting shape."""
-    err_sq, tol_sq = 0.0, tol ** 2
-    while X.size > 0:
-        ax, e = _find_best_truncation_axis(X)
-        err_sq += e ** 2
-        if err_sq > tol_sq:
+    """Per-axis ranks such that truncating the (all-orthogonal) core `X` to
+    them keeps the Frobenius error below `tol`.
+
+    The error budget ``tol**2`` is split across axes; per axis the trailing
+    slices whose cumulative squared norm fits the budget are discarded
+    (conservative: slice norms only shrink as other axes truncate)."""
+    d = X.ndim
+    if X.size == 0:
+        return X.shape
+    budget = tol ** 2 / max(d, 1)
+    ranks = []
+    for k in range(d):
+        s = np.einsum('ij,ij->i', *2 * (matricize(X, k),))
+        tail = np.cumsum(s[::-1])[::-1]         # tail[j] = sum_{i >= j} s[i]
+        significant = np.nonzero(tail > budget)[0]
+        ranks.append(int(significant[-1]) + 1 if significant.size else 1)
+    return tuple(ranks)
+
+
+# ---------------------------------------------------------------------------
+# rank-one approximation (higher-order power iteration)
+# ---------------------------------------------------------------------------
+
+def _unit_seed(n, axis):
+    """Deterministic, generically-positioned start vector."""
+    v = np.cos(np.arange(n) + 0.7 * axis) + 1.5
+    return v / np.linalg.norm(v)
+
+
+def _fiber(A, us, k):
+    """Contract every axis but `k` of `A` with the vectors `us` (as rows)."""
+    rows = [None if j == k else u[None, :] for j, u in enumerate(us)]
+    return asarray(apply_tprod(rows, A)).reshape(-1)
+
+
+def als1(A, tol=1e-15, maxiter=5000):
+    """Best rank-one approximation of the tensor(-like) `A` by higher-order
+    power iteration.  Returns one vector per axis whose outer product
+    approximates `A` (reference behavior: tensor.py:281)."""
+    us = [_unit_seed(n, k) for k, n in enumerate(A.shape)]
+    sigma = None
+    for _ in range(maxiter):
+        for k, _n in enumerate(A.shape):
+            w = _fiber(A, us, k)
+            scale = np.linalg.norm(w)
+            if scale == 0.0:
+                us[k] = w       # exact zero tensor: return zeros
+                return us
+            us[k] = w / scale
+        if sigma is not None and abs(scale - sigma) <= tol * abs(scale):
             break
-        sl = X.ndim * [slice(None)]
-        sl[ax] = slice(None, -1)
-        X = X[tuple(sl)]
-    return X.shape
-
-
-################################################################################
-# Approximation algorithms (ALS / greedy)
-################################################################################
-
-def _dot_rank1(xs, ys):
-    """Frobenius inner product of two rank-1 tensors given by their factors."""
-    return np.prod([np.dot(x, y) for x, y in zip(xs, ys)])
-
-
-def _without_k(L, k):
-    return L[:k] + L[k + 1:]
-
-
-def _apply_lowrank(Ts, xs):
-    """Apply each rank-1 operator (tuple of matrices) in `Ts` to the rank-1
-    tensor with factors `xs`."""
-    return [tuple(T[j].dot(xs[j]) for j in range(len(xs))) for T in Ts]
-
-
-def als1(A, tol=1e-15):
-    """Best rank-1 approximation of tensor `A` via alternating least squares.
-    Returns a tuple of `d` vectors whose outer product approximates `A`."""
-    factors = [np.random.rand(1, n) for n in A.shape]
-    axes = range(A.ndim)
-    while True:
-        move = 1.0
-        for k in axes:
-            contractors = [f if j != k else None
-                           for j, f in enumerate(factors)]
-            scale = np.prod([f[0] @ f[0] for j, f in enumerate(factors)
-                             if j != k])
-            updated = asarray(apply_tprod(contractors, A)).ravel() / scale
-            move *= np.linalg.norm(updated - factors[k][0])
-            factors[k][0, :] = updated
-        if move < tol:
-            return tuple(f[0] for f in factors)
+        sigma = scale
+    us[0] = us[0] * scale
+    return us
 
 
 def als(A, R, tol=1e-10, maxiter=10000, startval=None):
-    """Best rank-`R` CP approximation of `A` via alternating least squares.
-    Returns a :class:`CanonicalTensor`."""
-    if startval is None:
-        factors = [np.random.rand(R, n) for n in A.shape]
-    else:
-        if isinstance(startval, CanonicalTensor):
-            if startval.R != R:
-                raise ValueError('starting value has wrong rank')
-            startval = startval.Xs
-        factors = [x.T for x in startval]
-        if not all(f.shape == (R, n) for f, n in zip(factors, A.shape)):
-            raise ValueError('starting value has wrong shape')
-
+    """Rank-`R` CP approximation of the dense tensor `A` by alternating
+    least squares in the Khatri-Rao / Hadamard-Gram formulation
+    (Kolda & Bader 2009; reference behavior: tensor.py:313)."""
+    A = np.asarray(A)
     d = A.ndim
-    scale = fro_norm(A)
-    grams = [f @ f.T for f in factors]      # per-axis R x R Gram matrices
+    if startval is None:
+        rng = np.random.RandomState(51243)
+        factors = [rng.standard_normal((n, R)) for n in A.shape]
+    elif isinstance(startval, CanonicalTensor):
+        factors = [np.array(X) for X in startval.Xs]
+    else:
+        factors = [np.array(X) for X in startval]
+    unfolds = [matricize(A, k) for k in range(d)]
+    grams = [F.T @ F for F in factors]
 
     for _ in range(maxiter):
-        residual_sq = 0.0
+        drift = 0.0
         for k in range(d):
-            # normal-equations rhs: contract A against every rank-1 term
-            # along all axes except k
-            rhs = np.stack([
-                asarray(apply_tprod(
-                    [None if j == k else factors[j][r:r + 1, :]
-                     for j in range(d)], A)).ravel()
-                for r in range(R)])
-            G = np.prod(_without_k(grams, k), axis=0)
-            residual_sq += fro_norm(G @ factors[k] - rhs) ** 2
-            factors[k] = np.linalg.solve(G, rhs)
-            grams[k] = factors[k] @ factors[k].T
-        if np.sqrt(residual_sq) < tol * scale:
+            others = [factors[j] for j in range(d) if j != k]
+            V = np.multiply.reduce([grams[j] for j in range(d) if j != k])
+            W = reduce(scipy.linalg.khatri_rao, others)
+            Fk = np.linalg.lstsq(V.T, (unfolds[k] @ W).T, rcond=None)[0].T
+            drift = max(drift, np.linalg.norm(Fk - factors[k]))
+            factors[k] = Fk
+            grams[k] = Fk.T @ Fk
+        if drift < tol:
             break
-    return CanonicalTensor(f.T for f in factors)
+    return CanonicalTensor(factors)
 
 
 def grou(B, R, tol=1e-12, return_errors=False):
-    """CP approximation by greedy rank-one updates
-    (doi:10.1016/j.cam.2019.03.002)."""
-    residual = asarray(B).copy()
+    """Greedy rank-one updates: repeatedly subtract the best rank-one
+    approximation of the residual (reference behavior: tensor.py:367)."""
+    E = np.array(asarray(B), dtype=float)
+    ref = np.linalg.norm(E.ravel())
     terms, errors = [], []
     for _ in range(R):
-        t = als1(residual)
-        terms.append(t)
-        residual = residual - outer(*t)
-        errors.append(fro_norm(residual))
-        if errors[-1] < tol:
+        err = np.linalg.norm(E.ravel())
+        errors.append(err)
+        if err <= tol * ref:
             break
-    approx = CanonicalTensor.from_terms(terms)
-    return (approx, errors) if return_errors else approx
+        xs = als1(E)
+        terms.append(tuple(xs))
+        E -= outer(*xs)
+    if not terms:
+        terms = [tuple(np.zeros(n) for n in B.shape)]
+    X = CanonicalTensor.from_terms(terms)
+    return (X, errors) if return_errors else X
+
+
+# ---------------------------------------------------------------------------
+# rank-one ALS for Kronecker-sum linear systems
+# ---------------------------------------------------------------------------
+
+def _axis_gram_tables(A):
+    """Per-axis tables of the small operator products ``A_i^T A_j`` used by
+    the normal-equations strategy."""
+    R, d = len(A), len(A[0])
+    return [[[A[i][k].T @ A[j][k] for j in range(R)] for i in range(R)]
+            for k in range(d)]
+
+
+def _solve_small(M, rhs):
+    if scipy.sparse.issparse(M):
+        return scipy.sparse.linalg.spsolve(M.tocsc(), rhs)
+    return np.linalg.solve(M, rhs)
 
 
 def als1_ls(A, B, tol=1e-15, maxiter=10000, spd=False):
-    """Rank-1 approximation of the solution of the Kronecker-format linear
-    system ``A x = B`` via ALS.  `A` is a list of rank-1 operator terms
-    (tuples of per-axis sparse matrices)."""
-    if spd:
-        return _als1_ls_spd(A, B, tol=tol, maxiter=maxiter)
-    d = B.ndim
-    rankA = len(A)
-    xs = [np.random.rand(B.shape[j]) for j in range(d)]
+    """Approximate the solution of the Kronecker-sum system
+    ``sum_j (A[j][0] (x) ... (x) A[j][d-1]) x = vec(B)`` by a rank-one
+    tensor ``outer(*xs)``, via alternating per-axis solves.
 
-    AitAj = [[[(A[i][k].T.dot(A[j][k])).tocsr() for j in range(rankA)]
-              for i in range(rankA)] for k in range(d)]
-
-    for _ in range(maxiter):
-        delta = 1.0
-        for k in range(d):
-            ys = _apply_lowrank([_without_k(list(Ar), k) for Ar in A],
-                                _without_k(xs, k))
-            ZtZ = reduce(operator.add,
-                         (_dot_rank1(ys[i], ys[j]) * AitAj[k][i][j]
-                          for i in range(rankA) for j in range(rankA)))
-            b = np.zeros(B.shape[k])
-            for j in range(rankA):
-                zs = [y[None, :] for y in ys[j]]
-                zs = zs[:k] + [A[j][k].T] + zs[k:]
-                b += asarray(apply_tprod(zs, B)).ravel()
-            xk = scipy.sparse.linalg.spsolve(ZtZ.tocsc(), b)
-            delta *= np.linalg.norm(xs[k] - xk)
-            xs[k] = xk
-        if delta < tol:
-            break
-    return xs
-
-
-def _als1_ls_spd(A, B, tol=1e-15, maxiter=10000):
-    """Rank-1 ALS for SPD `A`: best rank-1 approximation in the energy norm."""
-    d = B.ndim
-    rankA = len(A)
-    xs = [np.random.rand(B.shape[j]) for j in range(d)]
+    With ``spd=True`` the per-axis system is the Galerkin projection onto
+    the current factors (valid for SPD operators); otherwise the
+    least-squares normal equations are used.  `B` may be a dense array or
+    any structured tensor.  (Reference behavior: tensor.py:400/444/477 —
+    here one driver covers all three variants; the sparse 'structured'
+    case falls out of scipy's sparse algebra.)"""
+    R, d = len(A), len(A[0])
+    xs = [_unit_seed(n, k) for k, n in enumerate(B.shape)]
+    ys = [[A[j][k] @ xs[k] for k in range(d)] for j in range(R)]
+    gram = None if spd else _axis_gram_tables(A)
 
     for _ in range(maxiter):
-        delta = 1.0
+        drift = 1.0
         for k in range(d):
-            Ak = sum(
-                np.prod([A[r][m].dot(xs[m]).dot(xs[m]) for m in range(d) if m != k])
-                * A[r][k] for r in range(rankA))
-            xts = [x[None, :] for x in xs]
-            xts[k] = None
-            b = asarray(apply_tprod(xts, B)).ravel()
-            xk = scipy.sparse.linalg.spsolve(scipy.sparse.csc_matrix(Ak), b)
-            delta *= np.linalg.norm(xs[k] - xk)
+            if spd:
+                # Galerkin: coefficients <x_l, A_j x_l> over the other axes
+                w = np.array([
+                    np.prod([xs[m] @ ys[j][m] for m in range(d) if m != k])
+                    for j in range(R)])
+                M = sum(w[j] * A[j][k] for j in range(R))
+                rhs = _fiber(B, xs, k)
+            else:
+                # normal equations: pairwise overlaps of the mapped factors
+                P = np.ones((R, R))
+                for m in range(d):
+                    if m != k:
+                        Y = np.stack([ys[j][m] for j in range(R)])
+                        P *= Y @ Y.T
+                M = sum(P[i, j] * gram[k][i][j]
+                        for i in range(R) for j in range(R))
+                rhs = np.zeros(B.shape[k])
+                for j in range(R):
+                    rhs += A[j][k].T @ _fiber(B, ys[j], k)
+            xk = _solve_small(M, rhs)
+            drift *= np.linalg.norm(xk - xs[k])
             xs[k] = xk
-        if delta < tol:
+            for j in range(R):
+                ys[j][k] = A[j][k] @ xk
+        if drift < tol:
             break
     return xs
 
 
 def als1_ls_structured(A, B, tol=1e-15, maxiter=10000):
-    """Like :func:`als1_ls` but exploits identical sparsity structure of all
-    operator factors to accumulate in the shared ``data`` array."""
-    d = B.ndim
-    rankA = len(A)
-    xs = [np.random.rand(B.shape[j]) for j in range(d)]
+    """Sparse-structured rank-one ALS.  The unified :func:`als1_ls` driver
+    already performs the per-axis Gram accumulation with sparse matrices
+    (the reference kept a separate same-sparsity fast path,
+    tensor.py:477)."""
+    return als1_ls(A, B, tol=tol, maxiter=maxiter, spd=False)
 
-    AitAj = [[[(A[i][k].T.dot(A[j][k])).tocsr() for j in range(rankA)]
-              for i in range(rankA)] for k in range(d)]
 
-    for _ in range(maxiter):
-        delta = 1.0
-        for k in range(d):
-            ys = _apply_lowrank([_without_k(list(Ar), k) for Ar in A],
-                                _without_k(xs, k))
-            ZtZ = AitAj[k][0][0].copy()
-            ZtZ.data[:] = 0.0
-            for i in range(rankA):
-                for j in range(rankA):
-                    ZtZ.data += _dot_rank1(ys[i], ys[j]) * AitAj[k][i][j].data
-            b = np.zeros(B.shape[k])
-            for j in range(rankA):
-                zs = [y[None, :] for y in ys[j]]
-                zs = zs[:k] + [A[j][k].T] + zs[k:]
-                b += asarray(apply_tprod(zs, B)).ravel()
-            xk = scipy.sparse.linalg.spsolve(ZtZ.tocsc(), b)
-            delta *= np.linalg.norm(xs[k] - xk)
-            xs[k] = xk
-        if delta < tol:
-            break
-    return xs
+# ---------------------------------------------------------------------------
+# greedy Tucker approximation (for tensors and for linear systems)
+# ---------------------------------------------------------------------------
+
+def _expand_basis(U, v, rtol=1e-12):
+    """Orthogonally extend the column basis `U` by `v` (skip if v is
+    numerically inside span(U))."""
+    w = v - U @ (U.T @ v)
+    nw = np.linalg.norm(w)
+    if nw <= rtol * max(np.linalg.norm(v), 1e-300):
+        return U, False
+    return np.column_stack([U, w / nw]), True
+
+
+def _orthonormal_columns(vs):
+    out = []
+    for v in vs:
+        n = np.linalg.norm(v)
+        out.append((v / n if n > 0 else v)[:, None])
+    return out
 
 
 def gta(A, R, tol=1e-12, rtol=1e-12, return_errors=False):
-    """Greedy Tucker approximation of tensor `A`
-    (doi:10.1016/j.cam.2019.03.002)."""
-    if isinstance(A, np.ndarray):
-        A = TensorSum(A)
-    us = als1(A)
-    U = [u[:, None] / np.linalg.norm(u) for u in us]
-    d = A.ndim
-    A_norm = fro_norm(A)
-    errors = []
-
+    """Greedy Tucker approximation of the tensor(-like) `A`: grow one
+    orthonormal basis vector per axis per step from the best rank-one
+    approximation of the residual, re-projecting the core each step
+    (reference behavior: tensor.py:523)."""
+    norm_A = fro_norm(A)
+    Us = _orthonormal_columns(als1(A))
     T = None
-    for k in range(R):
-        core = asarray(apply_tprod([u.T for u in U], A))
-        T = TuckerTensor(U, core)
-        E = A - T
+    errors = []
+    for _ in range(R):
+        core = asarray(apply_tprod([U.T for U in Us], A))
+        T = TuckerTensor(Us, core)
+        E = TensorSum(A, -T)
         err = fro_norm(E)
         errors.append(err)
-        if k == R - 1 or err < tol or err < rtol * A_norm:
+        if err <= tol * norm_A or err <= rtol * errors[0]:
             break
-        vs = als1(E)
-        for j in range(d):
-            y = vs[j] - U[j].dot(U[j].T.dot(vs[j]))
-            ny = np.linalg.norm(y)
-            if ny >= 1e-14:
-                U[j] = np.column_stack((U[j], y / ny))
+        grew = False
+        for k, v in enumerate(als1(E)):
+            Us[k], g = _expand_basis(Us[k], v)
+            grew = grew or g
+        if not grew:
+            break
     return (T, errors) if return_errors else T
 
 
-def _tucker_sum(terms):
-    terms = list(terms)
-    A = terms[0]
-    for B in terms[1:]:
-        U, X1, X2 = join_tucker_bases(A, B)
-        A = TuckerTensor(U, X1 + X2)
-        if any(u.shape[1] > u.shape[0] for u in A.Us):
-            A = A.compress()
-    return A
-
-
 def gta_ls(A, F, R, tol=1e-12, verbose=0, gs=None, spd=False):
-    """Greedy Tucker approximation of the solution of ``A U = F`` with `A` in
-    low Kronecker-rank format (doi:10.1016/j.cam.2019.03.002).
-
-    Args:
-        A: list of rank-1 operator terms (tuples of per-axis matrices).
-        F: right-hand-side tensor (any format).
-        R: number of greedy iterations (max multilinear rank).
-        gs: if not None, use this many Gauss-Seidel sweeps on the core system
-            (instead of a direct solve) once it grows beyond 500 unknowns.
-        spd: whether `A` is symmetric positive definite.
-    """
-    res0_norm = fro_norm(F)
-    us = als1_ls(A, F, tol=tol, spd=spd)
-    U = [u[:, None] / np.linalg.norm(u) for u in us]
+    """Greedy Tucker solver for the Kronecker-sum system ``A x = vec(F)``:
+    per step, enrich the per-axis bases from a rank-one ALS solve of the
+    residual system, then solve the Galerkin-projected (small, dense)
+    system for the Tucker core (reference behavior: tensor.py:584; the
+    optional `gs` callback runs Gauss-Seidel sweeps on the projected system
+    instead of a dense solve once it grows past 500 unknowns)."""
     d = F.ndim
     rankA = len(A)
+    res_ref = fro_norm(F)
+    Us = _orthonormal_columns(als1_ls(A, F, tol=tol, spd=spd))
     X = np.zeros(d * (0,))
+    UX = None
 
     for it in range(R):
-        # reduced (projected) system in the tensor-product basis U
-        A_U = reduce(operator.add,
-                     (_multi_kron([U[k].T.dot(A[j][k].dot(U[k])) for k in range(d)])
-                      for j in range(rankA)))
-        F_U = asarray(apply_tprod([u.T for u in U], F)).ravel()
-        shpX = tuple(U[k].shape[1] for k in range(d))
+        # Galerkin projection of every Kronecker term onto the bases
+        small = [[Us[k].T @ (A[j][k] @ Us[k]) for k in range(d)]
+                 for j in range(rankA)]
+        A_U = sum(reduce(np.kron, small[j]) for j in range(rankA))
+        F_U = asarray(apply_tprod([U.T for U in Us], F)).ravel()
+        core_shape = tuple(U.shape[1] for U in Us)
 
-        if gs is not None and A_U.shape[0] > 500:
-            pad_size = tuple((0, U[k].shape[1] - X.shape[k]) for k in range(d))
-            zz = np.pad(X, pad_size, 'constant').ravel()
+        if gs is not None and F_U.size > 500:
+            # warm-start from the previous core, padded to the new shape
+            grow = tuple((0, core_shape[k] - X.shape[k]) for k in range(d))
+            x0 = np.pad(X, grow).ravel()
             from .solvers import gauss_seidel
-            gauss_seidel(scipy.sparse.csr_matrix(A_U), zz, F_U, iterations=gs)
+            A_gs = scipy.sparse.csr_matrix(A_U)
+            for _ in range(int(gs) if not callable(gs) else 3):
+                x0 = gauss_seidel(A_gs, x0, F_U, sweep='symmetric')
+            X = x0.reshape(core_shape)
         else:
-            zz = np.linalg.solve(A_U, F_U)
-        X = zz.reshape(shpX)
+            X = np.linalg.solve(A_U, F_U).reshape(core_shape)
 
-        UX = TuckerTensor(U, X)
+        UX = TuckerTensor([np.array(U) for U in Us], X)
         if it == R - 1:
-            return UX
+            break
 
-        # residual F - A(UX), recompressed to keep ranks small
-        A_UX = _tucker_sum(apply_tprod(list(Aj), UX) for Aj in A)
-        Rk = (F - A_UX).compress(rtol=1e-2)
-
+        # residual F - A(UX), kept in low-rank form
+        terms = [TuckerTensor([A[j][k] @ UX.Us[k] for k in range(d)], -X)
+                 for j in range(rankA)]
+        Rk = TensorSum(F, *terms)
         res = fro_norm(Rk)
-        if verbose >= 2:
-            print('gta_ls: it=%d residual=%.3e' % (it, res))
-        if res < tol * res0_norm:
-            if verbose >= 1:
-                print('gta_ls: %d iterations, residual reduction %.3e'
-                      % (it, res / res0_norm))
-            return UX
+        if verbose >= 1:
+            print('gta_ls: it %d  residual %.3e' % (it, res / res_ref))
+        if res <= tol * res_ref:
+            break
+        grew = False
+        for k, v in enumerate(als1_ls(A, Rk, tol=tol)):
+            Us[k], g = _expand_basis(Us[k], v)
+            grew = grew or g
+        if not grew:
+            break
+    return UX
 
-        vs = als1_ls(A, Rk, tol=tol)
-        for j in range(d):
-            y = vs[j] - U[j].dot(U[j].T.dot(vs[j]))
-            U[j] = np.column_stack((U[j], y / np.linalg.norm(y)))
 
+# ---------------------------------------------------------------------------
+# tensor format classes
+# ---------------------------------------------------------------------------
 
-################################################################################
-# Tensor format classes
-################################################################################
-
-class CanonicalTensor:
-    """A tensor in CP (canonical) format: a sum of `R` rank-1 terms, stored as
-    `d` factor matrices of shape ``(n_k, R)``."""
-
-    def __init__(self, Xs):
-        self.Xs = tuple(X[:, None] if X.ndim == 1 else X for X in Xs)
-        self.ndim = len(self.Xs)
-        self.shape = tuple(X.shape[0] for X in self.Xs)
-        self.R = self.Xs[0].shape[1]
-        assert all(X.shape[1] == self.R for X in self.Xs), 'invalid matrix shape'
-
-    def __repr__(self):
-        return '<%s shape=%s R=%s>' % (type(self).__name__, self.shape, self.R)
-
-    @staticmethod
-    def zeros(shape):
-        return CanonicalTensor(np.zeros((n, 0)) for n in shape)
-
-    @staticmethod
-    def ones(shape):
-        return CanonicalTensor(np.ones((n, 1)) for n in shape)
-
-    @staticmethod
-    def from_terms(terms):
-        """Build a CP tensor from rank-1 terms given as tuples of vectors."""
-        terms = list(terms)
-        d = len(terms[0])
-        return CanonicalTensor(
-            np.column_stack([t[k] for t in terms]) for k in range(d))
-
-    @staticmethod
-    def from_tensor(A):
-        """Convert from Tucker format (expanding the core entrywise)."""
-        if isinstance(A, TuckerTensor):
-            terms = []
-            for index in np.ndindex(*A.R):
-                a = A.X[index]
-                if abs(a) > 1e-15:
-                    xs = tuple(U[:, j] for U, j in zip(A.Us, index))
-                    terms.append((a * xs[0],) + xs[1:])
-            if terms:
-                return CanonicalTensor.from_terms(terms)
-            return CanonicalTensor.zeros(A.shape)
-        raise TypeError('conversion from %s to canonical not implemented' % type(A))
-
-    def copy(self):
-        return CanonicalTensor(X.copy() for X in self.Xs)
-
-    def asarray(self):
-        if self.R == 0:
-            return np.zeros(self.shape)
-        return sum(outer(*term) for term in self.terms())
-
-    def terms(self):
-        """Iterate over the rank-1 terms as tuples of vectors."""
-        for r in range(self.R):
-            yield tuple(X[:, r] for X in self.Xs)
-
-    def norm(self):
-        return np.sqrt(sum(_dot_rank1(ti, tj)
-                           for ti in self.terms() for tj in self.terms()))
-
-    def nway_prod(self, Bs):
-        Bs = tuple(Bs)
-        if len(Bs) < self.ndim:
-            Bs = Bs + (self.ndim - len(Bs)) * (None,)
-        elif len(Bs) > self.ndim:
-            raise ValueError('more operators than tensor axes')
-        return CanonicalTensor(
-            np.asarray(X) if B is None else B.dot(X)
-            for B, X in zip(Bs, self.Xs))
+class _FormatBase:
+    """Shared behavior of the structured tensor formats: raveling,
+    subtraction, norm, indexing (via per-axis restriction) and squeezing."""
 
     def ravel(self):
         return self.asarray().ravel()
 
-    def __neg__(self):
-        A = self.copy()
-        return CanonicalTensor((-A.Xs[0],) + A.Xs[1:])
+    def norm(self):
+        return np.linalg.norm(self.ravel())
 
-    def __add__(self, T2):
-        assert self.shape == T2.shape, 'incompatible shapes'
-        if isinstance(T2, CanonicalTensor):
-            return CanonicalTensor(np.hstack((X1, X2))
-                                   for X1, X2 in zip(self.Xs, T2.Xs))
-        if isinstance(T2, TuckerTensor):
-            return TuckerTensor.from_tensor(self) + T2
-        if isinstance(T2, np.ndarray):
-            return self.asarray() + T2
-        raise TypeError('cannot add CanonicalTensor and %s' % type(T2))
+    def __sub__(self, other):
+        return self + (-other)
 
-    def __sub__(self, T2):
-        return self + (-T2)
-
-    def squeeze(self, axis=None):
-        """Eliminate singleton axes (like :func:`numpy.squeeze`)."""
-        axis = _check_squeeze_axes(self, axis)
-        if len(axis) == 0:
-            return self
-        if len(axis) == self.ndim:
-            return self.ravel()[0]
-        remaining = sorted(set(range(self.ndim)) - set(axis))
-        # multiply the (1 x R) singleton factors into the first remaining one
-        factors = self.Xs[axis[0]].copy()
-        for i in axis[1:]:
-            factors *= self.Xs[i]
-        Xs = [self.Xs[i] for i in remaining]
-        Xs[0] = Xs[0] * factors
-        return CanonicalTensor(Xs)
+    def _restricted(self, per_axis):
+        """Same-format tensor restricted to the given per-axis index
+        ranges; default goes through selection-matrix mode products."""
+        sels = [_selection_matrix(sel, n)
+                for sel, n in zip(per_axis, self.shape)]
+        return self.nway_prod(sels)
 
     def __getitem__(self, I):
-        I, shp, singl = _normalize_indices(I, self.shape)
-        A = CanonicalTensor(X[Ik] for X, Ik in zip(self.Xs, I))
-        assert A.shape == shp
-        return A.squeeze(axis=singl)
+        per_axis, new_shape, singletons = _normalize_indices(I, self.shape)
+        sub = self._restricted(per_axis)
+        return sub.squeeze(axis=singletons) if singletons else sub
+
+    def _squeeze_axes(self, axis):
+        if axis is None:
+            return tuple(k for k, n in enumerate(self.shape) if n == 1)
+        axis = (axis,) if np.isscalar(axis) else tuple(axis)
+        if any(self.shape[k] != 1 for k in axis):
+            raise ValueError('all given axes must be singletons!')
+        return axis
 
 
-def _check_squeeze_axes(T, axis):
-    if axis is None:
-        return tuple(i for i in range(T.ndim) if T.shape[i] == 1)
-    if np.isscalar(axis):
-        axis = (axis,)
-    if not all(T.shape[i] == 1 for i in axis):
-        raise ValueError('all given axes must be singletons!')
-    return tuple(axis)
+class CanonicalTensor(_FormatBase):
+    """CP (canonical polyadic) format: a sum of `R` rank-one terms, stored
+    as one ``(n_k, R)`` factor matrix per axis (column `r` of every factor
+    belongs to term `r`).  Reference: tensor.py:689."""
+
+    def __init__(self, Xs):
+        def as_factor(X):
+            X = np.asarray(X)
+            return X[:, None] if X.ndim == 1 else X
+        self.Xs = tuple(as_factor(X) for X in Xs)
+        self.ndim = len(self.Xs)
+        self.shape = tuple(X.shape[0] for X in self.Xs)
+        ranks = {X.shape[1] for X in self.Xs}
+        if len(ranks) != 1:
+            raise ValueError('invalid matrix shape')
+        self.R = ranks.pop()
+
+    def __repr__(self):
+        return 'CanonicalTensor(shape=%s, R=%d)' % (self.shape, self.R)
+
+    # -- constructors ------------------------------------------------------
+
+    @classmethod
+    def zeros(cls, shape):
+        return cls([np.zeros((n, 1)) for n in shape])
+
+    @classmethod
+    def ones(cls, shape):
+        return cls([np.ones((n, 1)) for n in shape])
+
+    @classmethod
+    def from_terms(cls, terms):
+        """Build from an iterable of rank-one terms (tuples of vectors)."""
+        cols = list(zip(*terms))
+        return cls([np.column_stack(axis_cols) for axis_cols in cols])
+
+    @classmethod
+    def from_tensor(cls, A):
+        if isinstance(A, CanonicalTensor):
+            return A.copy()
+        if isinstance(A, TuckerTensor):
+            terms = []
+            for idx in np.ndindex(*A.R):
+                c = A.X[idx]
+                if abs(c) > 1e-15:
+                    vs = [U[:, i] for U, i in zip(A.Us, idx)]
+                    terms.append((c * vs[0],) + tuple(vs[1:]))
+            return cls.from_terms(terms) if terms else cls.zeros(A.shape)
+        raise TypeError('cannot convert %s to canonical format' % type(A))
+
+    # -- conversions -------------------------------------------------------
+
+    def copy(self):
+        return CanonicalTensor([np.array(X) for X in self.Xs])
+
+    def terms(self):
+        """Iterate over the rank-one terms as tuples of vectors."""
+        for r in range(self.R):
+            yield tuple(X[:, r] for X in self.Xs)
+
+    def asarray(self):
+        out = np.zeros(self.shape)
+        for vs in self.terms():
+            out += outer(*vs)
+        return out
+
+    # -- algebra -----------------------------------------------------------
+
+    def norm(self):
+        # Gram trick: ||T||^2 = sum_ij prod_k <x_k^i, x_k^j>
+        G = np.multiply.reduce([X.T @ X for X in self.Xs])
+        return float(np.sqrt(max(G.sum(), 0.0)))
+
+    def nway_prod(self, Bs):
+        Bs = tuple(Bs)
+        if len(Bs) > self.ndim:
+            raise ValueError('too many operators')
+        Bs = Bs + (self.ndim - len(Bs)) * (None,)
+        return CanonicalTensor([X if B is None else np.asarray(B @ X)
+                                for B, X in zip(Bs, self.Xs)])
+
+    def __neg__(self):
+        return CanonicalTensor((-self.Xs[0],) + self.Xs[1:])
+
+    def __add__(self, other):
+        if isinstance(other, CanonicalTensor):
+            if self.shape != other.shape:
+                raise ValueError('incompatible shapes')
+            return CanonicalTensor(
+                [np.hstack([X, Y]) for X, Y in zip(self.Xs, other.Xs)])
+        if isinstance(other, TuckerTensor):
+            return TuckerTensor.from_tensor(self) + other
+        if isinstance(other, np.ndarray):
+            return self.asarray() + other
+        raise TypeError('cannot add CanonicalTensor and %s' % type(other))
+
+    def squeeze(self, axis=None):
+        axis = self._squeeze_axes(axis)
+        if not axis:
+            return self
+        remaining = [k for k in range(self.ndim) if k not in axis]
+        if not remaining:
+            return self.ravel()[0]
+        # fold the scalar factors of the squeezed axes into the first
+        # remaining factor (columnwise)
+        weights = np.multiply.reduce([self.Xs[k][0, :] for k in axis])
+        Xs = [self.Xs[k] for k in remaining]
+        return CanonicalTensor([Xs[0] * weights[None, :]] + Xs[1:])
 
 
-class TuckerTensor:
-    """A tensor in Tucker format: factor matrices ``U_k (n_k x m_k)`` and a
-    core tensor of shape ``(m_1, ..., m_d)``."""
+class TuckerTensor(_FormatBase):
+    """Tucker format: per-axis bases `Us` and a core tensor `X` (`R` is the
+    core shape).  Reference: tensor.py:847."""
 
     def __init__(self, Us, X):
-        self.Us = tuple(Us)
-        self.X = X
+        self.Us = tuple(np.asarray(U) for U in Us)
+        self.X = np.asarray(X)
         self.ndim = len(self.Us)
-        assert self.ndim == X.ndim, 'Incompatible sizes'
+        if self.ndim != self.X.ndim:
+            raise ValueError('Incompatible sizes')
         self.shape = tuple(U.shape[0] for U in self.Us)
         self.R = self.X.shape
 
     def __repr__(self):
-        return '<%s shape=%s R=%s>' % (type(self).__name__, self.shape, self.R)
+        return 'TuckerTensor(shape=%s, R=%s)' % (self.shape, self.R)
 
-    @staticmethod
-    def zeros(shape):
-        return TuckerTensor.from_tensor(CanonicalTensor.zeros(shape))
+    @classmethod
+    def zeros(cls, shape):
+        return cls.from_tensor(CanonicalTensor.zeros(shape))
 
-    @staticmethod
-    def ones(shape):
-        return TuckerTensor.from_tensor(CanonicalTensor.ones(shape))
+    @classmethod
+    def ones(cls, shape):
+        return cls.from_tensor(CanonicalTensor.ones(shape))
 
-    @staticmethod
-    def from_tensor(A):
-        if isinstance(A, CanonicalTensor):
-            X = np.zeros(A.ndim * (A.R,))
-            np.fill_diagonal(X, 1.0)
-            return TuckerTensor(A.Xs, X)
+    @classmethod
+    def from_tensor(cls, A):
         if isinstance(A, TuckerTensor):
-            return A
-        U = tuple(np.eye(n) for n in np.shape(A))
-        return TuckerTensor(U, asarray(A))
+            return A.copy()
+        if isinstance(A, CanonicalTensor):
+            # superdiagonal core of size R^d
+            core = np.zeros(A.ndim * (A.R,))
+            core[np.diag_indices(A.R, A.ndim)] = 1.0
+            return cls(A.Xs, core)
+        return cls([np.eye(n) for n in np.shape(A)], asarray(A))
 
     def copy(self):
-        return TuckerTensor((U.copy() for U in self.Us), self.X.copy())
+        return TuckerTensor([np.array(U) for U in self.Us],
+                            np.array(self.X))
 
     def asarray(self):
         return apply_tprod(self.Us, self.X)
 
     def orthogonalize(self):
-        """Equivalent Tucker tensor whose factors have orthonormal columns."""
-        QR = [scipy.linalg.qr(U, mode='economic', check_finite=False)
-              for U in self.Us]
-        return TuckerTensor([q for q, _ in QR],
-                            apply_tprod([r for _, r in QR], self.X))
+        """Equivalent Tucker tensor with orthonormal bases (QR of each
+        basis folded into the core)."""
+        Qs, Rs = zip(*(np.linalg.qr(U) for U in self.Us))
+        return TuckerTensor(Qs, apply_tprod(Rs, self.X))
 
     def norm(self):
-        return fro_norm(self.orthogonalize().X)
+        return np.linalg.norm(self.orthogonalize().X.ravel())
 
     def truncate(self, k):
-        """Truncate to multilinear rank `k` (scalar or per-axis tuple)."""
-        if np.isscalar(k):
-            slices = self.ndim * (slice(None, k),)
-        else:
-            assert len(k) == self.ndim
-            slices = tuple(slice(None, ki) for ki in k)
-        return TuckerTensor([U[:, s] for U, s in zip(self.Us, slices)],
-                            self.X[slices])
+        """Keep only the first `k` (scalar or per-axis) basis vectors."""
+        ks = self.ndim * (k,) if np.isscalar(k) else tuple(k)
+        return TuckerTensor(
+            [U[:, :r] for U, r in zip(self.Us, ks)],
+            self.X[tuple(slice(r) for r in ks)])
 
     def compress(self, tol=1e-15, rtol=1e-15):
-        """Rank-compress via orthogonalization + core HOSVD + greedy truncation."""
+        """Orthogonalize and truncate to the smallest ranks keeping the
+        error below ``max(tol, rtol * norm)``."""
         T = self.orthogonalize()
-        tol = max(tol, fro_norm(T.X) * rtol)
-        core_svd = hosvd(T.X)
-        truncated = core_svd.truncate(find_truncation_rank(core_svd.X, tol))
-        return truncated.nway_prod(T.Us)
+        eps = max(tol, rtol * np.linalg.norm(T.X.ravel()))
+        return T.truncate(find_truncation_rank(T.X, eps))
 
     def nway_prod(self, Bs):
         Bs = tuple(Bs)
-        if len(Bs) < self.ndim:
-            Bs = Bs + (self.ndim - len(Bs)) * (None,)
-        elif len(Bs) > self.ndim:
-            raise ValueError('more operators than tensor axes')
-        return TuckerTensor(
-            (np.asarray(U) if B is None else B.dot(U)
-             for B, U in zip(Bs, self.Us)), self.X)
-
-    def ravel(self):
-        return self.asarray().ravel()
-
-    def __add__(self, T2):
-        assert T2.shape == self.shape, 'incompatible shapes'
-        if isinstance(T2, TuckerTensor):
-            U, X1, X2 = join_tucker_bases(self, T2)
-            return TuckerTensor(U, X1 + X2)
-        if isinstance(T2, CanonicalTensor):
-            return self + TuckerTensor.from_tensor(T2)
-        if isinstance(T2, np.ndarray):
-            return self.asarray() + T2
-        raise TypeError('cannot add TuckerTensor and %s' % type(T2))
-
-    def __sub__(self, T2):
-        assert T2.shape == self.shape, 'incompatible shapes'
-        if isinstance(T2, TuckerTensor):
-            U, X1, X2 = join_tucker_bases(self, T2)
-            return TuckerTensor(U, X1 - X2)
-        return self + (-T2)
+        if len(Bs) > self.ndim:
+            raise ValueError('too many operators')
+        Bs = Bs + (self.ndim - len(Bs)) * (None,)
+        return TuckerTensor([U if B is None else np.asarray(B @ U)
+                             for B, U in zip(Bs, self.Us)], self.X)
 
     def __neg__(self):
-        return TuckerTensor((U.copy() for U in self.Us), -self.X)
+        return TuckerTensor(self.Us, -self.X)
+
+    def __add__(self, other):
+        if isinstance(other, CanonicalTensor):
+            other = TuckerTensor.from_tensor(other)
+        if isinstance(other, TuckerTensor):
+            U, X1, X2 = join_tucker_bases(self, other)
+            return TuckerTensor(U, X1 + X2)
+        if isinstance(other, np.ndarray):
+            return self.asarray() + other
+        raise TypeError('cannot add TuckerTensor and %s' % type(other))
 
     def squeeze(self, axis=None):
-        axis = _check_squeeze_axes(self, axis)
-        if len(axis) == 0:
+        axis = self._squeeze_axes(axis)
+        if not axis:
             return self
-        if len(axis) == self.ndim:
+        remaining = [k for k in range(self.ndim) if k not in axis]
+        if not remaining:
             return self.ravel()[0]
-        remaining = sorted(set(range(self.ndim)) - set(axis))
-        factors = self.ndim * [None]
-        for i in axis:
-            factors[i] = self.Us[i]     # shape 1 x R_i
-        X = apply_tprod(factors, self.X).squeeze(axis)
-        return TuckerTensor((self.Us[i] for i in remaining), X)
-
-    def __getitem__(self, I):
-        I, shp, singl = _normalize_indices(I, self.shape)
-        T = TuckerTensor((U[Ik] for U, Ik in zip(self.Us, I)), self.X)
-        assert T.shape == shp
-        return T.squeeze(axis=singl)
+        # contract the squeezed axes' (1, R_k) bases into the core
+        mats = [self.Us[k] if k in axis else None for k in range(self.ndim)]
+        core = apply_tprod(mats, self.X).squeeze(axis=tuple(axis))
+        return TuckerTensor([self.Us[k] for k in remaining], core)
 
 
 def join_tucker_bases(T1, T2):
-    """Represent two Tucker tensors in the concatenated joint basis; returns
-    ``(U, X1, X2)`` with ``T1 == TuckerTensor(U, X1)`` etc."""
-    assert T1.shape == T2.shape
-    U = tuple(np.hstack((U1, U2)) for U1, U2 in zip(T1.Us, T2.Us))
-    X1 = np.pad(T1.X, tuple((0, n) for n in T2.X.shape), 'constant')
-    X2 = np.pad(T2.X, tuple((n, 0) for n in T1.X.shape), 'constant')
+    """Common-basis representation of two Tucker tensors: returns
+    ``(U, X1, X2)`` with stacked bases and zero-embedded cores such that
+    ``TuckerTensor(U, Xi)`` equals `Ti`."""
+    if T1.shape != T2.shape:
+        raise ValueError('incompatible shapes')
+    U = [np.column_stack([U1, U2]) for U1, U2 in zip(T1.Us, T2.Us)]
+    X1 = pad(T1.X, [(0, r) for r in T2.R])
+    X2 = pad(T2.X, [(r, 0) for r in T1.R])
     return U, X1, X2
 
 
-class TensorSum:
-    """Formal sum of tensors of identical shape (kept unexpanded)."""
+class TensorSum(_FormatBase):
+    """Lazy sum of tensors of identical shape (mixed formats allowed)."""
 
     def __init__(self, *Xs):
+        if not Xs:
+            raise ValueError('cannot form sum of empty list of tensors')
         self.Xs = tuple(Xs)
-        assert self.Xs, 'cannot form sum of empty list of tensors'
         self.ndim = self.Xs[0].ndim
         self.shape = self.Xs[0].shape
-        assert all(X.shape == self.shape for X in self.Xs), \
-            'tensors must have identical shape'
 
     def __repr__(self):
-        return '<%s shape=%s nterms=%s>' % (type(self).__name__, self.shape,
-                                            len(self.Xs))
+        return 'TensorSum(%d terms, shape=%s)' % (len(self.Xs), self.shape)
 
     def asarray(self):
-        A = np.array(asarray(self.Xs[0]))
-        for X in self.Xs[1:]:
-            A = A + asarray(X)
-        return A
-
-    def ravel(self):
-        return self.asarray().ravel()
+        return reduce(np.add, (asarray(X) for X in self.Xs))
 
     def nway_prod(self, Bs):
         return TensorSum(*(apply_tprod(Bs, X) for X in self.Xs))
 
-    def __add__(self, T2):
-        return TensorSum(*(self.Xs + (T2,)))
-
-    def __sub__(self, T2):
-        return TensorSum(*(self.Xs + (-T2,)))
-
     def __neg__(self):
         return TensorSum(*(-X for X in self.Xs))
 
+    def __add__(self, other):
+        return TensorSum(*self.Xs, other)
+
+    def __sub__(self, other):
+        return TensorSum(*self.Xs, -other)
+
     def __getitem__(self, I):
-        Ys = tuple(X[I] for X in self.Xs)
-        if all(np.isscalar(Y) for Y in Ys):
-            return sum(Ys)
-        return TensorSum(*Ys)
+        parts = tuple(X[I] for X in self.Xs)
+        if all(np.isscalar(p) for p in parts):
+            return sum(parts)
+        return TensorSum(*parts)
 
 
-class TensorProd:
-    """Formal tensor (outer) product of tensors; axes are concatenated."""
+class TensorProd(_FormatBase):
+    """Lazy outer product of tensors (axes concatenate)."""
 
     def __init__(self, *Xs):
         self.Xs = tuple(Xs)
-        shp = ()
         self.slices = []
+        pos = 0
         for X in self.Xs:
-            start = len(shp)
-            shp = shp + X.shape
-            self.slices.append(slice(start, len(shp)))
-        self.ndim = len(shp)
-        self.shape = shp
+            self.slices.append(slice(pos, pos + X.ndim))
+            pos += X.ndim
+        self.shape = tuple(n for X in self.Xs for n in X.shape)
+        self.ndim = pos
 
     def __repr__(self):
-        return '<%s shape=%s nterms=%s>' % (type(self).__name__, self.shape,
-                                            len(self.Xs))
+        return 'TensorProd(%d factors, shape=%s)' % (len(self.Xs), self.shape)
 
     def asarray(self):
         return array_outer(*(asarray(X) for X in self.Xs))
 
-    def ravel(self):
-        return self.asarray().ravel()
-
     def nway_prod(self, Bs):
-        return TensorProd(*(apply_tprod(Bs[sl], X)
-                            for sl, X in zip(self.slices, self.Xs)))
-
-    def __add__(self, T2):
-        return TensorSum(self, T2)
-
-    def __sub__(self, T2):
-        return TensorSum(self, -T2)
+        Bs = tuple(Bs) + (self.ndim - len(Bs)) * (None,)
+        return TensorProd(*(apply_tprod(Bs[s], X)
+                            for s, X in zip(self.slices, self.Xs)))
 
     def __neg__(self):
-        return TensorProd(*((-self.Xs[0],) + self.Xs[1:]))
+        return TensorProd(-self.Xs[0], *self.Xs[1:])
+
+    def __add__(self, other):
+        return TensorSum(self, other)
+
+    def __sub__(self, other):
+        return TensorSum(self, -other)
 
     def __getitem__(self, I):
-        if not isinstance(I, tuple):
-            I = (I,)
-        if len(I) > self.ndim:
+        idx = I if isinstance(I, tuple) else (I,)
+        if len(idx) > self.ndim:
             raise ValueError('too many indices')
-        I = I + (self.ndim - len(I)) * (slice(None),)
-        Ys = tuple(X[I[sl]] for X, sl in zip(self.Xs, self.slices))
-        if all(np.isscalar(Y) for Y in Ys):
-            return np.prod(Ys)
-        return TensorProd(*Ys)
+        idx = idx + (self.ndim - len(idx)) * (slice(None),)
+        parts = tuple(X[idx[s]] for s, X in zip(self.slices, self.Xs))
+        if all(np.isscalar(p) for p in parts):
+            return float(np.prod(parts))
+        return TensorProd(*parts)
 
 
-################################################################################
-# Sum-of-Kronecker operators
-################################################################################
+# ---------------------------------------------------------------------------
+# sum-of-Kronecker operators
+# ---------------------------------------------------------------------------
 
 class CanonicalOperator:
-    r"""A linear operator in low Kronecker-rank format:
-    :math:`\mathcal A = \sum_r A^1_r \otimes \cdots \otimes A^d_r`.
+    """A sum of Kronecker products of per-axis matrices,
+    ``sum_r A_r^(0) (x) ... (x) A_r^(d-1)``.
 
-    `terms` is a list of `d`-tuples of matrices (one tuple per Kronecker term).
-    Applying the operator never materializes the Kronecker product; each term
-    is an :func:`apply_tprod` (per-axis matmuls, MXU-friendly on device)."""
+    Stored axis-major (one list of `R` matrices per axis) — the natural
+    layout for per-axis algebra; the constructor and :attr:`terms` use the
+    term-major convention of the reference (tensor.py:1158)."""
 
     def __init__(self, terms):
-        self.terms = list(terms)
-        self.R = len(self.terms)
-        d = len(self.terms[0])
-        assert all(self.terms[r][j].shape == self.terms[0][j].shape
-                   for r in range(self.R) for j in range(d)), 'inconsistent shapes'
-        shapeout = tuple(A.shape[0] for A in self.terms[0])
-        shapein = tuple(A.shape[1] for A in self.terms[0])
-        self.shape = (shapeout, shapein)
-        self.ndim = d
+        terms = [tuple(t) for t in terms]
+        if not terms:
+            raise ValueError('need at least one Kronecker term')
+        d = len(terms[0])
+        self._axis_ops = [[t[k] for t in terms] for k in range(d)]
+        self.R = len(terms)
+        for k in range(d):
+            shapes = {op.shape for op in self._axis_ops[k]}
+            if len(shapes) != 1:
+                raise ValueError('inconsistent operator shapes on axis %d' % k)
+        self.shape = (tuple(ops[0].shape[0] for ops in self._axis_ops),
+                      tuple(ops[0].shape[1] for ops in self._axis_ops))
+
+    @property
+    def terms(self):
+        return [tuple(self._axis_ops[k][r] for k in range(len(self._axis_ops)))
+                for r in range(self.R)]
 
     def __repr__(self):
-        return '<%s %s -> %s R=%s>' % (type(self).__name__, self.shape[1],
-                                       self.shape[0], self.R)
+        return 'CanonicalOperator(R=%d, shape=%s)' % (self.R, self.shape)
 
     @staticmethod
     def eye(ns, format='dia'):
-        return CanonicalOperator([[scipy.sparse.eye(n, format=format)
-                                   for n in ns]])
+        return CanonicalOperator(
+            [tuple(scipy.sparse.identity(n, format=format) for n in ns)])
 
     def asmatrix(self, format='csr'):
-        """The raveled operator as a sparse matrix."""
-        from .utils import multi_kron_sparse
-        X = multi_kron_sparse(self.terms[0], format=format)
-        for j in range(1, self.R):
-            X = X + multi_kron_sparse(self.terms[j], format=format)
-        return X
+        M = reduce(lambda a, b: a + b,
+                   (_multi_kron(t) for t in self.terms))
+        return M.asformat(format)
 
     @property
     def T(self):
-        return CanonicalOperator([tuple(B.T for B in t) for t in self.terms])
+        return CanonicalOperator([tuple(op.T for op in t)
+                                  for t in self.terms])
+
+    def apply(self, X):
+        if np.shape(X) != () and X.shape != self.shape[1]:
+            raise ValueError('wrong shape of input tensor')
+        results = (apply_tprod(t, X) for t in self.terms)
+        return reduce(lambda a, b: a + b, results)
+
+    def __matmul__(self, other):
+        if isinstance(other, CanonicalOperator):
+            return self * other
+        return self.apply(other)
 
     def __add__(self, other):
-        assert isinstance(other, CanonicalOperator), \
-            'can only add CanonicalOperators to each other'
-        assert self.shape == other.shape, 'incompatible shapes'
+        if not isinstance(other, CanonicalOperator):
+            return NotImplemented
+        if self.shape != other.shape:
+            raise ValueError('incompatible shapes')
         return CanonicalOperator(self.terms + other.terms)
 
     def __neg__(self):
-        return CanonicalOperator([(-t[0],) + tuple(t[1:]) for t in self.terms])
+        return CanonicalOperator(
+            [(-t[0],) + t[1:] for t in self.terms])
 
     def __sub__(self, other):
         return self + (-other)
 
     def __mul__(self, other):
-        assert isinstance(other, CanonicalOperator)
-        assert self.shape[1] == other.shape[0], 'incompatible shapes'
-        return CanonicalOperator([
-            tuple(a.dot(b) for a, b in zip(t1, t2))
-            for t1 in self.terms for t2 in other.terms])
+        if not isinstance(other, CanonicalOperator):
+            raise TypeError('can only compose with CanonicalOperator')
+        if self.shape[1] != other.shape[0]:
+            raise ValueError('incompatible shapes')
+        return CanonicalOperator(
+            [tuple(a @ b for a, b in zip(s, t))
+             for s in self.terms for t in other.terms])
 
     def kron(self, other):
-        """Kronecker product of two canonical operators (axes concatenated)."""
-        return CanonicalOperator([tuple(t1) + tuple(t2)
-                                  for t1 in self.terms for t2 in other.terms])
-
-    def apply(self, X):
-        """Apply to a tensor of shape ``self.shape[1]``."""
-        assert X.shape == self.shape[1], 'wrong shape of input tensor'
-        return reduce(operator.add, (apply_tprod(t, X) for t in self.terms))
-
-    def __matmul__(self, X):
-        if isinstance(X, CanonicalOperator):
-            return self * X
-        return self.apply(X)
+        return CanonicalOperator(
+            [s + t for s in self.terms for t in other.terms])
 
     def slice(self, limits):
-        """Restrict every factor to the index window ``limits[k] = (lo, hi)``."""
-        return CanonicalOperator([
-            tuple(A[l[0]:l[1], l[0]:l[1]] for A, l in zip(term, limits))
-            for term in self.terms])
+        """Restrict every axis to ``limits[k] = (start, stop)`` (both rows
+        and columns)."""
+        return CanonicalOperator(
+            [tuple(op[lo:hi, lo:hi] for op, (lo, hi) in zip(t, limits))
+             for t in self.terms])
