@@ -1,58 +1,75 @@
 # -*- coding: utf-8 -*-
 """Shared helpers: grid evaluation, sparse Kronecker utilities, lazy grids.
 
-API parity with /root/reference/pyiga/utils.py.  The heavyweight Cython-backed
-CSR helpers of the reference (CSRRowSlice/CSRRowSubset) are plain scipy here;
-they sit on setup paths, not the device hot path.
+Capability parity with the reference's utils module
+(/root/reference/pyiga/utils.py), independently implemented: partial
+Kronecker assembly works row-wise (a sparse Khatri-Rao / face-splitting
+product of per-axis row slices) instead of enumerating the multilevel
+nonzero pattern, and the CSR row views materialize their submatrix once.
+The Cython CSR kernels of the reference are unnecessary here: these are
+host-side setup paths, not the device hot path.
 """
 
 import itertools
+from functools import reduce
 
 import numpy as np
 import scipy.sparse
 
 
-def _fill_grid(values, shape):
-    """Broadcast `values` onto the leading grid axes (functions that ignore
-    an argument return under-broadcast arrays); trailing component axes are
-    kept."""
-    values = np.asanyarray(values)
-    want = shape + values.shape[len(shape):]
-    return values if values.shape == want else np.broadcast_to(values, want)
+# ---------------------------------------------------------------------------
+# function evaluation over tensor grids
+# ---------------------------------------------------------------------------
+
+def _open_mesh(grid):
+    """Open (broadcastable) coordinate arrays of a tensor grid, ij-indexed:
+    axis k's array has shape (1,...,n_k,...,1)."""
+    d = len(grid)
+    return [np.reshape(g, (-1,) + (d - 1 - k) * (1,))
+            for k, g in enumerate(grid)]
 
 
-def _ensure_grid_shape(values, grid):
-    """Normalize a function result over a tensor grid: tuple components are
-    stacked into a trailing axis, everything is broadcast to the grid."""
-    shape = tuple(map(len, grid))
+def _as_grid_array(values, grid_shape):
+    """Normalize a function's return value over a tensor grid: broadcast up
+    to the grid (constants / ignored arguments), stack tuple components into
+    a trailing axis."""
     if isinstance(values, tuple):
-        values = np.stack([_fill_grid(v, shape) for v in values], axis=-1)
-    return _fill_grid(values, shape)
+        parts = [_as_grid_array(v, grid_shape) for v in values]
+        return np.stack(parts, axis=-1)
+    values = np.asanyarray(values)
+    target = grid_shape + values.shape[len(grid_shape):]
+    if values.shape != target:
+        values = np.broadcast_to(values, target)
+    return values
 
 
 def grid_eval(f, grid):
     """Evaluate `f` over the tensor grid `grid` (axes in ZYX order; a plain
-    callable receives XYZ-ordered meshgrid coordinate arrays)."""
+    callable receives XYZ-ordered coordinate arrays)."""
     if hasattr(f, 'grid_eval'):
         return f.grid_eval(grid)
-    mesh = list(np.meshgrid(*grid, sparse=True, indexing='ij'))
-    mesh.reverse()      # ZYX grid axes -> XYZ arguments
-    return _ensure_grid_shape(f(*mesh), grid)
+    xyz = _open_mesh(grid)[::-1]        # grid axes are ZYX; args are XYZ
+    return _as_grid_array(f(*xyz), tuple(len(g) for g in grid))
 
 
 def grid_eval_transformed(f, grid, geo):
-    """Evaluate `f` on the image of the tensor grid under the geometry map."""
-    phys = grid_eval(geo, grid)     # shape(grid) x dim
-    coords = tuple(phys[..., i] for i in range(phys.shape[-1]))
-    return _ensure_grid_shape(f(*coords), grid)
+    """Evaluate `f` at the physical images of the tensor grid points under
+    the geometry map `geo`."""
+    pts = grid_eval(geo, grid)
+    return _as_grid_array(f(*np.moveaxis(pts, -1, 0)),
+                          tuple(len(g) for g in grid))
 
+
+# ---------------------------------------------------------------------------
+# sparse matrix helpers
+# ---------------------------------------------------------------------------
 
 def read_sparse_matrix(fname):
     """Load a 1-based ``i j value`` triplet text file (the golden-fixture
-    format used by the reference test suite) as a CSR matrix."""
-    I, J, vals = np.loadtxt(fname, skiprows=1, unpack=True)
-    return scipy.sparse.coo_matrix(
-        (vals, (I.astype(int) - 1, J.astype(int) - 1))).tocsr()
+    format of the reference test suite) as a CSR matrix."""
+    data = np.loadtxt(fname, skiprows=1, ndmin=2)
+    ij = data[:, :2].astype(np.intp) - 1
+    return scipy.sparse.coo_matrix((data[:, 2], (ij[:, 0], ij[:, 1]))).tocsr()
 
 
 def multi_kron_sparse(As, format='csr'):
@@ -60,159 +77,193 @@ def multi_kron_sparse(As, format='csr'):
     As = list(As)
     if len(As) == 1:
         return As[0].asformat(format, copy=True)
-    result = As[-1]
-    for A in reversed(As[:-1]):
-        result = scipy.sparse.kron(A, result, format=format)
-    return result
+    # right-associated fold: entry products group as a*(b*(c*...)), the
+    # grouping the hierarchical prolongators are validated against
+    return reduce(lambda Y, X: scipy.sparse.kron(X, Y, format=format),
+                  reversed(As))
+
+
+def _rowwise_kron(X, Y):
+    """Sparse face-splitting (row-wise Kronecker) product: both operands
+    have the same row count `m`; the result is ``(m, X.cols * Y.cols)`` with
+    row i equal to ``kron(X[i], Y[i])``."""
+    X, Y = X.tocsr(), Y.tocsr()
+    m = X.shape[0]
+    nnx, nny = np.diff(X.indptr), np.diff(Y.indptr)
+    counts = nnx * nny
+    indptr = np.concatenate([[0], np.cumsum(counts)])
+    indices = np.empty(indptr[-1], dtype=np.intp)
+    data = np.empty(indptr[-1])
+    w = Y.shape[1]
+    for i in range(m):
+        xs, xe = X.indptr[i], X.indptr[i + 1]
+        ys, ye = Y.indptr[i], Y.indptr[i + 1]
+        block = (X.indices[xs:xe, None] * w + Y.indices[None, ys:ye]).ravel()
+        vals = (X.data[xs:xe, None] * Y.data[None, ys:ye]).ravel()
+        indices[indptr[i]:indptr[i + 1]] = block
+        data[indptr[i]:indptr[i + 1]] = vals
+    return scipy.sparse.csr_matrix((data, indices, indptr),
+                                   shape=(m, X.shape[1] * w))
 
 
 def kron_partial(As, rows, restrict=False, format='csr'):
-    """Assemble only the given `rows` of the Kronecker product of the sparse
-    matrices `As`.  With ``restrict=True`` the result has ``len(rows)`` rows;
-    otherwise it has the full Kronecker shape with other rows zero.
+    """Assemble only the given `rows` of ``kron(As[0], ..., As[-1])``.
 
-    This is the workhorse for THB ``represent_fine`` (reference: utils.py:69).
-    """
-    from .mlmatrix import MLStructure
-    S = MLStructure.from_kronecker(As)
-    out_shape = (len(rows), S.shape[1]) if restrict else S.shape
+    Row ``i`` of the Kronecker product is the Kronecker product of the
+    per-axis rows of `i`'s unraveled multi-index, so the requested block is
+    the row-wise (face-splitting) product of per-axis row slices — no
+    nonzero-pattern enumeration needed.  With ``restrict=True`` the result
+    has ``len(rows)`` rows; otherwise full height with other rows zero.
+    This is the workhorse for THB ``represent_fine`` (reference behavior:
+    utils.py:69)."""
+    As = [scipy.sparse.csr_matrix(A) for A in As]
+    heights = tuple(A.shape[0] for A in As)
+    full_shape = (int(np.prod(heights)),
+                  int(np.prod([A.shape[1] for A in As])))
+    rows = np.asarray(rows, dtype=np.intp)
+    if rows.size == 0:
+        shape = (0, full_shape[1]) if restrict else full_shape
+        return scipy.sparse.csr_matrix(shape).asformat(format)
 
+    multi = np.unravel_index(rows, heights)
+    # right-associated like multi_kron_sparse, so both prolongator paths
+    # produce bit-identical entries
+    block = reduce(lambda Y, X: _rowwise_kron(X, Y),
+                   reversed([A[mi] for A, mi in zip(As, multi)]))
     if restrict:
-        I, J, I_idx = S.nonzeros_for_rows(rows, renumber_rows=True)
-    else:
-        I, J = S.nonzeros_for_rows(rows)
-    if len(I) == 0:
-        return scipy.sparse.csr_matrix(out_shape)
-
-    bs_I = tuple(S.bs[k][0] for k in range(S.L))
-    bs_J = tuple(S.bs[k][1] for k in range(S.L))
-    I_ix = np.unravel_index(I, bs_I)
-    J_ix = np.unravel_index(J, bs_J)
-    entries = np.ones(len(I))
-    for k in range(S.L):
-        Ak = scipy.sparse.csr_matrix(As[k])
-        vals = np.asarray(Ak[I_ix[k], J_ix[k]]).ravel()
-        entries = entries * vals
-    if restrict:
-        I = I_idx
-    return scipy.sparse.coo_matrix((entries, (I, J)),
-                                   shape=out_shape).asformat(format)
+        return block.asformat(format)
+    # scatter the computed rows back to their original positions
+    coo = block.tocoo()
+    return scipy.sparse.coo_matrix(
+        (coo.data, (rows[coo.row], coo.col)),
+        shape=full_shape).asformat(format)
 
 
 def cartesian_product(arrays):
-    """Cartesian product of 1D arrays as an ``(N, L)`` array (last axis fastest)."""
-    L = len(arrays)
-    shp = tuple(a.shape[0] for a in arrays)
-    out = np.empty(shp + (L,), dtype=arrays[0].dtype)
-    for i, a in enumerate(arrays):
-        ix = [np.newaxis] * L
-        ix[i] = slice(None)
-        out[..., i] = a[tuple(ix)]
-    return out.reshape(-1, L)
+    """All combinations of entries of the 1D `arrays`, as an ``(N, L)``
+    array with the last input axis varying fastest."""
+    grids = np.meshgrid(*arrays, indexing='ij')
+    return np.stack([g.ravel() for g in grids], axis=-1)
 
 
-class CSRRowSlice:
-    """Apply a contiguous row slice of a CSR matrix without materializing the
-    submatrix."""
+class _CSRRowsView:
+    """Matrix-like view of a subset of the rows of a CSR matrix.  The
+    submatrix is extracted once up front (CSR row slicing is cheap) and
+    products delegate to scipy."""
+
+    def __init__(self, A, sub):
+        if not scipy.sparse.issparse(A):
+            raise TypeError('expected a sparse matrix')
+        self._sub = sub.tocsr()
+        self.shape = self._sub.shape
+        self.dtype = self._sub.dtype
+
+    def dot(self, other):
+        return self._sub.dot(other)
+
+    __mul__ = dot
+    __matmul__ = dot
+
+
+class CSRRowSlice(_CSRRowsView):
+    """Contiguous row block ``A[lo:hi]`` of a CSR matrix."""
 
     def __init__(self, A, row_bounds):
-        assert isinstance(A, scipy.sparse.csr_matrix)
         lo, hi = row_bounds
-        assert 0 <= lo <= hi <= A.shape[0], 'invalid row bounds'
-        self.A = A
+        if not (0 <= lo <= hi <= A.shape[0]):
+            raise ValueError('invalid row bounds')
+        super().__init__(A, A[lo:hi])
         self.bounds = (lo, hi)
-        self.shape = (hi - lo, A.shape[1])
-        self.dtype = A.dtype
-
-    def _matmat(self, other):
-        lo, hi = self.bounds
-        # scipy row slicing of CSR is cheap for contiguous blocks
-        return self.A[lo:hi].dot(other)
-
-    __mul__ = _matmat
-    dot = _matmat
 
 
-class CSRRowSubset:
-    """Apply an arbitrary subset of the rows of a CSR matrix to a vector."""
+class CSRRowSubset(_CSRRowsView):
+    """Arbitrary row subset ``A[rows]`` of a CSR matrix."""
 
     def __init__(self, A, rows):
-        assert isinstance(A, scipy.sparse.csr_matrix)
-        self.A = A
-        self.rows = np.asarray(rows, dtype=np.int64)
-        self.shape = (len(rows), A.shape[1])
-        self.dtype = A.dtype
+        rows = np.asarray(rows, dtype=np.int64)
+        super().__init__(A, A[rows])
+        self.rows = rows
 
-    def _matvec(self, other):
-        return self.A[self.rows].dot(other)
 
-    __mul__ = _matvec
-    dot = _matvec
-
+# ---------------------------------------------------------------------------
+# lazy grid evaluation
+# ---------------------------------------------------------------------------
 
 class LazyArray:
-    """Lazily evaluate a function over a tensor grid with slicing notation."""
+    """Array-like object evaluating a function over sub-rectangles of a
+    tensor grid on demand (``LA[I0, I1, ...]`` with per-axis indices)."""
 
     def __init__(self, f, grid, mode='eval'):
         self.f = f
-        self.grid = grid
+        self.grid = tuple(grid)
         self.mode = mode
 
-    def _eval(self, localgrid):
-        if self.mode == 'eval':
-            return grid_eval(self.f, localgrid)
+    def _eval(self, subgrid):
         if self.mode == 'jac':
-            return self.f.grid_jacobian(localgrid)
-        raise ValueError('invalid mode: %s' % (self.mode,))
+            return self.f.grid_jacobian(subgrid)
+        if self.mode != 'eval':
+            raise ValueError('invalid mode: %s' % (self.mode,))
+        return grid_eval(self.f, subgrid)
 
     def __getitem__(self, I):
-        assert len(I) == len(self.grid), 'Wrong number of indices'
-        return self._eval(tuple(g[i] for g, i in zip(self.grid, I)))
+        if len(I) != len(self.grid):
+            raise IndexError('Wrong number of indices')
+        return self._eval(tuple(g[sel] for g, sel in zip(self.grid, I)))
 
 
 class LazyCachingArray(LazyArray):
-    """Like :class:`LazyArray` but caches already-computed values tile-wise.
+    """A :class:`LazyArray` with tile-granular memoization.
 
-    .. warning:: only correct if output is requested in full consecutive tiles.
-    """
+    .. warning:: only correct if output is requested in full consecutive
+       tiles (the access pattern of the windowed assemblers)."""
 
     def __init__(self, f, outshape, grid, tilesize, mode='eval'):
         super().__init__(f, grid, mode)
-        self.outshape = outshape
-        self.ts = tilesize
+        self.outshape = tuple(outshape)
+        self.ts = int(tilesize)
         self.tiles = {}
 
-    def get_tile(self, I):
-        T = self.tiles.get(I)
-        if T is None:
+    def get_tile(self, tile_idx):
+        """Dense values over one tile (cached)."""
+        try:
+            return self.tiles[tile_idx]
+        except KeyError:
             ts = self.ts
-            localgrid = tuple(g[i * ts:(i + 1) * ts]
-                              for g, i in zip(self.grid, I))
-            T = self._eval(localgrid)
-            self.tiles[I] = T
-        return T
+            sub = tuple(g[t * ts:(t + 1) * ts]
+                        for g, t in zip(self.grid, tile_idx))
+            vals = self._eval(sub)
+            self.tiles[tile_idx] = vals
+            return vals
 
     def __getitem__(self, I):
-        assert len(I) == len(self.grid), 'Wrong number of indices'
-        idx = tuple(tuple(range(sl.start, sl.stop)) for sl in I)
-        N = tuple(len(gi) for gi in idx)
-        output = np.empty(N + self.outshape)
+        if len(I) != len(self.grid):
+            raise IndexError('Wrong number of indices')
         ts = self.ts
-        tiles = tuple(range(gi[0] // ts, (gi[-1] + ts - 1) // ts) for gi in idx)
-        J0 = tuple(gi[0] // ts for gi in idx)
-        for J in itertools.product(*tiles):
-            dest = tuple(slice((j - j0) * ts, (j - j0 + 1) * ts)
-                         for j, j0 in zip(J, J0))
-            output[dest] = self.get_tile(J)
-        return output
+        starts = [sel.start for sel in I]
+        stops = [sel.stop for sel in I]
+        t_lo = [s // ts for s in starts]
+        t_hi = [(e - 1) // ts + 1 for e in stops]
+        out = np.empty(tuple(e - s for s, e in zip(starts, stops))
+                       + self.outshape)
+        for T in itertools.product(*(range(lo, hi)
+                                     for lo, hi in zip(t_lo, t_hi))):
+            window = tuple(slice((t - lo) * ts, (t - lo + 1) * ts)
+                           for t, lo in zip(T, t_lo))
+            out[window] = self.get_tile(T)
+        return out
 
+
+# ---------------------------------------------------------------------------
+# misc
+# ---------------------------------------------------------------------------
 
 class BijectiveIndex:
-    """Bidirectional map between a list of values and indices ``0..len-1``."""
+    """Bidirectional map between a sequence of (hashable) values and their
+    positions."""
 
     def __init__(self, values):
         self.values = values
-        self._index = {v: i for i, v in enumerate(values)}
+        self._pos = dict(map(reversed, enumerate(values)))
 
     def __len__(self):
         return len(self.values)
@@ -221,42 +272,36 @@ class BijectiveIndex:
         return self.values[i]
 
     def index(self, v):
-        return self._index[v]
+        return self._pos[v]
 
 
-class _DummyPbar:
-    """No-op stand-in for tqdm."""
+class _SilentPbar:
+    """Interface-compatible no-op replacement for a tqdm progress bar."""
 
-    def __init__(self, *args, **kwargs):
-        self.r = args[0] if args else None
+    def __init__(self, iterable=None, **kwargs):
+        self._iterable = iterable
 
     def __iter__(self):
-        return iter(self.r)
+        return iter(() if self._iterable is None else self._iterable)
 
     def __enter__(self):
         return self
 
-    def __exit__(self, *args):
-        pass
+    def __exit__(self, *exc):
+        return False
 
-    def update(self, *args, **kwargs):
-        pass
-
-    def close(self):
-        pass
-
-    def set_postfix(self, *args, **kwargs):
-        pass
+    def __getattr__(self, name):        # update/close/set_postfix/...
+        return lambda *a, **k: None
 
 
 def progress_bar(enable=True):
-    """Return tqdm if available and enabled, else a no-op progress bar."""
-    if enable:
-        try:
-            import tqdm
-            import warnings
-            warnings.simplefilter('ignore', tqdm.TqdmWarning)
-            return tqdm.tqdm
-        except ImportError:
-            pass
-    return _DummyPbar
+    """The tqdm class when installed and enabled, else a no-op stand-in."""
+    if not enable:
+        return _SilentPbar
+    try:
+        import tqdm
+    except ImportError:
+        return _SilentPbar
+    import warnings
+    warnings.simplefilter('ignore', tqdm.TqdmWarning)
+    return tqdm.tqdm
