@@ -1,12 +1,14 @@
 # -*- coding: utf-8 -*-
 """Discretization of variational problems over hierarchical spline spaces.
 
-API parity with /root/reference/pyiga/_hdiscr.py: the HB-spline stiffness
-matrix is built from per-level TP assemblies restricted to the bounding box
-of the needed functions (the sum-factorization assembler with a restricted
-Gauss grid — the analog of the reference's on-demand Cython assemblers),
-coupled across levels through two-sided products with ``represent_fine``;
-the THB version transforms the HB matrix by the truncation operator."""
+Capability parity with the reference (/root/reference/pyiga/_hdiscr.py):
+the HB-spline system matrix is built level by level from partial-row TP
+assemblies restricted to the bounding box of the needed functions (the
+sum-factorization assembler on a restricted Gauss grid — the analog of the
+reference's on-demand Cython assemblers), with inter-level coupling through
+two-sided products with ``represent_fine``; the THB matrix is the HB matrix
+transformed by the truncation operator.  All index bookkeeping uses the
+flat-index arrays of the rewritten :mod:`~pyiga_tpu.hierarchical` core."""
 
 import numpy as np
 import scipy.sparse
@@ -14,11 +16,12 @@ import scipy.sparse
 from . import compile as compile_mod
 from . import mlmatrix
 
+_EMPTY = np.empty(0, dtype=np.intp)
+
 
 def _assemble_partial_rows(asm, row_indices):
     """Assemble only the given rows of the full TP matrix."""
-    kvs0, kvs1 = asm.kvs
-    S = mlmatrix.MLStructure.from_kvs(kvs0, kvs1)
+    S = mlmatrix.MLStructure.from_kvs(*asm.kvs)
     I, J = S.nonzeros_for_rows(row_indices)
     data = asm.multi_entries(np.column_stack((I, J)))
     return scipy.sparse.coo_matrix((data, (I, J)), shape=S.shape).tocsr()
@@ -38,31 +41,48 @@ class HDiscretization:
         self.truncate = hspace.truncate
         self.vf = vform
         self.asm_args = asm_args
-        self.asm_class = None
+        self._compiled = None
 
-    def _assemble_level(self, k, rows=None, bbox=None, symmetric=False):
-        """Rows of the full TP stiffness matrix on level `k` (assembled over
-        the bbox-restricted Gauss grid)."""
+    # -- assembler plumbing ----------------------------------------------------
+
+    def _inputs_for(self, vf):
+        args = {inp.name: self.asm_args[inp.name]
+                for inp in vf.inputs if inp.name in self.asm_args}
+        args['geo'] = self.asm_args['geo']
+        return args
+
+    def _bbox_for_functions(self, lv, funcs):
+        """Per-axis cell bounding box of the supports of the given flat
+        functions — directly from the per-axis support ranges, without
+        enumerating cells."""
+        from .hierarchical import _range_boxes
+        msh = self.hs.mesh(lv)
+        funcs = np.asarray(funcs, dtype=np.intp)
+        if funcs.size == 0:
+            return tuple((0, 0) for _ in range(self.hs.dim))
+        lo, hi = _range_boxes(msh.meshsupp, funcs, msh.numdofs)
+        return tuple(zip(lo.min(axis=0).tolist(), hi.max(axis=0).tolist()))
+
+    def _tp_matrix_rows(self, k, rows, bbox, symmetric):
+        """Partial rows of the level-`k` TP matrix, assembled over the
+        bbox-restricted Gauss grid."""
+        n = int(np.prod(self.hs.mesh(k).numdofs))
         if rows is not None and len(rows) == 0:
-            n = int(np.prod(self.hs.mesh(k).numdofs))
             return scipy.sparse.csr_matrix((n, n))
-
-        asm_args = {inp.name: self.asm_args[inp.name]
-                    for inp in self.vf.inputs if inp.name != 'geo'}
-        asm_args['geo'] = self.asm_args['geo']
-        asm_args['bbox'] = bbox
-
-        if not self.asm_class:
-            self.asm_class = compile_mod.compile_vform(self.vf,
+        if self._compiled is None:
+            self._compiled = compile_mod.compile_vform(self.vf,
                                                        on_demand=True)
-        asm = self.asm_class(self.hs.knotvectors(k), **asm_args)
+        asm = self._compiled(self.hs.knotvectors(k), bbox=bbox,
+                             **self._inputs_for(self.vf))
         if rows is None:
             from .assemble import assemble_entries
             return assemble_entries(asm, symmetric=symmetric)
         return _assemble_partial_rows(asm, rows)
 
+    # -- system matrix ----------------------------------------------------------
+
     def assemble_matrix(self, symmetric=False):
-        """The stiffness matrix over the hierarchical space (size
+        """The system matrix over the hierarchical space (size
         ``hs.numdofs``), sparse CSR."""
         if self.truncate:
             try:
@@ -74,70 +94,65 @@ class HDiscretization:
             return (T.T @ A_hb @ T).tocsr()
 
         hs = self.hs
-        neighbors = hs.cell_supp_indices(remove_dirichlet=False)
-        for k in range(hs.numlevels):
-            neighbors[k][k] = []
+        L = hs.numlevels
+        act = hs.active_indices()
+        offsets = np.concatenate([[0], np.cumsum([len(a) for a in act])])
 
-        # rows to assemble per level: interlevel representations + active dofs
-        to_assemble, interlevel_ix, bboxes = [], [], []
-        for k in range(hs.numlevels):
-            indices = set()
+        # per level k: the coarse-function canonical columns it couples to
+        # (support-extension neighbors of lower levels), the fine-level
+        # representations of those coarse functions, and the row set to
+        # assemble
+        coupling = hs.cell_supp_indices(remove_dirichlet=False)
+        triplets = ([], [], [])
+
+        def emit(B, rows, cols):
+            B = B.tocoo()
+            triplets[0].append(rows[B.row])
+            triplets[1].append(cols[B.col])
+            triplets[2].append(B.data)
+
+        for k in range(L):
+            lower = [coupling[k][lv] if lv < k else _EMPTY for lv in range(L)]
+            # level-k footprint of the coarse neighbor functions
+            rep = _EMPTY
             for lv in range(max(0, k - hs.disparity), k):
-                indices |= set(hs.hmesh.function_grandchildren(
-                    lv, neighbors[k][lv], k))
-            interlevel_ix.append(indices)
-            to_assemble.append(indices | hs.actfun[k])
-            bboxes.append(self._bbox_for_functions(k, to_assemble[-1]))
+                if len(lower[lv]):
+                    rep = np.union1d(rep, hs.hmesh._funcs_across(
+                        lv, lower[lv], k))
+            needed = np.union1d(rep, act[k])
 
-        to_assemble = hs.ravel_indices(to_assemble)
-        interlevel_ix = hs.ravel_indices(interlevel_ix)
-        neighbors = [hs.raveled_to_virtual_canonical_indices(
-            lv, hs.ravel_indices(idx)) for lv, idx in enumerate(neighbors)]
+            A_k = self._tp_matrix_rows(
+                k, rows=needed, bbox=self._bbox_for_functions(k, needed),
+                symmetric=symmetric)
+            R_k = hs.represent_fine(lv=k, truncate=False, rows=needed)
 
-        new_loc = hs.active_indices()
-        na = tuple(len(ii) for ii in new_loc)
-        new = [np.arange(sum(na[:k]), sum(na[:k + 1]))
-               for k in range(hs.numlevels)]
+            can_new = np.arange(offsets[k], offsets[k + 1])
+            can_low = hs.raveled_to_virtual_canonical_indices(k, lower)
 
-        coo_I, coo_J, values = [], [], []
+            # new x new interactions are plain TP entries
+            emit(A_k[act[k]][:, act[k]], can_new, can_new)
 
-        def insert_block(B, rows, columns):
-            B = B.tocsr()
-            I, J = B.nonzero()
-            coo_I.append(rows[I])
-            coo_J.append(columns[J])
-            values.append(B.data)
-
-        for k in range(hs.numlevels):
-            A_k = self._assemble_level(k, rows=to_assemble[k],
-                                       bbox=bboxes[k], symmetric=symmetric)
-            I_hb_k = hs.represent_fine(lv=k, truncate=False,
-                                       rows=to_assemble[k])
-
-            # same-level interactions of the new (active) functions
-            insert_block(A_k[new_loc[k]][:, new_loc[k]], new[k], new[k])
-
-            # interactions with coarser levels, coupled through I_hb
-            A_interlevel = (I_hb_k[interlevel_ix[k]][:, neighbors[k]].T
-                            @ A_k[interlevel_ix[k]][:, new_loc[k]]
-                            @ I_hb_k[new_loc[k]][:, new[k]])
+            # coarse x new couplings ride the fine-level representation
+            R_low = R_k[rep][:, can_low]
+            R_new = R_k[act[k]][:, can_new]
+            low_new = R_low.T @ A_k[rep][:, act[k]] @ R_new
+            emit(low_new, can_low, can_new)
             if symmetric:
-                A_interlevel2 = A_interlevel.T
+                emit(low_new.T, can_new, can_low)
             else:
-                A_interlevel2 = (I_hb_k[new_loc[k]][:, new[k]].T
-                                 @ A_k[new_loc[k]][:, interlevel_ix[k]]
-                                 @ I_hb_k[interlevel_ix[k]][:, neighbors[k]])
-            insert_block(A_interlevel, neighbors[k], new[k])
-            insert_block(A_interlevel2, new[k], neighbors[k])
+                emit(R_new.T @ A_k[act[k]][:, rep] @ R_low,
+                     can_new, can_low)
 
         return scipy.sparse.csr_matrix(
-            (np.concatenate(values),
-             (np.concatenate(coo_I), np.concatenate(coo_J))),
+            (np.concatenate(triplets[2]),
+             (np.concatenate(triplets[0]), np.concatenate(triplets[1]))),
             shape=(hs.numdofs, hs.numdofs))
 
+    # -- right-hand sides ---------------------------------------------------------
+
     def assemble_rhs(self, vf=None):
-        """Right-hand-side vector (default: L2 product with ``asm_args['f']``
-        in physical coordinates)."""
+        """Right-hand-side vector (default: L2 product with
+        ``asm_args['f']`` in physical coordinates)."""
         if vf is None:
             from .vform import L2functional_vf
             vf = L2functional_vf(dim=self.hs.dim, physical=True)
@@ -148,32 +163,19 @@ class HDiscretization:
         if vf.arity != 1:
             raise ValueError('vf must be a linear functional (arity=1)')
         RhsAsm = compile_mod.compile_vform(vf, on_demand=True)
-        asm_args = {inp.name: self.asm_args[inp.name]
-                    for inp in vf.inputs if inp.name != 'geo'}
-        asm_args['geo'] = self.asm_args['geo']
+        args = self._inputs_for(vf)
 
-        def asm_rhs_level(k, rows):
+        hs = self.hs
+        pieces = []
+        for k, rows in enumerate(hs.active_indices()):
             if len(rows) == 0:
-                return np.zeros(0)
-            bbox = self._bbox_for_functions(k, self.hs.actfun[k])
-            asm = RhsAsm(self.hs.knotvectors(k), bbox=bbox, **asm_args)
-            return asm.assemble_vector().ravel()[rows]
-
-        act = self.hs.active_indices()
-        rhs = np.zeros(self.hs.numdofs)
-        i = 0
-        for k, a_k in enumerate(act):
-            rhs[i:i + len(a_k)] = asm_rhs_level(k, a_k)
-            i += len(a_k)
+                pieces.append(np.zeros(0))
+                continue
+            asm = RhsAsm(hs.knotvectors(k),
+                         bbox=self._bbox_for_functions(k, rows), **args)
+            pieces.append(asm.assemble_vector().ravel()[rows])
+        rhs = np.concatenate(pieces)
 
         if self.truncate:
-            rhs = self.hs.thb_to_hb().T @ rhs
+            rhs = hs.thb_to_hb().T @ rhs
         return rhs
-
-    def _bbox_for_functions(self, lv, funcs):
-        """Cell bounding box of the supports of the given functions."""
-        supp_cells = np.array(sorted(self.hs.mesh(lv).support(funcs)))
-        if len(supp_cells) == 0:
-            return tuple((0, 0) for _ in range(self.hs.dim))
-        return tuple((supp_cells[:, j].min(), supp_cells[:, j].max() + 1)
-                     for j in range(supp_cells.shape[1]))
