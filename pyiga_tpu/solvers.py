@@ -35,19 +35,17 @@ def fastdiag_solver(KM):
     per-axis generalized eigendecompositions give a Kronecker eigenbasis in
     which the operator is diagonal.  Input: list of (K_i, M_i) pairs."""
     dim = len(KM)
-    n = tuple(K.shape[0] for K, _ in KM)
-    EV = [scipy.linalg.eigh(_asdense(K), _asdense(M)) for K, M in KM]
+    evs = [scipy.linalg.eigh(_asdense(K), _asdense(M)) for K, M in KM]
 
-    diags = []
-    for d in range(dim):
-        D = [np.ones(n[j]) for j in range(dim)]
-        D[d] = EV[d][0]
-        diags.append(reduce(np.kron, D))
-    diag = sum(diags)
+    # eigenvalues of the full operator: the outer sum of the per-axis
+    # eigenvalues over the tensor grid (C order matches the Kronecker basis)
+    lam = np.zeros(dim * (1,))
+    for d, (w, _) in enumerate(evs):
+        lam = lam + w.reshape((1,) * d + (-1,) + (1,) * (dim - 1 - d))
 
-    l_op = KroneckerOperator(*(U for _, U in EV))
-    r_op = KroneckerOperator(*(U.T for _, U in EV))
-    return l_op * DiagonalOperator(1.0 / diag) * r_op
+    to_eigen = KroneckerOperator(*(U.T for _, U in evs))
+    from_eigen = KroneckerOperator(*(U for _, U in evs))
+    return from_eigen * DiagonalOperator(1.0 / lam.ravel()) * to_eigen
 
 
 ################################################################################
@@ -384,21 +382,21 @@ def gmres_jit(matvec, b, x0=None, tol=1e-8, restart=30, max_restarts=100,
 # Smoothers
 ################################################################################
 
+_SWEEP_PASSES = {'forward': (False,), 'backward': (True,),
+                 'symmetric': (False, True)}
+
+
 def gauss_seidel(A, x, b, iterations=1, indices=None, sweep='forward'):
     """Gauss-Seidel relaxation on ``Ax = b``, updating `x` in place.
 
     Sweep order is bit-compatible with the reference (relaxation_cy.pyx):
     forward/backward full sweeps, or sweeps restricted to `indices` in the
     given order.  Uses the native C++ kernel when available."""
-    if sweep == 'symmetric':
-        for _ in range(iterations):
-            gauss_seidel(A, x, b, iterations=1, indices=indices, sweep='forward')
-            gauss_seidel(A, x, b, iterations=1, indices=indices, sweep='backward')
-        return
-    if sweep not in ('forward', 'backward'):
+    try:
+        passes = _SWEEP_PASSES[sweep]
+    except KeyError:
         raise ValueError("valid sweep directions are 'forward', 'backward',"
                          " and 'symmetric'")
-    reverse = (sweep == 'backward')
 
     if scipy.sparse.issparse(A):
         if not scipy.sparse.isspmatrix_csr(A):
@@ -407,21 +405,21 @@ def gauss_seidel(A, x, b, iterations=1, indices=None, sweep='forward'):
                           '(performance warning)', RuntimeWarning)
             A = scipy.sparse.csr_matrix(A)
         for _ in range(iterations):
-            if indices is not None:
-                native.gauss_seidel_sweep_indexed(A, x, b, indices,
-                                                  reverse=reverse)
-            else:
-                native.gauss_seidel_sweep(A, x, b, reverse=reverse)
+            for reverse in passes:
+                if indices is not None:
+                    native.gauss_seidel_sweep_indexed(A, x, b, indices,
+                                                      reverse=reverse)
+                else:
+                    native.gauss_seidel_sweep(A, x, b, reverse=reverse)
         return
 
-    # dense fallback
-    idx = range(A.shape[0]) if indices is None else indices
-    if reverse:
-        idx = list(reversed(list(idx)))
+    # dense fallback (strictly sequential update, same visit order)
+    order = list(range(A.shape[0]) if indices is None else indices)
     for _ in range(iterations):
-        for i in idx:
-            z = A[i].dot(x) - A[i, i] * x[i]
-            x[i] = (b[i] - z) / A[i, i]
+        for reverse in passes:
+            for i in (reversed(order) if reverse else order):
+                off_diag = A[i].dot(x) - A[i, i] * x[i]
+                x[i] = (b[i] - off_diag) / A[i, i]
 
 
 def OperatorSmoother(S):
@@ -452,103 +450,95 @@ def SequentialSmoother(smoothers):
 
 def twogrid(A, f, P, smoother, u0=None, tol=1e-8, smooth_steps=2, maxiter=1000):
     """Generic two-grid iteration with Galerkin coarse matrix ``P^T A P``."""
-    A_c = P.T.dot(A).dot(P)
-    A_c_inv = make_solver(A_c)
-
+    coarse_inv = make_solver(P.T @ A @ P)
     u = np.array(u0) if u0 is not None else np.zeros(A.shape[0])
-    res0 = np.linalg.norm(f - A.dot(u))
-    numiter = 0
+    res0 = np.linalg.norm(f - A @ u)
 
-    while True:
+    for numiter in range(1, maxiter + 2):
         for _ in range(smooth_steps):
             smoother(A, u, f)
-        r = f - A.dot(u)
+        r = f - A @ u
         res = np.linalg.norm(r)
-        u += P.dot(A_c_inv * P.T.dot(r))
-        numiter += 1
+        u += P @ (coarse_inv * (P.T @ r))
         if res < tol * res0:
             break
         if res > 20 * res0:
             print('Diverged')
             break
-        if numiter > maxiter:
-            print('too many iterations, aborting. reduction =', res / res0)
-            break
+    else:
+        print('too many iterations, aborting. reduction =', res / res0)
     print(numiter, 'iterations')
     return u
 
 
+# Smoother catalog for the local MG V-cycle: sweep direction of the
+# pre-smoothing and post-smoothing half of the cycle.  'exact' replaces
+# smoothing by an additive exact solve on the smoothing index set.
+_MG_SWEEPS = {
+    'gs': ('forward', 'backward'),
+    'forward_gs': ('forward', 'forward'),
+    'backward_gs': ('backward', 'backward'),
+    'symmetric_gs': ('symmetric', 'symmetric'),
+    'exact': (None, None),
+}
+
+
 def local_mg_step(hs, A, f, Ps, lv_inds, smoother='symmetric_gs',
                   smooth_steps=2):
-    """One V-cycle of the local multigrid method on the virtual hierarchy of
-    the HB/THB space `hs`; smoothing is restricted to the per-level index
-    sets `lv_inds`.  Returns a function ``step(x)``.
-    (Reference: solvers.py:174.)"""
-    assert smoother in ('gs', 'forward_gs', 'backward_gs', 'symmetric_gs',
-                        'exact'), 'Invalid smoother'
-    As = [A]
-    for P in reversed(Ps):
-        As.append(P.T.dot(As[-1]).dot(P).tocsr())
-    As.reverse()
+    """One V-cycle of the local multigrid method on the virtual hierarchy
+    of the HB/THB space `hs`; smoothing is restricted to the per-level
+    index sets `lv_inds`.  Returns a function ``step(x)``.
 
-    Bs = []     # exact solvers
-    exact_levels = range(hs.numlevels) if smoother == 'exact' else [0]
-    for lv in exact_levels:
-        lv_ind = lv_inds[lv]
-        Bs.append(make_solver(As[lv][lv_ind][:, lv_ind], spd=True))
+    Implemented as explicit descend/ascend passes over precomputed Galerkin
+    coarse matrices; the operation order (pre-smooth, restrict, coarse
+    solve, prolongate, post-smooth, with strictly sequential Gauss-Seidel
+    sweeps) reproduces the reference's iteration counts exactly
+    (behavioral contract: reference solvers.py:174, test_localmg)."""
+    if smoother not in _MG_SWEEPS:
+        raise ValueError('Invalid smoother')
+    pre_sweep, post_sweep = _MG_SWEEPS[smoother]
+    L = hs.numlevels
 
-    def pre_smooth(A_l, x, fv, lv_ind):
-        if smoother in ('gs', 'forward_gs'):
-            gauss_seidel(A_l, x, fv, indices=lv_ind, iterations=smooth_steps,
-                         sweep='forward')
-        elif smoother == 'backward_gs':
-            gauss_seidel(A_l, x, fv, indices=lv_ind, iterations=smooth_steps,
-                         sweep='backward')
-        elif smoother == 'symmetric_gs':
-            gauss_seidel(A_l, x, fv, indices=lv_ind, iterations=smooth_steps,
-                         sweep='symmetric')
+    # Galerkin hierarchy: As[L-1] = A, As[lv] = P^T As[lv+1] P
+    As = [None] * L
+    As[L - 1] = A
+    for lv in range(L - 2, -1, -1):
+        As[lv] = (Ps[lv].T @ As[lv + 1] @ Ps[lv]).tocsr()
 
-    def post_smooth(A_l, x, fv, lv_ind):
-        if smoother == 'gs':
-            gauss_seidel(A_l, x, fv, indices=lv_ind, iterations=smooth_steps,
-                         sweep='backward')
-        elif smoother == 'forward_gs':
-            gauss_seidel(A_l, x, fv, indices=lv_ind, iterations=smooth_steps,
-                         sweep='forward')
-        elif smoother == 'backward_gs':
-            gauss_seidel(A_l, x, fv, indices=lv_ind, iterations=smooth_steps,
-                         sweep='backward')
-        elif smoother == 'symmetric_gs':
-            gauss_seidel(A_l, x, fv, indices=lv_ind, iterations=smooth_steps,
-                         sweep='symmetric')
-        # exact: no post-smoothing
+    exact_on = range(L) if smoother == 'exact' else (0,)
+    direct = {lv: make_solver(As[lv][lv_inds[lv]][:, lv_inds[lv]], spd=True)
+              for lv in exact_on}
 
-    def step(lv, x, fv):
-        if lv == 0:
-            x1 = x.copy()
-            lv_ind = lv_inds[0]
-            x1[lv_ind] = Bs[0].dot(fv[lv_ind])
-            return x1
-        x1 = x.copy()
-        P = Ps[lv - 1]
-        A_l = As[lv]
-        lv_ind = lv_inds[lv]
+    def relax(lv, x, rhs, sweep):
+        if sweep is not None:
+            gauss_seidel(As[lv], x, rhs, indices=lv_inds[lv],
+                         iterations=smooth_steps, sweep=sweep)
 
-        if smoother == 'exact':
-            r_fine = (fv - A_l.dot(x1))[lv_ind]
-            x1[lv_ind] += Bs[lv].dot(r_fine)
-        else:
-            pre_smooth(A_l, x1, fv, lv_ind)
+    def vcycle(x, rhs):
+        # descend: smooth and collect restricted residuals per level
+        xs, rhss = [None] * L, [None] * L
+        xs[L - 1], rhss[L - 1] = x.copy(), rhs
+        for lv in range(L - 1, 0, -1):
+            if smoother == 'exact':
+                ind = lv_inds[lv]
+                r = (rhss[lv] - As[lv] @ xs[lv])[ind]
+                xs[lv][ind] += direct[lv] @ r
+            else:
+                relax(lv, xs[lv], rhss[lv], pre_sweep)
+            rhss[lv - 1] = Ps[lv - 1].T @ (rhss[lv] - As[lv] @ xs[lv])
+            xs[lv - 1] = np.zeros_like(rhss[lv - 1])
 
-        # coarse grid correction
-        r = fv - A_l.dot(x1)
-        r_c = P.T.dot(r)
-        x1 += P.dot(step(lv - 1, np.zeros_like(r_c), r_c))
+        # coarsest level: exact solve on its smoothing set
+        ind0 = lv_inds[0]
+        xs[0][ind0] = direct[0] @ rhss[0][ind0]
 
-        post_smooth(A_l, x1, fv, lv_ind)
-        return x1
+        # ascend: prolongate corrections and post-smooth
+        for lv in range(1, L):
+            xs[lv] += Ps[lv - 1] @ xs[lv - 1]
+            relax(lv, xs[lv], rhss[lv], post_sweep)
+        return xs[L - 1]
 
-    return lambda x: step(hs.numlevels - 1, x, f)
+    return lambda x: vcycle(x, f)
 
 
 def iterative_solve(step, A, f, x0=None, active_dofs=None, tol=1e-8,
@@ -556,27 +546,19 @@ def iterative_solve(step, A, f, x0=None, active_dofs=None, tol=1e-8,
     """Run the iteration ``x <- step(x)`` until the residual of ``Ax = f``
     (restricted to `active_dofs`) is reduced by `tol`.  Returns
     ``(x, iterations)`` with ``iterations = inf`` on non-convergence."""
-    if active_dofs is None:
-        active_dofs = slice(A.shape[0])
-    if x0 is None:
-        x = np.zeros(A.shape[0])
-        res0 = f
-    else:
-        x = x0
-        res0 = f - A @ x
-    res0 = scipy.linalg.norm(res0[active_dofs])
-    iterations = 0
-    while True:
+    sel = slice(None) if active_dofs is None else active_dofs
+    x = np.zeros(A.shape[0]) if x0 is None else x0
+    r = f if x0 is None else f - A @ x
+    res0 = scipy.linalg.norm(r[sel])
+    for it in range(1, maxiter + 1):
         x = step(x)
-        r = f - A @ x
-        res = scipy.linalg.norm(r[active_dofs])
-        iterations += 1
+        res = scipy.linalg.norm((f - A @ x)[sel])
+        # keep the exact comparison form: iteration counts are a contract
         if res / res0 < tol:
-            return x, iterations
-        if iterations >= maxiter:
-            print('Warning: iterative solver did not converge in'
-                  ' {} iterations'.format(iterations))
-            return x, np.inf
+            return x, it
+    print('Warning: iterative solver did not converge in'
+          ' {} iterations'.format(maxiter))
+    return x, np.inf
 
 
 def solve_hmultigrid(hs, A, f, strategy='cell_supp', smoother='gs',
@@ -627,140 +609,202 @@ def newton(F, J, x0, atol=1e-6, rtol=1e-6, maxiter=100, freeze_jac=1):
 
 
 ################################################################################
-# DIRK time stepping
+# Implicit Runge-Kutta time stepping (DIRK and Rosenbrock schemes)
+#
+# A *scheme* object computes one step; the constant/adaptive *drivers* below
+# handle step control and are shared by both families.
 ################################################################################
 
-def dirk_step(A, M, F, J, x, tau, data=None, Fx=None):
-    """One step of a (embedded) DIRK method given its extended Butcher array
-    `A` (s stage rows, then b, optionally b_hat).  Returns the new iterate
-    (plus error estimate for embedded schemes) and cached F evaluation."""
-    if M is None:
-        M = scipy.sparse.eye(x.shape[0])
-    if data is None:
-        data = dict()
-    s = A.shape[1]
-    b = A[s, :]
-    is_sa = np.allclose(b, A[s - 1, :])     # stiffly accurate?
-    ys, Fy = [], []
-    for i in range(s):
-        a_ii = A[i, i]
-        if a_ii == 0:
-            assert i == 0
-            ys.append(x)
-            Fy.append(Fx if Fx is not None else F(x))
+class _DIRKScheme:
+    """A diagonally-implicit RK scheme from an extended Butcher array
+    (`s` stage rows, then the weight row `b`, optionally the embedded
+    row `b_hat`)."""
+
+    def __init__(self, tableau):
+        tableau = np.asarray(tableau)
+        self.s = s = tableau.shape[1]
+        self.A = tableau[:s]
+        self.b = tableau[s]
+        self.b_hat = tableau[s + 1] if tableau.shape[0] > s + 1 else None
+        # stiffly accurate: the last stage IS the new iterate
+        self.stiffly_accurate = np.allclose(self.b, self.A[s - 1])
+
+    def truncated(self):
+        """The same scheme without its embedded error estimator."""
+        out = _DIRKScheme(np.vstack([self.A, self.b]))
+        return out
+
+    def _implicit_stage(self, M, F, J, tau, a_ii, rhs, x_start):
+        """Solve ``M y - tau a_ii F(y) = rhs`` by Newton, returning the
+        stage value and the F evaluation at it."""
+        cache = {}
+
+        def res_fn(z):
+            cache['F'] = F(z)
+            return M @ z - tau * a_ii * cache['F'] - rhs
+
+        y = newton(res_fn, lambda z: M - tau * a_ii * J(z), x_start,
+                   atol=1e-4, freeze_jac=2)
+        return y, cache['F']
+
+    def step(self, M, F, J, x, tau, data=None, Fx=None):
+        if M is None:
+            M = scipy.sparse.eye(x.shape[0])
+        if data is None:
+            data = {}
+        A, s = self.A, self.s
+        stage_vals, stage_F = [], []
+        for i in range(s):
+            if A[i, i] == 0:
+                assert i == 0, 'explicit stage only allowed first'
+                stage_vals.append(x)
+                stage_F.append(Fx if Fx is not None else F(x))
+                continue
+            rhs = M @ x + tau * sum(A[i, j] * stage_F[j] for j in range(i))
+            guess = stage_vals[-1] if stage_vals else x
+            y, Fy = self._implicit_stage(M, F, J, tau, A[i, i], rhs, guess)
+            stage_vals.append(y)
+            stage_F.append(Fy)
+
+        def combine(weights):
+            if 'M_inv' not in data:
+                data['M_inv'] = make_solver(M, spd=True)
+            acc = M @ x + tau * sum(w * Fi
+                                    for w, Fi in zip(weights, stage_F))
+            return data['M_inv'] @ acc
+
+        if self.stiffly_accurate:
+            x_new, F_new = stage_vals[-1], stage_F[-1]
         else:
-            rhs = M @ x + tau * sum(A[i, j] * Fy[j] for j in range(i))
-            last_Fz = None
+            x_new, F_new = combine(self.b), None
 
-            def newton_F(z):
-                nonlocal last_Fz
-                last_Fz = F(z)
-                return M @ z - tau * a_ii * last_Fz - rhs
-
-            def newton_J(z):
-                return M - tau * a_ii * J(z)
-
-            x_start = x if i == 0 else ys[-1]
-            y_i = newton(newton_F, newton_J, x_start, atol=1e-4, freeze_jac=2)
-            ys.append(y_i)
-            Fy.append(last_Fz)
-
-    def get_Minv():
-        if 'M_inv' not in data:
-            data['M_inv'] = make_solver(M, spd=True)
-        return data['M_inv']
-
-    if is_sa:
-        x_new, F_x_new = ys[s - 1], Fy[s - 1]
-    else:
-        x_new = get_Minv() @ (M @ x + tau * sum(b[i] * Fy[i] for i in range(s)))
-        F_x_new = None
-
-    if A.shape[0] == s + 2:     # embedded scheme
-        b_hat = A[s + 1, :]
-        x_est = get_Minv() @ (M @ x
-                              + tau * sum(b_hat[i] * Fy[i] for i in range(s)))
-        return x_new, x_est, F_x_new
-    return x_new, F_x_new
+        if self.b_hat is not None:
+            return x_new, combine(self.b_hat), F_new
+        return x_new, F_new
 
 
-def _constant_step_method(stepper):
-    def _method(M, F, J, x, tau, t_end, *, t0=0.0, progress=False):
-        """Integrate with constant steps; returns (times, solutions)."""
-        times, solutions = [t0], [x]
-        Fx = None
-        data = dict()
-        from math import ceil
-        num_iter = int(ceil((t_end - t0) / tau))
-        tqdm = utils.progress_bar(progress)
-        for i in tqdm(range(num_iter)):
+class _RosenbrockScheme:
+    """A Rosenbrock(-W) scheme: one Jacobian evaluation and one
+    factorization of ``M - tau gamma J`` per step, `s` linear stage
+    solves."""
+
+    def __init__(self, A, Gamma, b, b_hat):
+        self.A, self.Gamma = np.asarray(A), np.asarray(Gamma)
+        self.b, self.b_hat = b, b_hat
+
+    def truncated(self):
+        return _RosenbrockScheme(self.A, self.Gamma, self.b, None)
+
+    def step(self, M, F, J, x, tau, data=None, Fx=None):
+        A, Gamma = self.A, self.Gamma
+        jac = J(x)
+        solve = make_solver(M - tau * Gamma[0, 0] * jac)
+
+        ks = []
+        for i in range(A.shape[0]):
+            y = x + tau * sum(A[i, j] * ks[j] for j in range(i))
+            rhs = F(y)
+            if i > 0:
+                rhs = rhs + tau * jac.dot(
+                    sum(Gamma[i, j] * ks[j] for j in range(i)))
+            ks.append(solve.dot(rhs))
+
+        def combine(weights):
+            return x + tau * sum(w * k for w, k in zip(weights, ks))
+
+        if self.b_hat is not None:
+            return combine(self.b), combine(self.b_hat), None
+        return combine(self.b), None
+
+
+def dirk_step(tableau, M, F, J, x, tau, data=None, Fx=None):
+    """One step of the (embedded) DIRK method given by the extended Butcher
+    array (compatibility wrapper around :class:`_DIRKScheme`)."""
+    return _DIRKScheme(tableau).step(M, F, J, x, tau, data=data, Fx=Fx)
+
+
+def rosenbrock_step(A, Gamma, b, b_hat, M, F, J, x, tau, data, Fx=None):
+    """One Rosenbrock(-W) step (compatibility wrapper around
+    :class:`_RosenbrockScheme`)."""
+    return _RosenbrockScheme(A, Gamma, b, b_hat).step(M, F, J, x, tau,
+                                                      data=data, Fx=Fx)
+
+
+def _integrate_constant(scheme, M, F, J, x, tau, t_end, *, t0=0.0,
+                        progress=False):
+    """Integrate with constant steps; returns (times, solutions)."""
+    times, solutions = [t0], [x]
+    Fx, data = None, {}
+    nsteps = int(np.ceil((t_end - t0) / tau))
+    for i in utils.progress_bar(progress)(range(nsteps)):
+        try:
+            x, Fx = scheme.step(M, F, J, x, tau, data, Fx=Fx)
+        except NoConvergenceError:
+            print('Nonlinear solve failed; returning partial results')
+            break
+        times.append(t0 + (i + 1) * tau)
+        solutions.append(x)
+    return times, solutions
+
+
+def _integrate_adaptive(scheme, err_order, M, F, J, x, tau0, t_end, tol, *,
+                        t0=0.0, step_factor=0.9, progress=False):
+    """Integrate with embedded-error adaptive step control; returns
+    (times, solutions)."""
+    if tol is None:
+        return _integrate_constant(scheme.truncated(), M, F, J, x, tau0,
+                                   t_end, t0=t0, progress=progress)
+    times, solutions = [t0], [x]
+    Fx, data, tau, t = None, {}, tau0, t0
+    with utils.progress_bar(progress)(total=t_end - t0) as pbar:
+        while t < t_end:
             try:
-                x, Fx = stepper(M, F, J, x, tau, data, Fx=Fx)
+                xnew, xhat, Fxnew = scheme.step(M, F, J, x, tau, data, Fx=Fx)
             except NoConvergenceError:
-                print('Nonlinear solve failed; returning partial results')
-                return times, solutions
-            times.append(t0 + (i + 1) * tau)
-            solutions.append(x)
-        return times, solutions
-    return _method
+                tau *= 0.5          # reject: halve the step and retry
+                continue
+            # scaled RMS error of the embedded estimate
+            weight = tol + tol * abs(x)
+            r = np.linalg.norm((xhat - xnew) / weight) / np.sqrt(len(x))
+            r = max(r, 1e-15)
+            if r <= 1:              # accept
+                t += tau
+                x, Fx = xnew, Fxnew
+                times.append(t)
+                solutions.append(x)
+                pbar.update(tau)
+                pbar.set_postfix({'tau': tau})
+            tau *= min(5.0, max(0.2, step_factor * r ** (-1.0 / err_order)))
+    return times, solutions
 
 
-def _adaptive_step_method(stepper, err_order, const_method):
-    def _method(M, F, J, x, tau0, t_end, tol, *, t0=0.0, step_factor=0.9,
-                progress=False):
-        """Integrate with embedded-error adaptive steps; returns
-        (times, solutions)."""
-        if tol is None:
-            return const_method(M, F, J, x, tau0, t_end, t0=t0)
-        times, solutions = [t0], [x]
-        Fx = None
-        tau = tau0
-        data = dict()
-        tqdm = utils.progress_bar(progress)
-        with tqdm(total=t_end - t0) as pbar:
-            t = t0
-            while t < t_end:
-                try:
-                    xnew, xhat, Fxnew = stepper(M, F, J, x, tau, data, Fx=Fx)
-                    d = tol + tol * abs(x)
-                    r = np.linalg.norm((xhat - xnew) / d) / np.sqrt(len(x))
-                    if r == 0:
-                        r = 1e-15
-                    if r <= 1:      # accept step
-                        t += tau
-                        x, Fx = xnew, Fxnew
-                        times.append(t)
-                        solutions.append(x)
-                        pbar.update(tau)
-                        pbar.set_postfix({'tau': tau})
-                    fac = step_factor * r ** (-1.0 / err_order)
-                    tau *= min(5.0, max(0.2, fac))
-                except NoConvergenceError:
-                    tau *= 0.5      # reject step, halve
-        return times, solutions
-    return _method
+def _export_method(scheme, name, displayname, err_order=None):
+    """Public integrator function for a scheme: constant-step when it has
+    no embedded estimator, adaptive otherwise."""
+    if err_order is None:
+        def method(M, F, J, x, tau, t_end, *, t0=0.0, progress=False):
+            return _integrate_constant(scheme, M, F, J, x, tau, t_end,
+                                       t0=t0, progress=progress)
+    else:
+        def method(M, F, J, x, tau0, t_end, tol, *, t0=0.0,
+                   step_factor=0.9, progress=False):
+            return _integrate_adaptive(scheme, err_order, M, F, J, x, tau0,
+                                       t_end, tol, t0=t0,
+                                       step_factor=step_factor,
+                                       progress=progress)
+    method.__name__ = method.__qualname__ = name
+    method.__doc__ = ('Solve a time-dependent problem using the %s method.'
+                      % displayname)
+    return method
 
 
-def dirk_method(A, name, displayname):
-    def stepper(*args, **kwargs):
-        return dirk_step(A, *args, **kwargs)
-    f = _constant_step_method(stepper)
-    f.__name__ = f.__qualname__ = name
-    f.__doc__ = ('Solve a time-dependent problem using the %s method.\n'
-                 % displayname) + (f.__doc__ or '')
-    return f
+def dirk_method(tableau, name, displayname):
+    return _export_method(_DIRKScheme(tableau), name, displayname)
 
 
-def adaptive_dirk_method(A, err_order, name, displayname):
-    const_method = dirk_method(A[:-1, :], name, displayname)
-
-    def stepper(*args, **kwargs):
-        return dirk_step(A, *args, **kwargs)
-    f = _adaptive_step_method(stepper, err_order, const_method)
-    f.__name__ = f.__qualname__ = name
-    f.__doc__ = ('Solve a time-dependent problem using the %s method.\n'
-                 % displayname) + (f.__doc__ or '')
-    return f
+def adaptive_dirk_method(tableau, err_order, name, displayname):
+    return _export_method(_DIRKScheme(tableau), name, displayname,
+                          err_order=err_order)
 
 
 # -- Butcher tableaus (published coefficients) --------------------------------
@@ -875,31 +919,6 @@ esdirk34 = adaptive_dirk_method(*coeffs_esdirk34(), 'esdirk34',
 # Rosenbrock methods (see doi:10.1016/j.cma.2009.10.005)
 ################################################################################
 
-def rosenbrock_step(A, Gamma, b, b_hat, M, F, J, x, tau, data, Fx=None):
-    """One step of a Rosenbrock(-W) method: a single Jacobian evaluation and
-    factorization of ``M - tau*gamma*J`` per step, then s linear stage
-    solves."""
-    gamma = Gamma[0, 0]
-    jac = J(x)
-    C_inv = make_solver(M - tau * gamma * jac)
-
-    ks = []
-    s = A.shape[0]
-    for i in range(s):
-        y_i = x + tau * sum(A[i, j] * ks[j] for j in range(i))
-        rhs = F(y_i)
-        if i > 0:
-            w_i = sum(Gamma[i, j] * ks[j] for j in range(i))
-            rhs = rhs + tau * jac.dot(w_i)
-        ks.append(C_inv.dot(rhs))
-    x_new = x + tau * sum(b[i] * ks[i] for i in range(s))
-
-    if b_hat is not None:
-        x_est = x + tau * sum(b_hat[i] * ks[i] for i in range(s))
-        return x_new, x_est, None
-    return x_new, None
-
-
 def coeffs_ros3p():
     A = np.array([
         [0.0, 0.0, 0.0],
@@ -1013,26 +1032,14 @@ def coeffs_rosi2p1():
 
 
 def rosenbrock_method(A, Gamma, b, name, displayname):
-    def stepper(*args, **kwargs):
-        return rosenbrock_step(A, Gamma, b, None, *args, **kwargs)
-    f = _constant_step_method(stepper)
-    f.__name__ = f.__qualname__ = name
-    f.__doc__ = ('Solve a time-dependent problem using the %s method.\n'
-                 % displayname) + (f.__doc__ or '')
-    return f
+    return _export_method(_RosenbrockScheme(A, Gamma, b, None), name,
+                          displayname)
 
 
 def adaptive_rosenbrock_method(A, Gamma, b, b_hat, err_order, name,
                                displayname):
-    const_method = rosenbrock_method(A, Gamma, b, name, displayname)
-
-    def stepper(*args, **kwargs):
-        return rosenbrock_step(A, Gamma, b, b_hat, *args, **kwargs)
-    f = _adaptive_step_method(stepper, err_order, const_method)
-    f.__name__ = f.__qualname__ = name
-    f.__doc__ = ('Solve a time-dependent problem using the %s method.\n'
-                 % displayname) + (f.__doc__ or '')
-    return f
+    return _export_method(_RosenbrockScheme(A, Gamma, b, b_hat), name,
+                          displayname, err_order=err_order)
 
 
 ros3p = adaptive_rosenbrock_method(*coeffs_ros3p(), 'ros3p',
