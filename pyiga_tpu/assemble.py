@@ -27,27 +27,40 @@ from .quadrature import make_iterated_quadrature, make_tensor_quadrature
 # 1D assemblers
 ################################################################################
 
-def bsp_mixed_deriv_biform_1d(knotvec, du, dv, nqp=None, weightfunc=None):
-    """1D matrix for ``a(u,v) = int weight * u^(du) v^(dv)``; computed as
-    ``C_dv^T diag(w) C_du`` with per-span Gauss quadrature."""
+def _quad_biform_1d(kv_trial, kv_test, du, dv, quadgrid=None, nqp=None,
+                    weightfunc=None):
+    """Core 1D quadrature bilinear form ``C_test^(dv)^T diag(w) C_trial^(du)``
+    over per-span Gauss nodes; covers the Galerkin (same space) and
+    Petrov-Galerkin (two spaces) cases of the reference's bsp_*_1d family
+    (reference: assemble.py:165-230)."""
+    if quadgrid is None:
+        quadgrid = kv_trial.mesh
     if nqp is None:
-        nqp = int(math.ceil((2 * knotvec.p - du - dv + 1) / 2.0))
-    nodes, weights = make_iterated_quadrature(knotvec.mesh, nqp)
-    C = bspline.collocation_derivs(knotvec, nodes, derivs=max(du, dv))
+        # exact for the polynomial integrand degree
+        degree = kv_trial.p + kv_test.p - du - dv
+        nqp = (degree + 2) // 2
+    nodes, weights = make_iterated_quadrature(quadgrid, nqp)
     if weightfunc is not None:
         weights = weights * utils.grid_eval(weightfunc, (nodes,))
-    W = scipy.sparse.diags(weights)
-    return (C[dv].T @ W @ C[du]).tocsr()
+    Du = bspline.collocation_derivs(kv_trial, nodes, derivs=du)[du]
+    Dv = bspline.collocation_derivs(kv_test, nodes, derivs=dv)[dv]
+    return (Dv.T @ scipy.sparse.diags(weights) @ Du).tocsr()
+
+
+def bsp_mixed_deriv_biform_1d(knotvec, du, dv, nqp=None, weightfunc=None):
+    """1D matrix for ``a(u,v) = int weight * u^(du) v^(dv)``."""
+    return _quad_biform_1d(knotvec, knotvec, du, dv, nqp=nqp,
+                           weightfunc=weightfunc)
 
 
 def bsp_mass_1d(knotvec, weightfunc=None):
     """1D mass matrix (optionally weighted)."""
-    return bsp_mixed_deriv_biform_1d(knotvec, 0, 0, weightfunc=weightfunc)
+    return _quad_biform_1d(knotvec, knotvec, 0, 0, weightfunc=weightfunc)
 
 
 def bsp_stiffness_1d(knotvec, weightfunc=None):
     """1D stiffness (Laplace) matrix (optionally weighted)."""
-    return bsp_mixed_deriv_biform_1d(knotvec, 1, 1, weightfunc=weightfunc)
+    return _quad_biform_1d(knotvec, knotvec, 1, 1, weightfunc=weightfunc)
 
 
 def bsp_mixed_deriv_biform_1d_asym(knotvec1, knotvec2, du, dv,
@@ -55,124 +68,126 @@ def bsp_mixed_deriv_biform_1d_asym(knotvec1, knotvec2, du, dv,
     """Petrov-Galerkin 1D matrix relating trial space `knotvec1` (`du`
     derivatives) and test space `knotvec2` (`dv` derivatives); result has
     shape ``knotvec2.numdofs x knotvec1.numdofs``."""
-    if quadgrid is None:
-        quadgrid = knotvec1.mesh
-    if nqp is None:
-        nqp = int(math.ceil((knotvec1.p + knotvec2.p - du - dv + 1) / 2.0))
-    nodes, weights = make_iterated_quadrature(quadgrid, nqp)
-    C1 = bspline.collocation_derivs(knotvec1, nodes, derivs=du)[du]
-    C2 = bspline.collocation_derivs(knotvec2, nodes, derivs=dv)[dv]
-    return (C2.T @ scipy.sparse.diags(weights) @ C1).tocsr()
+    return _quad_biform_1d(knotvec1, knotvec2, du, dv, quadgrid=quadgrid,
+                           nqp=nqp)
 
 
 def bsp_mass_1d_asym(knotvec1, knotvec2, quadgrid=None):
-    return bsp_mixed_deriv_biform_1d_asym(knotvec1, knotvec2, 0, 0,
-                                          quadgrid=quadgrid)
+    return _quad_biform_1d(knotvec1, knotvec2, 0, 0, quadgrid=quadgrid)
 
 
 def bsp_stiffness_1d_asym(knotvec1, knotvec2, quadgrid=None):
-    return bsp_mixed_deriv_biform_1d_asym(knotvec1, knotvec2, 1, 1,
-                                          quadgrid=quadgrid)
+    return _quad_biform_1d(knotvec1, knotvec2, 1, 1, quadgrid=quadgrid)
 
 
 ################################################################################
 # Multi-dimensional mass/stiffness with Kronecker fast paths
 ################################################################################
 
+def _separable_mass(kvs, format):
+    """geo=None fast path: the mass matrix is an exact Kronecker product of
+    1D mass matrices."""
+    out = bsp_mass_1d(kvs[-1])
+    for kv in reversed(kvs[:-1]):
+        out = scipy.sparse.kron(bsp_mass_1d(kv), out, format=format)
+    return out
+
+
+def _separable_stiffness(kvs, format):
+    """geo=None fast path: Laplace = sum over axes of (mass (x) ... (x)
+    stiffness_at_axis (x) ... (x) mass), with nested grouping per axis."""
+    M = [bsp_mass_1d(kv) for kv in kvs]
+    K = [bsp_stiffness_1d(kv) for kv in kvs]
+    kron = lambda A, B: scipy.sparse.kron(A, B, format=format)
+
+    def build(lo):
+        # sum of Kronecker terms for axes lo..d-1 (exactly one K factor)
+        if lo == len(kvs) - 1:
+            return K[lo], M[lo]
+        K_rest, M_rest = build(lo + 1)
+        return kron(K[lo], M_rest) + kron(M[lo], K_rest), kron(M[lo], M_rest)
+
+    return build(0)[0]
+
+
+def _geometry_assembler_entries(asm_class, knotvecs, geo, format):
+    return assemble_entries(asm_class(knotvecs, geo), symmetric=True,
+                            format=format)
+
+
 def bsp_mass_2d(knotvecs, geo=None, format='csr'):
     if geo is None:
-        kv1, kv2 = knotvecs
-        return scipy.sparse.kron(bsp_mass_1d(kv1), bsp_mass_1d(kv2),
-                                 format=format)
-    return assemble_entries(assemblers.MassAssembler2D(knotvecs, geo),
-                            symmetric=True, format=format)
+        return _separable_mass(knotvecs, format)
+    return _geometry_assembler_entries(assemblers.MassAssembler2D,
+                                       knotvecs, geo, format)
 
 
 def bsp_stiffness_2d(knotvecs, geo=None, format='csr'):
     if geo is None:
-        kv1, kv2 = knotvecs
-        M1, M2 = bsp_mass_1d(kv1), bsp_mass_1d(kv2)
-        K1, K2 = bsp_stiffness_1d(kv1), bsp_stiffness_1d(kv2)
-        return (scipy.sparse.kron(K1, M2, format=format)
-                + scipy.sparse.kron(M1, K2, format=format))
-    return assemble_entries(assemblers.StiffnessAssembler2D(knotvecs, geo),
-                            symmetric=True, format=format)
+        return _separable_stiffness(knotvecs, format)
+    return _geometry_assembler_entries(assemblers.StiffnessAssembler2D,
+                                       knotvecs, geo, format)
 
 
 def bsp_mass_3d(knotvecs, geo=None, format='csr'):
     if geo is None:
-        Ms = [bsp_mass_1d(kv) for kv in knotvecs]
-        k = lambda A, B: scipy.sparse.kron(A, B, format=format)
-        return k(Ms[0], k(Ms[1], Ms[2]))
-    return assemble_entries(assemblers.MassAssembler3D(knotvecs, geo),
-                            symmetric=True, format=format)
+        return _separable_mass(knotvecs, format)
+    return _geometry_assembler_entries(assemblers.MassAssembler3D,
+                                       knotvecs, geo, format)
 
 
 def bsp_stiffness_3d(knotvecs, geo=None, format='csr'):
     if geo is None:
-        MK = [(bsp_mass_1d(kv), bsp_stiffness_1d(kv)) for kv in knotvecs]
-        k = lambda A, B: scipy.sparse.kron(A, B, format=format)
-        M12 = k(MK[1][0], MK[2][0])
-        K12 = k(MK[1][1], MK[2][0]) + k(MK[1][0], MK[2][1])
-        return k(MK[0][1], M12) + k(MK[0][0], K12)
-    return assemble_entries(assemblers.StiffnessAssembler3D(knotvecs, geo),
-                            symmetric=True, format=format)
+        return _separable_stiffness(knotvecs, format)
+    return _geometry_assembler_entries(assemblers.StiffnessAssembler3D,
+                                       knotvecs, geo, format)
 
 
 ################################################################################
 # Right-hand sides and integration
 ################################################################################
 
-def inner_products(kvs, f, f_physical=False, geo=None):
-    """L2 inner products of all TP basis functions with `f` (the load
-    vector), as an array of shape ``numdofs(kv) per axis`` (+ components)."""
+def _weighted_gauss_values(kvs, f, f_physical, geo, caller):
+    """Evaluate `f` on the assembler Gauss grid (nqp = max(p)+1 per axis)
+    and fold in the quadrature weights and, with geometry, |det J|.
+    Returns ``(gaussgrid, weighted values)``."""
     if isinstance(kvs, KnotVector):
         kvs = (kvs,)
     nqp = max(kv.p for kv in kvs) + 1
-    gaussgrid, gaussweights = make_tensor_quadrature(
-        [kv.mesh for kv in kvs], nqp)
+    grid, gw = make_tensor_quadrature([kv.mesh for kv in kvs], nqp)
 
     if f_physical:
         assert geo is not None, \
-            'inner_products in physical domain requires geometry'
-        fvals = utils.grid_eval_transformed(f, gaussgrid, geo)
+            '%s in physical domain requires geometry' % caller
+        vals = utils.grid_eval_transformed(f, grid, geo)
     else:
-        fvals = utils.grid_eval(f, gaussgrid)
+        vals = utils.grid_eval(f, grid)
 
-    fvals = tensor.apply_tprod(
-        [operators.DiagonalOperator(gw) for gw in gaussweights], fvals)
+    vals = tensor.apply_tprod(
+        [operators.DiagonalOperator(w) for w in gw], vals)
     if geo is not None:
-        jac = geo.grid_jacobian(gaussgrid)
-        geo_det = np.abs(np.linalg.det(jac))
-        extra_dims = fvals.ndim - geo_det.ndim
-        if extra_dims > 0:
-            geo_det = geo_det.reshape(geo_det.shape + extra_dims * (1,))
-        fvals = fvals * geo_det
-    Ct = [bspline.collocation(kvs[i], gaussgrid[i]).T for i in range(len(kvs))]
-    return tensor.apply_tprod(Ct, fvals)
+        det = np.abs(np.linalg.det(geo.grid_jacobian(grid)))
+        # trailing component axes broadcast against the grid-shaped det
+        vals = vals * det.reshape(det.shape
+                                  + (vals.ndim - det.ndim) * (1,))
+    return kvs, grid, vals
+
+
+def inner_products(kvs, f, f_physical=False, geo=None):
+    """L2 inner products of all TP basis functions with `f` (the load
+    vector), as an array of shape ``numdofs(kv) per axis`` (+ components)."""
+    kvs, grid, vals = _weighted_gauss_values(kvs, f, f_physical, geo,
+                                             'inner_products')
+    basis_T = [bspline.collocation(kv, g).T for kv, g in zip(kvs, grid)]
+    return tensor.apply_tprod(basis_T, vals)
 
 
 def integrate(kvs, f, f_physical=False, geo=None):
     """Integral of `f` over the domain described by `geo` (or the parameter
     domain), using the same Gauss rule as the assemblers."""
-    if isinstance(kvs, KnotVector):
-        kvs = (kvs,)
-    nqp = max(kv.p for kv in kvs) + 1
-    gaussgrid, gaussweights = make_tensor_quadrature(
-        [kv.mesh for kv in kvs], nqp)
-
-    if f_physical:
-        assert geo is not None, 'integrate in physical domain requires geometry'
-        fvals = utils.grid_eval_transformed(f, gaussgrid, geo)
-    else:
-        fvals = utils.grid_eval(f, gaussgrid)
-
-    fvals = tensor.apply_tprod(
-        [operators.DiagonalOperator(gw) for gw in gaussweights], fvals)
-    if geo is not None:
-        jac = geo.grid_jacobian(gaussgrid)
-        fvals = fvals * np.abs(np.linalg.det(jac))
-    return fvals.sum(axis=tuple(range(len(kvs))))
+    kvs, _, vals = _weighted_gauss_values(kvs, f, f_physical, geo,
+                                          'integrate')
+    return vals.sum(axis=tuple(range(len(kvs))))
 
 
 ################################################################################
@@ -181,132 +196,131 @@ def integrate(kvs, f, f_physical=False, geo=None):
 
 def slice_indices(ax, idx, shape, ravel=False, flip=None):
     """Dof indices of the slice at index `idx` along axis `ax` of a TP basis
-    with the given `shape`; as multi-indices or raveled (`ravel=True`)."""
+    with the given `shape`; as multi-indices or raveled (`ravel=True`).
+    `flip` optionally reverses the traversal of the remaining axes (used to
+    match flipped patch interfaces)."""
     shape = tuple(shape)
-    if idx < 0:
-        idx += shape[ax]
-    axdofs = [range(n) for n in shape]
+    per_axis = [np.arange(n) for n in shape]
+    per_axis[ax] = np.array([range(shape[ax])[idx]])    # negative idx wraps
     if flip is not None:
-        flip = tuple(flip)
-        flip = flip[:ax] + (False,) + flip[ax:]
-        for i, flp in enumerate(flip):
+        rest = [k for k in range(len(shape)) if k != ax]
+        for k, flp in zip(rest, flip):
             if flp:
-                axdofs[i] = reversed(axdofs[i])
-    axdofs[ax] = [idx]
-    multi_indices = np.array(list(itertools.product(*axdofs)))
+                per_axis[k] = per_axis[k][::-1]
+    mesh = np.meshgrid(*per_axis, indexing='ij')
+    multi = np.stack([m.ravel() for m in mesh], axis=-1)
     if ravel:
-        return np.ravel_multi_index(multi_indices.T, shape)
-    return multi_indices
+        return np.ravel_multi_index(tuple(multi.T), shape)
+    return multi
 
 
 def boundary_dofs(kvs, bdspec, ravel=False, flip=None):
     """Indices of the dofs lying on the given boundary face."""
-    bdax, bdside = bspline._parse_bdspec(bdspec, len(kvs))
-    N = tuple(kv.numdofs for kv in kvs)
-    return slice_indices(bdax, 0 if bdside == 0 else -1, N,
+    ax, side = bspline._parse_bdspec(bdspec, len(kvs))
+    return slice_indices(ax, -side, tuple(kv.numdofs for kv in kvs),
                          ravel=ravel, flip=flip)
 
 
 def boundary_cells(kvs, bdspec, ravel=False):
     """Indices of the cells lying on the given boundary face."""
-    bdax, bdside = bspline._parse_bdspec(bdspec, len(kvs))
-    N = tuple(kv.numspans for kv in kvs)
-    return slice_indices(bdax, 0 if bdside == 0 else -1, N, ravel=ravel)
+    ax, side = bspline._parse_bdspec(bdspec, len(kvs))
+    return slice_indices(ax, -side, tuple(kv.numspans for kv in kvs),
+                         ravel=ravel)
 
 
 def _drop_nans(indices, values):
-    isnan = np.isnan(values)
-    if np.any(isnan):
-        keep = np.nonzero(~isnan)[0]
-        return indices[keep], values[keep]
-    return indices, values
+    ok = ~np.isnan(values)
+    return (indices, values) if ok.all() else (indices[ok], values[ok])
+
+
+def _face_space(kvs, bdspec):
+    """The (d-1)-dim knot vectors of a boundary face plus the face's dof
+    indices in the full space (raveled, face-lexicographic order)."""
+    bdax, bdside = bdspec
+    face_kvs = tuple(kv for k, kv in enumerate(kvs) if k != bdax)
+    N = tuple(kv.numdofs for kv in kvs)
+    face_dofs = slice_indices(bdax, -bdside, N, ravel=True)
+    return face_kvs, face_dofs
 
 
 def compute_dirichlet_bc(kvs, geo, bdspec, dir_func):
     """Indices and values of the Dirichlet dofs on one boundary face,
     computed by interpolating `dir_func` (given in physical coordinates;
-    scalars mean constant functions; vector-valued functions produce blocked
-    numbering)."""
+    scalars mean constant functions; vector-valued functions produce
+    blocked numbering).  NaN values drop the dof from the BC (the
+    reference's mechanism for mixed conditions on one face)."""
     bdspec = bspline._parse_bdspec(bdspec, len(kvs))
-    bdax, bdside = bdspec
+    assert len(kvs) == geo.sdim, 'Invalid dimension of geometry'
+    face_kvs, face_dofs = _face_space(kvs, bdspec)
 
-    bdbasis = list(kvs)
-    assert len(bdbasis) == geo.sdim, 'Invalid dimension of geometry'
-    del bdbasis[bdax]
-
-    bdgeo = geo.boundary(bdspec)
-    from .approx import interpolate
     if np.isscalar(dir_func):
-        const_value = dir_func
-        dir_func = lambda *x: const_value
-    dircoeffs = interpolate(bdbasis, dir_func, geo=bdgeo)
+        value = dir_func
+        dir_func = lambda *x: value
+    from .approx import interpolate
+    coeffs = interpolate(face_kvs, dir_func, geo=geo.boundary(bdspec))
 
-    N = tuple(kv.numdofs for kv in kvs)
-    bdindices = slice_indices(bdax, 0 if bdside == 0 else -1, N, ravel=True)
-
-    extra_dims = dircoeffs.ndim - len(bdbasis)
-    if extra_dims == 0:
-        return _drop_nans(bdindices, dircoeffs.ravel())
-    if extra_dims == 1:
-        numcomp = dircoeffs.shape[-1]
-        NN = np.prod(N)
-        idx, val = combine_bcs(
-            (bdindices + j * NN, dircoeffs[..., j].ravel())
-            for j in range(numcomp))
-        return _drop_nans(idx, val)
+    ncomp_dims = coeffs.ndim - len(face_kvs)
+    if ncomp_dims == 0:
+        return _drop_nans(face_dofs, coeffs.ravel())
+    if ncomp_dims == 1:
+        # vector problem, blocked numbering: component j offset by j*N
+        stride = np.prod([kv.numdofs for kv in kvs])
+        per_comp = [(face_dofs + j * stride, coeffs[..., j].ravel())
+                    for j in range(coeffs.shape[-1])]
+        return _drop_nans(*combine_bcs(per_comp))
     raise ValueError('invalid dimension of Dirichlet coefficients: %s'
-                     % (dircoeffs.shape,))
+                     % (coeffs.shape,))
 
 
 def compute_dirichlet_bcs(kvs, geo, bdconds):
     """Combined (indices, values) for several boundary conditions; the
     shorthand ``("all", g)`` applies `g` on every boundary face."""
     if len(bdconds) == 2 and bdconds[0] == 'all':
-        dir_func = bdconds[1]
-        bdconds = [((ax, bd), dir_func)
-                   for ax in range(len(kvs)) for bd in (0, 1)]
-    return combine_bcs(compute_dirichlet_bc(kvs, geo, bdspec, g)
-                       for (bdspec, g) in bdconds)
+        g = bdconds[1]
+        bdconds = [((ax, side), g)
+                   for ax in range(len(kvs)) for side in (0, 1)]
+    return combine_bcs([compute_dirichlet_bc(kvs, geo, bdspec, g)
+                        for (bdspec, g) in bdconds])
 
 
 def compute_initial_condition_01(kvs, geo, bdspec, g0, g1, physical=True):
     """Indices/values fixing function value `g0` and first derivative `g1`
-    at one face of a space-time cylinder with constant-in-time geometry."""
+    at one face of a space-time cylinder with constant-in-time geometry.
+
+    Only the two outermost basis functions along the time axis are nonzero
+    (with their derivative) at the face, so a 2x2 collocation solve per
+    spatial dof yields the coefficients."""
     bdspec = bspline._parse_bdspec(bdspec, len(kvs))
     bdax, bdside = bdspec
+    face_kvs = tuple(kv for k, kv in enumerate(kvs) if k != bdax)
 
-    bdbasis = list(kvs)
-    del bdbasis[bdax]
-
-    bdgeo = geo.boundary(bdspec) if physical else None
     from .approx import interpolate
-    coeffs01 = np.stack((
-        interpolate(bdbasis, g0, geo=bdgeo).ravel(),
-        interpolate(bdbasis, g1, geo=bdgeo).ravel()))
+    bdgeo = geo.boundary(bdspec) if physical else None
+    rhs = np.stack([interpolate(face_kvs, g, geo=bdgeo).ravel()
+                    for g in (g0, g1)])
 
-    kvt = kvs[bdax]
-    if bdside == 0:
-        bdcolloc = bspline.active_deriv(kvt, kvt.support()[0], 1)[:2, :2]
-    else:
-        bdcolloc = bspline.active_deriv(kvt, kvt.support()[1], 1)[:2, -2:]
-    coll_coeffs = np.linalg.solve(bdcolloc, coeffs01)
+    kv_t = kvs[bdax]
+    t_face = kv_t.support()[bdside]
+    tab = bspline.active_deriv(kv_t, t_face, 1)     # (derivs, p+1) table
+    C = tab[:2, :2] if bdside == 0 else tab[:2, -2:]
+    coeffs = np.linalg.solve(C, rhs)
 
     N = tuple(kv.numdofs for kv in kvs)
-    firstidx = 0 if bdside == 0 else -2
-    bdindices = np.concatenate((
-        slice_indices(bdax, firstidx, N, ravel=True),
-        slice_indices(bdax, firstidx + 1, N, ravel=True)))
-    return bdindices, coll_coeffs.ravel()
+    layers = (0, 1) if bdside == 0 else (-2, -1)
+    dofs = np.concatenate([slice_indices(bdax, l, N, ravel=True)
+                           for l in layers])
+    return dofs, coeffs.ravel()
 
 
 def combine_bcs(bcs):
-    """Merge several (indices, values) pairs, dropping duplicate indices."""
-    bcs = list(bcs)
-    indices = np.concatenate([ind for ind, _ in bcs])
-    values = np.concatenate([val for _, val in bcs])
+    """Merge several (indices, values) pairs; on duplicate indices the
+    first occurrence wins."""
+    pairs = list(bcs)
+    indices = np.concatenate([p[0] for p in pairs])
+    values = np.concatenate([p[1] for p in pairs])
     assert indices.shape == values.shape, 'Inconsistent BC sizes'
-    uidx, lookup = np.unique(indices, return_index=True)
-    return uidx, values[lookup]
+    unique, first_pos = np.unique(indices, return_index=True)
+    return unique, values[first_pos]
 
 
 class RestrictedLinearSystem:
@@ -317,6 +331,14 @@ class RestrictedLinearSystem:
     supports Petrov-Galerkin systems where the eliminated equations differ
     from the eliminated dofs."""
 
+    @staticmethod
+    def _splitting(n, eliminated):
+        """(R_keep, R_drop) 0/1 restriction matrices for a dof splitting."""
+        drop = np.zeros(n, dtype=bool)
+        drop[np.asarray(eliminated, dtype=np.int64)] = True
+        eye = scipy.sparse.eye(n, format='csr')
+        return eye[~drop], eye[drop]
+
     def __init__(self, A, b, bcs, elim_rows=None):
         indices, values = bcs
         if np.isscalar(b):
@@ -325,46 +347,37 @@ class RestrictedLinearSystem:
             values = np.broadcast_to(values, np.shape(indices)[0])
         self.values = values
 
-        I = scipy.sparse.eye(A.shape[1], format='csr')
-        mask = np.ones(A.shape[1], dtype=bool)
-        mask[np.asarray(indices, dtype=np.int64)] = False
-        self.R_free = I[mask]
-        self.R_elim = I[~mask]
-
-        if elim_rows is not None:
-            Iv = scipy.sparse.eye(A.shape[0], format='csr')
-            maskv = np.ones(A.shape[0], dtype=bool)
-            maskv[np.asarray(sorted(elim_rows), dtype=np.int64)] = False
-            self.R_free_v = Iv[maskv]
-            self.R_elim_v = Iv[~maskv]
+        self.R_free, self.R_elim = self._splitting(A.shape[1], indices)
+        if elim_rows is None:
+            self.R_free_v, self.R_elim_v = self.R_free, self.R_elim
         else:
-            self.R_free_v = self.R_free
-            self.R_elim_v = self.R_elim
+            self.R_free_v, self.R_elim_v = self._splitting(
+                A.shape[0], sorted(elim_rows))
 
         self.A = self.restrict_matrix(A)
         self.b = self.restrict_rhs(b - A.dot(self.R_elim.T.dot(values)))
 
     def restrict(self, u):
         """Restrict a full-dof vector to the free dofs."""
-        return self.R_free.dot(u)
+        return self.R_free @ u
 
     def restrict_rhs(self, f):
         """Restrict a right-hand side to the non-eliminated rows."""
-        return self.R_free_v.dot(f)
+        return self.R_free_v @ f
 
     def restrict_matrix(self, B):
         """Restrict a full matrix to the free dofs (rows and columns)."""
         if not scipy.sparse.issparse(B):
             B = scipy.sparse.csr_matrix(B)
-        return self.R_free_v.dot(B).dot(self.R_free.T)
+        return self.R_free_v @ B @ self.R_free.T
 
     def extend(self, u):
         """Zero-pad a free-dof vector to all dofs."""
-        return self.R_free.T.dot(u)
+        return self.R_free.T @ u
 
     def complete(self, u):
         """Extend a restricted solution with the eliminated dof values."""
-        return self.extend(u) + self.R_elim.T.dot(self.values)
+        return self.extend(u) + self.R_elim.T @ self.values
 
 
 ################################################################################
@@ -428,33 +441,27 @@ def _combine_vector_blocks(asm, blocks, format, layout):
 
 
 def mass(kvs, geo=None, format='csr'):
-    """Mass matrix over a TP spline space (1D/2D/3D dispatch; Kronecker fast
-    path for ``geo=None``)."""
-    if isinstance(kvs, KnotVector):
-        return bsp_mass_1d(kvs)
-    dim = len(kvs)
-    if dim == 1:
+    """Mass matrix over a TP spline space (1D/2D/3D dispatch; Kronecker
+    fast path for ``geo=None``)."""
+    kvs = (kvs,) if isinstance(kvs, KnotVector) else tuple(kvs)
+    if len(kvs) == 1:
         return bsp_mass_1d(kvs[0])
     if geo is None:
-        Ms = [bsp_mass_1d(kv) for kv in kvs]
-        return utils.multi_kron_sparse(Ms, format=format)
-    return assemble_entries(assemblers.MassAssembler(kvs, geo),
-                            symmetric=True, format=format)
+        return _separable_mass(kvs, format)
+    return _geometry_assembler_entries(assemblers.MassAssembler, kvs, geo,
+                                       format)
 
 
 def stiffness(kvs, geo=None, format='csr'):
     """Stiffness matrix over a TP spline space (Kronecker fast path for
     ``geo=None``)."""
-    if isinstance(kvs, KnotVector):
-        return bsp_stiffness_1d(kvs)
-    dim = len(kvs)
-    if dim == 1:
+    kvs = (kvs,) if isinstance(kvs, KnotVector) else tuple(kvs)
+    if len(kvs) == 1:
         return bsp_stiffness_1d(kvs[0])
-    if dim == 2:
-        return bsp_stiffness_2d(kvs, geo=geo, format=format)
-    if dim == 3:
-        return bsp_stiffness_3d(kvs, geo=geo, format=format)
-    raise ValueError('dimension %d not supported' % dim)
+    builders = {2: bsp_stiffness_2d, 3: bsp_stiffness_3d}
+    if len(kvs) not in builders:
+        raise ValueError('dimension %d not supported' % len(kvs))
+    return builders[len(kvs)](kvs, geo=geo, format=format)
 
 
 ################################################################################
@@ -499,13 +506,12 @@ def instantiate_assembler(problem, kvs, args, bfuns, boundary=None,
             used_args['boundary'] = bdspec
             args = dict(args)
             args['Jac_to_boundary'] = _Jac_to_boundary_matrix(bdspec, len(kvs))
-        for inp in itertools.chain(problem.inputs().keys(),
-                                   problem.parameters().keys()):
-            if inp == 'geo':
-                pass
-            if inp not in args:
-                raise ValueError("required input parameter '%s' missing" % inp)
-            used_args[inp] = args[inp]
+        wanted = list(problem.inputs()) + list(problem.parameters())
+        missing = [inp for inp in wanted if inp not in args]
+        if missing:
+            raise ValueError("required input parameter '%s' missing"
+                             % missing[0])
+        used_args.update((inp, args[inp]) for inp in wanted)
         if 'Jac_to_boundary' in args:
             used_args['Jac_to_boundary'] = args['Jac_to_boundary']
 
@@ -676,11 +682,36 @@ def stiffness_fast(kvs, geo=None, tol=1e-10, maxiter=100, skipcount=3,
 # Multipatch (conforming patches with shared-dof union numbering)
 ################################################################################
 
-def _bb_rect(G):
-    import scipy.spatial
-    bb = G.bounding_box()
-    return scipy.spatial.Rectangle(tuple(b[0] for b in bb),
-                                   tuple(b[1] for b in bb))
+class _UnionFind:
+    """Minimal disjoint-set structure (path halving + size union)."""
+
+    def __init__(self, n):
+        self.parent = list(range(n))
+        self.size = n * [1]
+
+    def find(self, i):
+        p = self.parent
+        while p[i] != i:
+            p[i] = p[p[i]]
+            i = p[i]
+        return i
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return
+        if self.size[ra] < self.size[rb]:
+            ra, rb = rb, ra
+        self.parent[rb] = ra
+        self.size[ra] += self.size[rb]
+
+
+def _patch_boxes(patches):
+    """(lo, hi) corner arrays of every patch's bounding box."""
+    boxes = [np.asarray(geo.bounding_box()) for (_, geo) in patches]
+    lo = np.stack([b[:, 0] for b in boxes])
+    hi = np.stack([b[:, 1] for b in boxes])
+    return lo, hi
 
 
 def _check_geo_match(G1, G2, grid=4):
@@ -690,23 +721,22 @@ def _check_geo_match(G1, G2, grid=4):
         return False, None
     if not np.allclose(G1.support, G2.support):
         return False, None
-    grd = [np.linspace(s[0], s[1], grid) for s in G1.support]
-    X1 = G1.grid_eval(grd)
-    for flip in itertools.product(*(G2.sdim * [(False, True)])):
-        flipped = [np.ascontiguousarray(np.flip(g)) if f else g
-                   for g, f in zip(grd, flip)]
-        if np.allclose(X1, G2.grid_eval(flipped)):
+    axes = [np.linspace(lo, hi, grid) for (lo, hi) in G1.support]
+    target = G1.grid_eval(axes)
+    for flip in itertools.product((False, True), repeat=G2.sdim):
+        probe = [ax[::-1].copy() if f else ax for ax, f in zip(axes, flip)]
+        if np.allclose(target, G2.grid_eval(probe)):
             return True, flip
     return False, None
 
 
 def _find_matching_boundaries(G1, G2):
     assert G1.sdim == G2.sdim and G1.dim == G2.dim
-    all_bds = list(itertools.product(range(G1.sdim), (0, 1)))
+    faces = list(itertools.product(range(G1.sdim), (0, 1)))
     matches = []
-    for bd1 in all_bds:
+    for bd1 in faces:
         B1 = G1.boundary(bd1)
-        for bd2 in all_bds:
+        for bd2 in faces:
             ok, flip = _check_geo_match(B1, G2.boundary(bd2))
             if ok:
                 matches.append((bd1, bd2, flip))
@@ -715,26 +745,31 @@ def _find_matching_boundaries(G1, G2):
 
 def detect_interfaces(patches):
     """Detect matching interfaces between the patches ``(kvs, geo)``.
-    Returns ``(connected, interfaces)`` where each interface is suitable for
-    :meth:`Multipatch.join_boundaries`."""
-    import networkx as nx
+    Returns ``(connected, interfaces)`` where each interface is suitable
+    for :meth:`Multipatch.join_boundaries`.  (Reference behavior:
+    assemble.py:1147; connectivity here via union-find instead of a
+    networkx graph — no extra dependency.)"""
     interfaces = []
-    bbs = [_bb_rect(geo) for (_, geo) in patches]
-    diams = [bb.max_distance_rectangle(bb) for bb in bbs]
+    lo, hi = _patch_boxes(patches)
+    diam = np.linalg.norm(hi - lo, axis=1)
+    uf = _UnionFind(len(patches))
 
-    graph = nx.Graph()
-    graph.add_nodes_from(range(len(patches)))
     for p1 in range(len(patches)):
         for p2 in range(p1 + 1, len(patches)):
-            mindist = bbs[p1].min_distance_rectangle(bbs[p2])
-            if mindist < 1e-10 * max(diams[p1], diams[p2]):
-                matches = _find_matching_boundaries(patches[p1][1],
-                                                    patches[p2][1])
-                for bd1, bd2, flip in matches:
-                    interfaces.append((p1, bd1, p2, bd2, flip))
-                if matches:
-                    graph.add_edge(p1, p2)
-    return nx.is_connected(graph), interfaces
+            # distance between the two bounding boxes
+            gap = np.maximum(0.0, np.maximum(lo[p1] - hi[p2],
+                                             lo[p2] - hi[p1]))
+            if np.linalg.norm(gap) >= 1e-10 * max(diam[p1], diam[p2]):
+                continue
+            matches = _find_matching_boundaries(patches[p1][1],
+                                                patches[p2][1])
+            for bd1, bd2, flip in matches:
+                interfaces.append((p1, bd1, p2, bd2, flip))
+            if matches:
+                uf.union(p1, p2)
+
+    roots = {uf.find(p) for p in range(len(patches))}
+    return len(roots) <= 1, interfaces
 
 
 class Multipatch:
@@ -751,6 +786,7 @@ class Multipatch:
         self.N_ofs = np.concatenate(([0], np.cumsum(self.N)))
         self.shared_per_patch = [dict() for _ in range(len(self.patches))]
         self.shared_dofs = []
+        self._pairs = []        # recorded (p1, i1, p2, i2) identifications
 
         if automatch:
             connected, interfaces = detect_interfaces(self.patches)
@@ -767,31 +803,17 @@ class Multipatch:
 
     @property
     def numdofs(self):
-        """Global dof count (shared dofs counted once); requires finalize()."""
+        """Global dof count (shared dofs counted once); requires
+        finalize()."""
         return self.M_ofs[-1] + len(self.shared_dofs)
 
-    def _new_shared_dof(self):
-        self.shared_dofs.append(set())
-        return len(self.shared_dofs) - 1
-
     def join_dofs(self, p1, I1, p2, I2):
-        """Identify the dofs `I1` of patch `p1` with `I2` of patch `p2`."""
+        """Identify the dofs `I1` of patch `p1` with `I2` of patch `p2`
+        (effective after :meth:`finalize`)."""
         assert len(I1) == len(I2), 'dof arrays must have the same length'
         assert p1 != p2, 'patches must be different'
-
-        def add(sd, p, i):
-            self.shared_per_patch[p][i] = sd
-            self.shared_dofs[sd].add((p, i))
-
-        for i1, i2 in zip(I1, I2):
-            if i1 in self.shared_per_patch[p1]:
-                add(self.shared_per_patch[p1][i1], p2, i2)
-            elif i2 in self.shared_per_patch[p2]:
-                add(self.shared_per_patch[p2][i2], p1, i1)
-            else:
-                sd = self._new_shared_dof()
-                add(sd, p1, i1)
-                add(sd, p2, i2)
+        self._pairs.extend(
+            (p1, int(i1), p2, int(i2)) for i1, i2 in zip(I1, I2))
 
     def join_boundaries(self, p1, bdspec1, p2, bdspec2, flip=None):
         """Identify the dofs along two matching patch boundaries (with
@@ -802,7 +824,36 @@ class Multipatch:
         self.join_dofs(p1, dofs1, p2, dofs2)
 
     def finalize(self):
-        """Freeze the shared-dof structure and set up global numbering."""
+        """Resolve the recorded identifications into shared-dof groups
+        (union-find over (patch, dof) pairs, transitively merging chains
+        across any number of patches) and set up the global numbering:
+        interior dofs patch by patch, then shared dofs in order of first
+        appearance."""
+        node_id = {}
+
+        def node(p, i):
+            return node_id.setdefault((p, i), len(node_id))
+
+        links = [(node(p1, i1), node(p2, i2))
+                 for (p1, i1, p2, i2) in self._pairs]
+        uf = _UnionFind(len(node_id))
+        for a, b in links:
+            uf.union(a, b)
+
+        # group ids in order of first appearance of each component
+        group_of_root = {}
+        self.shared_dofs = []
+        for (p, i), n in node_id.items():   # insertion = appearance order
+            root = uf.find(n)
+            if root not in group_of_root:
+                group_of_root[root] = len(self.shared_dofs)
+                self.shared_dofs.append(set())
+        self.shared_per_patch = [dict() for _ in range(self.numpatches)]
+        for (p, i), n in node_id.items():
+            g = group_of_root[uf.find(n)]
+            self.shared_dofs[g].add((p, i))
+            self.shared_per_patch[p][i] = g
+
         num_shared = [len(spp) for spp in self.shared_per_patch]
         self.M = [n - s for n, s in zip(self.N, num_shared)]
         self.M_ofs = np.concatenate(([0], np.cumsum(self.M)))
