@@ -171,6 +171,95 @@ def _sym_index(d, i, j):
     return before + (j - i)
 
 
+def _physical_field_derivs(f, geo, grid, comp_shape, with_hessian=False):
+    """Physical gradient (and optionally Hessian) of the physical-coordinate
+    field `f` at the mapped Gauss points of `grid`.
+
+    Differentiates `f` itself: with JAX forward-mode autodiff when `f`
+    traces, else by central finite differences on the physical coordinates.
+    Returns ``(grad, hess)`` with shapes ``grid + comp_shape + (sdim,)``
+    and ``grid + comp_shape + (nsym,)`` (symmetric pairs i<=j in XYZ
+    order); `hess` is None unless requested."""
+    pts = np.asarray(geo.grid_eval(grid))       # grid + (sdim,), XYZ comps
+    grid_shape, sdim = pts.shape[:-1], pts.shape[-1]
+    flat_pts = pts.reshape(-1, sdim)
+
+    def fd_derivs():
+        coords = [flat_pts[:, k] for k in range(sdim)]
+        scale = [max(1.0, float(np.abs(c).max())) for c in coords]
+
+        def ev(shifts):
+            c = [ck + dk for ck, dk in zip(coords, shifts)]
+            vals = f(*c)
+            if isinstance(vals, tuple):
+                vals = np.stack([np.broadcast_to(v, coords[0].shape)
+                                 for v in vals], axis=-1)
+            return np.broadcast_to(np.asarray(vals, dtype=float),
+                                   coords[0].shape + comp_shape)
+
+        zero = sdim * (0.0,)
+
+        def shift(k, h):
+            s = list(zero)
+            s[k] = h
+            return s
+
+        g = np.empty((flat_pts.shape[0],) + comp_shape + (sdim,))
+        steps = [1e-6 * s for s in scale]
+        for k in range(sdim):
+            h = steps[k]
+            g[..., k] = (ev(shift(k, h)) - ev(shift(k, -h))) / (2 * h)
+        if not with_hessian:
+            return g, None
+        nsym = (sdim * (sdim + 1)) // 2
+        H = np.empty((flat_pts.shape[0],) + comp_shape + (nsym,))
+        f0 = ev(zero)
+        for i in range(sdim):
+            hi = 1e-4 * scale[i]        # larger step: 2nd differences
+            for j in range(i, sdim):
+                hj = 1e-4 * scale[j]
+                if i == j:
+                    val = (ev(shift(i, hi)) - 2 * f0
+                           + ev(shift(i, -hi))) / hi ** 2
+                else:
+                    spp = [0.0] * sdim
+                    spp[i], spp[j] = hi, hj
+                    smm = [-v for v in spp]
+                    spm = [0.0] * sdim
+                    spm[i], spm[j] = hi, -hj
+                    smp = [-v for v in spm]
+                    val = (ev(spp) - ev(spm) - ev(smp) + ev(smm)) \
+                        / (4 * hi * hj)
+                H[..., _sym_index(sdim, i, j)] = val
+        return g, H
+
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        def f_at(p):
+            vals = f(*(p[k] for k in range(sdim)))
+            if isinstance(vals, tuple):
+                vals = jnp.stack([jnp.asarray(v) for v in vals], axis=-1)
+            return jnp.asarray(vals, dtype=jnp.float64)
+
+        g = np.asarray(jax.vmap(jax.jacfwd(f_at))(flat_pts))
+        H = None
+        if with_hessian:
+            Hfull = np.asarray(jax.vmap(jax.jacfwd(jax.jacfwd(f_at)))(
+                flat_pts))                      # (N,) + comp + (sdim, sdim)
+            pairs = [(i, j) for i in range(sdim) for j in range(i, sdim)]
+            H = np.stack([0.5 * (Hfull[..., i, j] + Hfull[..., j, i])
+                          for i, j in pairs], axis=-1)
+    except Exception:
+        g, H = fd_derivs()
+
+    g = g.reshape(grid_shape + comp_shape + (sdim,))
+    if H is not None:
+        H = H.reshape(grid_shape + comp_shape + (H.shape[-1],))
+    return g, H
+
+
 ################################################################################
 # Assembler class
 ################################################################################
@@ -342,8 +431,21 @@ class VFormAssembler:
                   if key[0] == 'input_deriv' and key[1] == name}
         for order in sorted(orders):
             if inp.physical:
-                raise NotImplementedError(
-                    'derivatives of physical input fields not supported')
+                # physical derivatives of a physical field: differentiate f
+                # directly at the mapped Gauss points (JAX autodiff when f
+                # is traceable, vectorized finite differences otherwise).
+                # The reference's codegen rejects this case
+                # (/root/reference/pyiga/codegen/cython.py:474-477); this
+                # is a capability extension.
+                grad, hess = _physical_field_derivs(
+                    f, self.geo, self.grid, inp.shape, with_hessian=order == 2)
+                arr = grad if order == 1 else hess
+                if order > 2:
+                    raise NotImplementedError('input derivs of order > 2')
+                arr = np.moveaxis(arr, tuple(range(-(ncomp_axes + 1), 0)),
+                                  tuple(range(ncomp_axes + 1)))
+                out['ideriv:%s:%d' % (name, order)] = arr
+                continue
             if order == 1:
                 jac = np.asarray(f.grid_jacobian(self.grid))
                 # shape grid x comp... x sdim, derivative axis already XYZ

@@ -367,8 +367,33 @@ class PartialDerivExpr(Expr):
                     Di[i] += 1
                     terms.append(FieldExpr(('jacinv', i, k)) * para(tuple(Di)))
                 return reduce(operator.add, terms)
-            raise NotImplementedError('space-time: only first-order space '
-                                      'derivatives supported')
+            if n_space == 2:
+                # second-order space derivatives on the space-time cylinder:
+                # the (time-independent) spatial map commutes with the
+                # parametric time derivatives, so the standard second-order
+                # transform applies over the space dimensions with the time
+                # part of D carried through each parametric seed.
+                ij = [k for k, nk in enumerate(D_x) for _ in range(nk)]
+                i, j = ij
+                D_t = tuple(Dk - Dxk for Dk, Dxk in zip(self.D, D_x))
+                terms = []
+                for m in vf.spacedims:
+                    for n in vf.spacedims:
+                        Dmn = list(D_t)
+                        Dmn[m] += 1
+                        Dmn[n] += 1
+                        terms.append(FieldExpr(('jacinv', m, i))
+                                     * FieldExpr(('jacinv', n, j))
+                                     * para(tuple(Dmn)))
+                for a in vf.spacedims:
+                    Da = list(D_t)
+                    Da[a] += 1
+                    terms.append(
+                        _geo_hess_trf_expr(self.basisfun.vform, a, i, j)
+                        * para(tuple(Da)))
+                return reduce(operator.add, terms)
+            raise NotImplementedError('space-time: space derivatives of '
+                                      'order > 2 not supported')
 
         if order == 1:
             k = self.D.index(1)

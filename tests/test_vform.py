@@ -343,3 +343,76 @@ def test_prune_keeps_tiny_asymmetric_terms():
         '(dot(b, grad(u)) * v - dot(b, grad(u)) * v + u * v) * dx',
         kvs, {'geo': geo, 'b': b}, None, None)
     assert len(zero.combos) == len(base.combos)
+
+
+def test_physical_input_field_derivatives():
+    # derivatives of physical-coordinate input fields (capability extension:
+    # the reference's codegen rejects this case, codegen/cython.py:474-477).
+    # Cross-check grad/hess of a physical field against supplying the
+    # analytic gradient / Laplacian as plain (deriv-0) physical inputs.
+    from pyiga_tpu.vform import VForm, dot, dx, grad, hess, tr
+
+    kvs = 2 * (bspline.make_knots(3, 0.0, 1.0, 6),)
+    geo = geometry.quarter_annulus()
+    f = lambda x, y: x ** 2 + 3 * x * y + y ** 3
+    gradf = lambda x, y: (2 * x + 3 * y, 3 * x + 3 * y ** 2)
+    lapf = lambda x, y: 2 + 6 * y
+
+    vf1 = VForm(2)
+    u, v = vf1.basisfuns()
+    ff = vf1.input('f', physical=True)
+    vf1.add(dot(grad(ff), grad(u)) * v * dx)
+    A1 = assemble(vf1, kvs, geo=geo, f=f)
+
+    vf2 = VForm(2)
+    u, v = vf2.basisfuns()
+    gf = vf2.input('gf', shape=(2,), physical=True)
+    vf2.add(dot(gf, grad(u)) * v * dx)
+    A2 = assemble(vf2, kvs, geo=geo, gf=gradf)
+    assert abs(A1 - A2).max() < 1e-12 * abs(A2).max()
+
+    # second derivatives (physical Hessian -> Laplacian)
+    vf3 = VForm(2)
+    u, v = vf3.basisfuns()
+    ff = vf3.input('f', physical=True)
+    vf3.add(tr(hess(ff)) * u * v * dx)
+    A3 = assemble(vf3, kvs, geo=geo, f=f)
+    A4 = assemble('lf * u * v * dx', kvs, geo=geo, lf=lapf)
+    assert abs(A3 - A4).max() < 1e-10 * abs(A4).max()
+
+    # finite-difference fallback for non-traceable fields
+    f_nt = np.vectorize(lambda x, y: x ** 2 + 3 * x * y + y ** 3)
+    A5 = assemble(vf1, kvs, geo=geo, f=f_nt)
+    assert abs(A5 - A2).max() < 1e-7 * abs(A2).max()
+
+
+def test_spacetime_second_order_space_derivs():
+    # second-order space derivatives in space-time forms (reference parity
+    # hole): on a space-time cylinder the physical d^2/dx^2 must agree with
+    # the plain 2D assembly of the same term over the cylinder geometry
+    from pyiga_tpu.vform import VForm, Dx, dx
+
+    kv_x = bspline.make_knots(3, 0.0, 1.0, 5)
+    kv_t = bspline.make_knots(2, 0.0, 1.0, 4)
+    # nonlinearly parametrized 1D segment, extruded in time
+    seg = geometry.BSplineFunc(
+        (bspline.make_knots(2, 0.0, 1.0, 2),),
+        np.array([0.0, 0.2, 0.6, 1.0]))
+    cyl = seg.cylinderize(0.0, 1.0)
+
+    def second_deriv_form(spacetime):
+        vf = VForm(2, spacetime=spacetime)
+        u, v = vf.basisfuns()
+        vf.add(Dx(u, 0, 2) * v * dx)
+        return vf
+
+    A_st = assemble(second_deriv_form(True), (kv_t, kv_x), geo=cyl)
+    A_2d = assemble(second_deriv_form(False), (kv_t, kv_x), geo=cyl)
+    assert abs(A_st - A_2d).max() < 1e-12 * abs(A_2d).max()
+
+    # mixed time/space derivatives: wave-type term with a 2nd space deriv
+    vf = VForm(2, spacetime=True)
+    u, v = vf.basisfuns()
+    vf.add(Dx(u, 0, 2) * v.dt() * dx)
+    A = assemble(vf, (kv_t, kv_x), geo=cyl)
+    assert np.abs(A.toarray()).max() > 0
