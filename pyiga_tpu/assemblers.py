@@ -70,6 +70,59 @@ def stiffness_fields(geo_inputs):
     return fields
 
 
+def _geo_jac_pairs(geo_inputs):
+    """Two-float Jacobian of the geometry on the Gauss grid (nested
+    ``[a][b]`` pair matrix); covers B-spline, NURBS, and host-evaluated
+    geometries.  No emulated-f64 arithmetic."""
+    from .ops import twofloat as tf
+    if 'jac' in geo_inputs:
+        jac = geo_inputs['jac']
+        d = jac.shape[0]
+        return [[tf.df_from_f64(jac[a, b]) for b in range(d)]
+                for a in range(d)]
+    is_nurbs = 'geo_tables_nurbs' in geo_inputs
+    key = 'geo_tables_nurbs' if is_nurbs else 'geo_tables_bsp'
+    tables = geo_inputs[key]
+    _, jp = geom.geo_jacobian_field_df(tables, geo_inputs['geo_coeffs'],
+                                       is_nurbs, len(tables))
+    return jp
+
+
+def mass_fields_df_pair(geo_inputs):
+    """Mass coefficient field ``W = gauss_weight * |det J|`` as a two-float
+    f32 pair — the f64-assembly fast path for :class:`MassAssembler`
+    (values match :func:`mass_fields` to ~1e-13 relative with zero
+    emulated-f64 arithmetic)."""
+    from .ops import twofloat as tf
+    det = geom.det_df_pairs(_geo_jac_pairs(geo_inputs))
+    gw = tf.df_from_f64(geom.gauss_weight_field(geo_inputs['weights']))
+    return [tf.df_mul(gw, tf.df_abs(det))]
+
+
+def stiffness_fields_df_pair(geo_inputs):
+    """Stiffness coefficient fields as two-float f32 pairs
+    (:mod:`~pyiga_tpu.ops.twofloat`): same values as
+    :func:`stiffness_fields` to ~1e-13 relative, computed entirely in fused
+    f32 pair arithmetic for the pair-chained Ozaki assembly
+    (:func:`~pyiga_tpu.ops.sumfac.assemble_terms_folded_pair`).  The whole
+    pipeline — geometry Jacobian, det/inv, weight products — runs in fused
+    f32 pair arithmetic; no emulated-f64 ops."""
+    from .ops import twofloat as tf
+
+    jp = _geo_jac_pairs(geo_inputs)
+    d = len(jp)
+    det, inv = geom.det_and_inv_df_pairs(jp)
+    gw = tf.df_from_f64(geom.gauss_weight_field(geo_inputs['weights']))
+    W = tf.df_mul(gw, tf.df_abs(det))
+    fields = []
+    for a in range(d):
+        for b in range(d):
+            Bab = tf.df_sum([tf.df_mul(inv[a][k], inv[b][k])
+                             for k in range(d)])
+            fields.append(tf.df_mul(W, Bab))
+    return fields
+
+
 ################################################################################
 # Assembler classes
 ################################################################################
@@ -127,20 +180,44 @@ class BaseGaussAssembler:
         tperms = [transpose_idx_for_bidx(bx) for bx in self.structure.bidx]
         return plan, tperms
 
-    def assemble(self, mode='exact'):
+    # two-float f32 field pipeline for the f64 fast path (set by subclasses)
+    pair_field_fn = None
+
+    @staticmethod
+    def _default_mode():
+        """'ozaki' (bf16-MXU f64 fast path) on accelerators where float64
+        is software-emulated; 'exact' on CPU (native f64)."""
+        from . import config
+        import jax
+        if config.get_dtype() != np.float64:
+            return 'exact'
+        return 'exact' if jax.default_backend() == 'cpu' else 'ozaki'
+
+    def assemble(self, mode=None):
         """Assemble the compact data tensor and return it as an MLMatrix.
 
-        ``mode='ozaki'`` computes the float64 contractions by the Ozaki
-        splitting (bf16 chunk products with exact f32 MXU accumulation,
-        ~3e-14 relative accuracy, ~2-3x faster than the emulated f64 dot on
-        TPU — see :func:`~pyiga_tpu.ops.sumfac.contract_chain_ozaki`)."""
+        ``mode='ozaki'`` computes the float64 contractions without any
+        emulated-f64 arithmetic: two-float f32 coefficient fields and
+        pair-chained Ozaki contractions (bf16 chunk products with exact
+        f32 MXU accumulation), assembled accuracy ~1e-13 relative.  The
+        default picks 'ozaki' automatically for float64 on accelerator
+        backends and 'exact' on CPU."""
+        if mode is None:
+            mode = self._default_mode()
         assert mode in ('exact', 'ozaki'), "mode must be 'exact' or 'ozaki'"
         term_tables = self.tables.term_tables(self.terms)
         fold_plan, tperms = self._fold()
-        data = sumfac.run_matrix_assembly(self.field_fn, self._geo_inputs,
-                                          term_tables, fold_plan, tperms,
-                                          mode=mode)
-        return self.structure.make_mlmatrix(data=np.asarray(data, dtype=np.float64))
+        if mode == 'ozaki' and self.pair_field_fn is not None:
+            data = sumfac.run_matrix_assembly_pair(
+                self.pair_field_fn, self._geo_inputs, term_tables,
+                fold_plan, tperms)
+        else:
+            data = sumfac.run_matrix_assembly(self.field_fn,
+                                              self._geo_inputs,
+                                              term_tables, fold_plan, tperms,
+                                              mode=mode)
+        return self.structure.make_mlmatrix(
+            data=np.asarray(data, dtype=np.float64))
 
     def assemble_windowed(self):
         """Assemble via windowed pair tables — each basis pair contracts only
@@ -189,6 +266,7 @@ class MassAssembler(BaseGaussAssembler):
     """Mass matrix assembler: ``A[i,j] = int B_j B_i |det J| dx``."""
 
     field_fn = staticmethod(mass_fields)
+    pair_field_fn = staticmethod(mass_fields_df_pair)
 
     def __init__(self, kvs, geo, nqp=None):
         super().__init__(kvs, geo, nqp)
@@ -201,6 +279,7 @@ class StiffnessAssembler(BaseGaussAssembler):
     ``A[i,j] = int (J^-1 J^-T grad B_j) . grad B_i |det J| dx``."""
 
     field_fn = staticmethod(stiffness_fields)
+    pair_field_fn = staticmethod(stiffness_fields_df_pair)
     symmetric_fields = True      # B = W J^-1 J^-T is symmetric
 
     def __init__(self, kvs, geo, nqp=None):
@@ -279,37 +358,3 @@ def __getattr__(name):
             dim = int(name[len(prefix)])
             return _vform_asm_alias(factory, dim)
     raise AttributeError(name)
-
-
-def stiffness_fields_df_pair(geo_inputs):
-    """Stiffness coefficient fields as two-float f32 pairs
-    (:mod:`~pyiga_tpu.ops.twofloat`): same values as
-    :func:`stiffness_fields` to ~1e-13 relative, computed entirely in fused
-    f32 pair arithmetic for the pair-chained Ozaki assembly
-    (:func:`~pyiga_tpu.ops.sumfac.assemble_terms_folded_pair`).  The whole
-    pipeline — geometry Jacobian, det/inv, weight products — runs in fused
-    f32 pair arithmetic; no emulated-f64 ops."""
-    from .ops import twofloat as tf
-
-    if 'jac' in geo_inputs:
-        jac = geo_inputs['jac']
-        d = jac.shape[0]
-        jp = [[tf.df_from_f64(jac[a, b]) for b in range(d)]
-              for a in range(d)]
-    else:
-        is_nurbs = 'geo_tables_nurbs' in geo_inputs
-        key = 'geo_tables_nurbs' if is_nurbs else 'geo_tables_bsp'
-        tables = geo_inputs[key]
-        d = len(tables)
-        _, jp = geom.geo_jacobian_field_df(tables, geo_inputs['geo_coeffs'],
-                                           is_nurbs, d)
-    det, inv = geom.det_and_inv_df_pairs(jp)
-    gw = tf.df_from_f64(geom.gauss_weight_field(geo_inputs['weights']))
-    W = tf.df_mul(gw, tf.df_abs(det))
-    fields = []
-    for a in range(d):
-        for b in range(d):
-            Bab = tf.df_sum([tf.df_mul(inv[a][k], inv[b][k])
-                             for k in range(d)])
-            fields.append(tf.df_mul(W, Bab))
-    return fields

@@ -63,6 +63,18 @@ def set_backend(name):
 
 def use_x64():
     """Enable 64-bit JAX computation. Called on import for correctness parity."""
+    import os
+
+    # XLA's CPU backend enables LLVM fast-math by default, which rewrites
+    # the error-free transformations of the two-float pipeline
+    # (ops/twofloat.py) into algebraically-equal-but-lossy code under jit
+    # (measured: 1e-14 -> 6e-8).  The TPU backend is unaffected.  Must be
+    # set before the CPU backend initializes.
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "--xla_cpu_enable_fast_math" not in flags:
+        os.environ["XLA_FLAGS"] = \
+            (flags + " --xla_cpu_enable_fast_math=false").strip()
+
     import jax
 
     jax.config.update("jax_enable_x64", True)

@@ -210,6 +210,25 @@ def det_and_inv_df(J):
     return det_and_inv_df_pairs(j)
 
 
+def det_df_pairs(j):
+    """Determinant only (two-float), for field pipelines that do not need
+    the inverse (mass assembly)."""
+    from . import twofloat as tf
+    d = len(j)
+    m, sub = tf.df_mul, tf.df_sub
+    if d == 1:
+        return j[0][0]
+    if d == 2:
+        return sub(m(j[0][0], j[1][1]), m(j[0][1], j[1][0]))
+    if d == 3:
+        c00 = sub(m(j[1][1], j[2][2]), m(j[1][2], j[2][1]))
+        c01 = sub(m(j[1][2], j[2][0]), m(j[1][0], j[2][2]))
+        c02 = sub(m(j[1][0], j[2][1]), m(j[1][1], j[2][0]))
+        return tf.df_sum([m(j[0][0], c00), m(j[0][1], c01),
+                          m(j[0][2], c02)])
+    raise NotImplementedError('det_df_pairs only implemented for d <= 3')
+
+
 def det_and_inv_df_pairs(j):
     """Like :func:`det_and_inv_df` but on an already-split nested pair
     matrix ``j[a][b] = (hi, lo)`` (e.g. from

@@ -1,0 +1,220 @@
+# -*- coding: utf-8 -*-
+"""Fused Pallas TPU kernel for the pair-chained Ozaki contraction.
+
+One sum-factorization stage contracts the leading axis of a two-float f32
+field against a float64 basis-pair table.  The XLA formulation
+(:func:`~pyiga_tpu.ops.sumfac._ozaki_contract_axis_pair`) materializes six
+bf16 chunk arrays and six f32 diagonal arrays in HBM per stage; this kernel
+streams everything through VMEM instead:
+
+    per output tile:
+      1. load the field pair tile (K x r) into VMEM,
+      2. split it into six 8-bit bf16 mantissa chunks on the VPU
+         (power-of-two column scales via exponent bit-masking — exact,
+         and avoids frexp/ldexp which Mosaic does not lower),
+      3. run the 21 triangular chunk x chunk MXU dots against the
+         preloaded (static) table chunks, accumulating six exact-f32
+         diagonals in VMEM,
+      4. combine the diagonals into a two-float result (error-free
+         f32 adds) and apply the exact power-of-two scales,
+      5. write the (r x M) pair tile.
+
+HBM traffic per stage drops from ~13 tile passes to 3 (read pair, write
+pair), which is where the XLA version spends most of its time.
+
+Chain convention: every stage contracts the CURRENT leading axis and
+appends the band axis last, so a d-stage chain maps ``(K_1, ..., K_d)``
+fields to ``(M_1, ..., M_d)`` compact tensors with no transposes anywhere.
+The band axis is zero-padded to a multiple of 128 lanes and sliced once at
+the end of the chain.
+
+The kernel requires a real TPU (or ``interpret=True``); numerical behavior
+is identical to the XLA pair chain (same splitting, same dot schedule,
+same combine order).
+"""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import sumfac
+from . import twofloat as tf
+
+_L = 6          # mantissa chunks (8 bits each): covers the f32 pair's 48
+_W = 8          # bits per chunk
+_NH = 3         # chunks taken from `hi` (3 x 8 = f32 mantissa)
+
+
+def _pow2_at_least(a):
+    """Exact power of two >= a (a > 0), via exponent bit-masking."""
+    bits = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    p = jax.lax.bitcast_convert_type(bits & jnp.uint32(0x7F800000),
+                                     jnp.float32)
+    return jnp.where(a > p, 2.0 * p, p)
+
+
+def _slice_pair_cols(hi, lo):
+    """Split a two-float (K, r) tile into six bf16 chunks with per-column
+    power-of-two scales (mirrors sumfac._ozaki_slice_pair)."""
+    a = jnp.max(jnp.abs(hi), axis=0, keepdims=True)
+    s = _pow2_at_least(jnp.where(a > 0, a, 1.0))
+    r = hi / s
+    chunks = []
+    for i in range(_NH):
+        scale = jnp.float32(2.0 ** (_W * (i + 1)))
+        q = jnp.trunc(r * scale) / scale
+        chunks.append(q.astype(jnp.bfloat16))
+        r = r - q
+    r32 = (r + lo / s) * jnp.float32(2.0 ** (_W * _NH))
+    for i in range(_NH, _L):
+        scale = jnp.float32(2.0 ** (_W * (i + 1 - _NH)))
+        q = jnp.trunc(r32 * scale) / scale
+        chunks.append((q * jnp.float32(2.0 ** (-_W * _NH)))
+                      .astype(jnp.bfloat16))
+        r32 = r32 - q
+    return chunks, s
+
+
+def _stage_kernel(xh_ref, xl_ref, tc_ref, ts_ref, oh_ref, ol_ref):
+    xh = xh_ref[...]
+    xl = xl_ref[...]
+    chunks, s_col = _slice_pair_cols(xh, xl)
+
+    acc = None
+    for d in range(_L):
+        diag = None
+        for i in range(d + 1):
+            y = jax.lax.dot_general(
+                chunks[d - i], tc_ref[i],
+                (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            diag = y if diag is None else diag + y
+        acc = tf.df(diag) if acc is None else tf.df_add(acc, tf.df(diag))
+
+    # exact power-of-two scales: s_col (1, r) column scale of the field,
+    # ts (1, M) row scale of the table chunks
+    scale = s_col.T * ts_ref[...]
+    oh_ref[...] = acc[0] * scale
+    ol_ref[...] = acc[1] * scale
+
+
+@functools.partial(jax.jit, static_argnames=('r_block', 'interpret'))
+def _stage_call(xh, xl, t_chunks, t_scale, r_block=512, interpret=False):
+    """One contraction stage: ``(K, R)`` pair x table chunks ``(L, M, K)``
+    -> ``(R, M)`` pair."""
+    from jax.experimental import pallas as pl
+
+    K, R = xh.shape
+    L, M, _ = t_chunks.shape
+    grid = (R // r_block,)
+    out_shape = [jax.ShapeDtypeStruct((R, M), jnp.float32),
+                 jax.ShapeDtypeStruct((R, M), jnp.float32)]
+    # index maps use j*0 for constant positions so every index has the
+    # grid index dtype (mixed i64/i32 tuples fail Mosaic legalization
+    # under jax_enable_x64)
+    in_specs = [
+        pl.BlockSpec((K, r_block), lambda j: (j * 0, j)),
+        pl.BlockSpec((K, r_block), lambda j: (j * 0, j)),
+        pl.BlockSpec((L, M, K), lambda j: (j * 0, j * 0, j * 0)),
+        pl.BlockSpec((1, M), lambda j: (j * 0, j * 0)),
+    ]
+    out_specs = [pl.BlockSpec((r_block, M), lambda j: (j, j * 0)),
+                 pl.BlockSpec((r_block, M), lambda j: (j, j * 0))]
+    oh, ol = pl.pallas_call(
+        _stage_kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(xh, xl, t_chunks, t_scale)
+    return oh, ol
+
+
+def _pad_lanes(m):
+    return -(-m // 128) * 128
+
+
+def prepare_table(table):
+    """Host-side: split a float64 ``(M, K)`` pair table into bf16 chunks
+    (row-scaled, M zero-padded to a lane multiple).  Returns
+    ``(chunks (L, Mp, K) bf16, scale (1, Mp) f32, M)``."""
+    table = np.asarray(table, dtype=np.float64)
+    M, K = table.shape
+    Mp = _pad_lanes(M)
+    padded = np.zeros((Mp, K))
+    padded[:M] = table
+    chunks, s = jax.jit(lambda T: sumfac._ozaki_slice(T, 1, _L))(
+        jnp.asarray(padded))
+    chunks = jnp.stack([c for c in chunks])
+    scale = jnp.asarray(s, jnp.float32).reshape(1, Mp)
+    return chunks, scale, M
+
+
+def chain_pair(tables_prepped, field_pair, r_block=512, interpret=False):
+    """Full d-stage pair chain through the fused stage kernel.
+
+    `tables_prepped`: list of :func:`prepare_table` results, one per axis
+    in contraction order (axis 0 first).  `field_pair`: two-float field of
+    shape ``(K_1, ..., K_d)``.  Returns the f32 pair of the compact tensor
+    with shape ``(M_1, ..., M_d)`` (padding removed)."""
+    hi, lo = field_pair
+    d = hi.ndim
+    dims = []
+    for tc, ts, M in tables_prepped:
+        K = hi.shape[0]
+        R = int(np.prod(hi.shape[1:]))
+        oh, ol = _stage_call(hi.reshape(K, R), lo.reshape(K, R), tc, ts,
+                             r_block=r_block, interpret=interpret)
+        Mp = oh.shape[1]
+        new_shape = hi.shape[1:] + (Mp,)
+        hi, lo = oh.reshape(new_shape), ol.reshape(new_shape)
+        dims.append((M, Mp))
+    # strip the lane padding of every band axis
+    index = tuple(slice(0, M) for M, _ in dims)
+    return hi[index], lo[index]
+
+
+def supported(term_tables, grid_shape, r_block=512):
+    """Whether the fused kernel's tiling constraints hold for these chain
+    shapes (every intermediate's flattened rest-extent must tile by
+    `r_block`, contraction extents by 8)."""
+    for tabs in term_tables:
+        shape = list(grid_shape)
+        for k, T in enumerate(tabs):
+            K = shape[0]
+            rest = int(np.prod(shape[1:])) if len(shape) > 1 else 1
+            if K % 8 != 0 or rest % r_block != 0:
+                return False
+            shape = shape[1:] + [_pad_lanes(T.shape[0])]
+    return True
+
+
+def assemble_terms_folded_pallas(tables_prepped_per_term, field_pairs,
+                                 fold_plan, tperms, r_block=512,
+                                 interpret=False):
+    """Folded sum of fused-Pallas pair chains (drop-in for
+    :func:`~pyiga_tpu.ops.sumfac.assemble_terms_folded_pair`)."""
+    def chain_sum(idxs):
+        out = None
+        for t in idxs:
+            y = chain_pair(tables_prepped_per_term[t], field_pairs[t],
+                           r_block=r_block, interpret=interpret)
+            out = y if out is None else tf.df_add(out, y)
+        return out
+
+    direct = [t for t, m in fold_plan if not m]
+    mirrored = [t for t, m in fold_plan if m]
+    out = chain_sum(direct) if direct else None
+    if mirrored:
+        sym = chain_sum(mirrored)
+        hiT, loT = sym
+        for k, p in enumerate(tperms):
+            hiT = jnp.take(hiT, p, axis=k)
+            loT = jnp.take(loT, p, axis=k)
+        sym = tf.df_add(sym, (hiT, loT))
+        out = sym if out is None else tf.df_add(out, sym)
+    return tf.df_to_f64(out)

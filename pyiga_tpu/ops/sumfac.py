@@ -666,3 +666,42 @@ def run_matrix_assembly(field_fn, geo_inputs, term_tables, fold_plan=None,
         return np.asarray(fn(geo_inputs, term_tables))
     tperms = [jnp.asarray(p) for p in tperms]
     return np.asarray(fn(geo_inputs, term_tables, tperms))
+
+
+def run_matrix_assembly_pair(pair_field_fn, geo_inputs, term_tables,
+                             fold_plan=None, tperms=None, L=6):
+    """f64 assembly with zero emulated-f64 arithmetic: the coefficient
+    fields come from `pair_field_fn` as two-float f32 pairs and every
+    contraction stage is a pair-chained Ozaki split (bf16 chunk tiles with
+    exact f32 MXU accumulation, two-float combines).  Assembled accuracy
+    ~1e-13 relative at L=6 — three orders inside the 1e-10 entry-parity
+    target.  Accepts ``fold_plan=None`` (no symmetric folding; e.g. the
+    single-term mass assembly)."""
+    if fold_plan is None:
+        fold_plan = [(t, False) for t in range(len(term_tables))]
+        tperms = []
+    # The local XLA:CPU pipeline of this JAX version miscompiles the
+    # error-free f32 transformations when they are fused into one jit
+    # program (differently-rounded sums break the two-float invariants:
+    # 4e-14 -> 6e-8 measured; the TPU backend is unaffected).  On CPU the
+    # pair path exists only for validation, so run it op-by-op.
+    use_jit = jax.default_backend() != 'cpu'
+    key = (pair_field_fn, tuple(fold_plan), 'pair', L, use_jit)
+    fn = _KERNEL_CACHE.get(key)
+    if fn is None:
+        plan = tuple(fold_plan)
+
+        def kernel(geo_inputs, term_tables, tperms):
+            return assemble_terms_folded_pair(
+                term_tables, pair_field_fn(geo_inputs), plan, tperms, L=L)
+        fn = jax.jit(kernel) if use_jit else kernel
+        _KERNEL_CACHE[key] = fn
+
+    geo_inputs = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, dtype=jnp.float64)
+        if np.issubdtype(np.asarray(x).dtype, np.floating) else jnp.asarray(x),
+        geo_inputs)
+    term_tables = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, dtype=jnp.float64), term_tables)
+    tperms = [jnp.asarray(p) for p in (tperms or [])]
+    return np.asarray(fn(geo_inputs, term_tables, tperms))

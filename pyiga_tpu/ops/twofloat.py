@@ -99,13 +99,15 @@ def df_mul(a, b):
 
 
 def df_div(a, b):
-    """Two-float division: f32 quotient + one Newton correction step."""
+    """Two-float division: f32 quotient + one Newton correction step.
+
+    Built strictly from the pair-level operations (df_mul/df_add): reusing
+    raw EFT intermediates across operation boundaries invites XLA's
+    multiply-add contraction to break the error-free identities (observed
+    on the CPU backend under jit: 1e-14 -> 6e-8)."""
     q1 = a[0] / b[0]
-    # r = a - q1*b, computed accurately
-    p, e = two_prod(q1, b[0])
-    e = e + q1 * b[1]
-    r_hi, r_e = two_sum(a[0], -p)
-    r = (r_hi, r_e + (a[1] - e))
+    # accurate remainder r = a - q1*b
+    r = df_add(a, df_neg(df_mul((q1, jnp.zeros_like(q1)), b)))
     q2 = (r[0] + r[1]) / b[0]
     return quick_two_sum(q1, q2)
 

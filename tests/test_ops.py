@@ -332,3 +332,21 @@ def test_ozaki_long_contraction_split():
         tf.df_from_f64(X), 0, A))
     rel = float(jnp.max(jnp.abs(pr - ref)) / jnp.max(jnp.abs(ref)))
     assert rel < 1e-12
+
+
+def test_pair_assembly_mass_and_nurbs():
+    # the f64 fast path (two-float fields + pair-chained Ozaki) must cover
+    # mass assembly and NURBS geometries (quarter_annulus is exact NURBS)
+    from pyiga_tpu.assemblers import MassAssembler, StiffnessAssembler
+    from pyiga_tpu import geometry
+    from pyiga_tpu.bspline import make_knots
+
+    for d, geo in ((2, geometry.quarter_annulus()),
+                   (3, geometry.twisted_box())):
+        kvs = d * (make_knots(3, 0.0, 1.0, 4),)
+        for cls in (MassAssembler, StiffnessAssembler):
+            asm = cls(kvs, geo)
+            exact = asm.assemble(mode='exact').data
+            fast = asm.assemble(mode='ozaki').data
+            rel = np.abs(fast - exact).max() / np.abs(exact).max()
+            assert rel < 1e-12, (cls.__name__, d, rel)
