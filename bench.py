@@ -1,37 +1,38 @@
-"""Benchmark: 3D degree-3 Poisson — stiffness assembly + matrix-free CG.
+"""Benchmark: Poisson stiffness assembly + matrix-free CG solve.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE JSON line PER CONFIG (the 3D float64 headline config LAST).
+Each line:
 
-Workload (BASELINE north star): twisted-box geometry, degree-3 TP splines,
-``PYIGA_BENCH_N`` knot spans per axis.  Timed on the default (TPU) device:
+  {"metric": ..., "value": dof/s, "unit": "dof/s", "vs_baseline": ...,
+   "t_assembly_ms": ..., "t_solve_ms": ..., "iters": ..., "comparator": ...}
 
-  1. sum-factorization assembly of the compact stiffness tensor into HBM,
-  2. conjugate gradients to 1e-8 with the matrix-free sum-factorization
-     operator (quadrature application per iteration; no assembled matvec).
+Default configs (override with PYIGA_BENCH_CONFIGS="dim,n,dtype;..."):
+  2,128,float64   - 2D p=3 quarter annulus (BASELINE config-1 shape)
+  3,48,float32    - 3D p=3 twisted box, f32 fast path
+  3,48,float64    - 3D p=3 twisted box, entry-parity dtype (HEADLINE)
 
-value        = dofs / (assembly_time + solve_time), float64 (the
-               entry-parity configuration; set PYIGA_BENCH_DTYPE=float32
-               for the fast path).
-vs_baseline  = speedup vs the same jitted computation on the host CPU
-               backend at PYIGA_BENCH_N_CPU (the stand-in for the
-               reference's single-node CPU path; pyiga publishes no numbers).
-               CPU dof/s degrades with size (measured float64: 10971 at
-               n=16, 4129 at n=32, 1584 at n=48 -> matched-size speedup at
-               n=48 is ~54x float64); the default n_cpu=32 keeps the bench
-               runtime bounded while understating, not overstating, the
-               speedup.
+Timed on the default (TPU) device, per phase:
+  1. sum-factorization assembly of the compact stiffness tensor.  The
+     float64 path uses the two-float pipeline with the fused Pallas
+     stage kernels (ops/pallas_sumfac.py: VMEM chunk slicing + 21 bf16
+     MXU dots with exact f32 accumulation + two-float combine per tile;
+     bit-identical to the XLA pair chain) when the shapes tile, else the
+     XLA pair chains; zero emulated-f64 arithmetic either way.
+  2. CG to 1e-8 with the matrix-free sum-factorization operator
+     (f32 Krylov + device-fused f64 iterative refinement for float64).
 
-Numerics: the float64 assembly runs the pair-chained Ozaki contraction
-(bf16 mantissa chunks with exact f32 MXU accumulation, two-float fields;
-L=6 chunks) — assembled entries match the exact-f64 path to ~1e-13
-relative, 1000x inside the <=1e-10 entry-parity target, and the CG
-iteration counts are identical.  The solve runs float32 Krylov iterations
-with device-fused float64 iterative refinement to the 1e-8 target.
+COMPARATOR CAVEAT (vs_baseline): the reference's own CPU path (Cython
+-O3 -march=native -ffast-math + OpenMP + MKL PARDISO,
+/root/reference/setup.py:11, operators.py:252-262) cannot be built in
+this image (no Cython/MKL), so vs_baseline is measured against the SAME
+jitted computation on the host CPU backend at the SAME problem size
+(matched-size, float64-exact mode).  JAX-on-CPU is a weaker baseline
+than Cython+MKL for assembly but comparable for the Krylov solve; treat
+the ratio as indicative, not as the north-star 10x-vs-64-core-CPU claim.
 
 Timing notes: the tunneled TPU backend has ~28ms dispatch latency and
-``block_until_ready`` returns early, so each phase is a single dispatch
-synchronized by fetching a scalar (one combined sync per repeat).
+``block_until_ready`` returns early, so each phase is a small number of
+dispatches synchronized by fetching one scalar.
 """
 
 import json
@@ -41,19 +42,71 @@ import time
 import numpy as np
 
 
-def build(n, p=3):
+def build(dim, n, p=3):
     from pyiga_tpu import geometry
     from pyiga_tpu.assemblers import StiffnessAssembler
     from pyiga_tpu.bspline import make_knots
 
-    kvs = 3 * (make_knots(p, 0.0, 1.0, n),)
-    geo = geometry.twisted_box()
+    kvs = dim * (make_knots(p, 0.0, 1.0, n),)
+    geo = geometry.twisted_box() if dim == 3 else geometry.quarter_annulus()
     asm = StiffnessAssembler(kvs, geo)
     ndofs = int(np.prod([kv.numdofs for kv in kvs]))
     return asm, ndofs
 
 
-def run_on(device, n, dtype, repeats=3):
+def _f64_assembly_fns(asm, dev, use_pallas):
+    """Build the float64 assembly callable: two-float fields + (Pallas or
+    XLA) pair chains, split into two dispatches (direct / mirrored chains)
+    to bound HBM peak."""
+    import jax
+    import jax.numpy as jnp
+    from pyiga_tpu.ops import sumfac
+    from pyiga_tpu.assemblers import stiffness_fields_df_pair
+
+    fold_plan, tperms = asm._fold()
+    tperms = [jax.device_put(np.asarray(p), dev) for p in tperms]
+    tt_np = asm.tables.term_tables(asm.terms)
+    direct = tuple((t, False) for t, m in fold_plan if not m)
+    mirrored = tuple((t, True) for t, m in fold_plan if m)
+    fields_fn = jax.jit(stiffness_fields_df_pair)
+
+    if use_pallas:
+        # one jit for the whole assembly: fields, the fused Pallas stage
+        # kernels of all six chains, and the two-float combines (the
+        # Pallas path keeps no chunk arrays in HBM, so the fused program
+        # fits where the XLA pair chains needed a two-dispatch split)
+        from pyiga_tpu.ops import pallas_sumfac as ps
+        prepped = [[ps.prepare_table(T) for T in tabs] for tabs in tt_np]
+        parrs = [[(jax.device_put(c, dev), jax.device_put(s, dev))
+                  for (c, s, _M) in tabs] for tabs in prepped]
+        Ms = tuple(tuple(M for (_c, _s, M) in tabs) for tabs in prepped)
+        plan = tuple(fold_plan)
+
+        def full(gi, parrs, tperms):
+            F = stiffness_fields_df_pair(gi)
+            tp = [[(c, s, M) for ((c, s), M) in zip(ta, Ma)]
+                  for ta, Ma in zip(parrs, Ms)]
+            return ps.assemble_terms_folded_pallas(tp, F, plan, tperms)
+
+        jfull = jax.jit(full)
+
+        def asm_fn(gi):
+            return jfull(gi, parrs, tperms)
+    else:
+        tt = jax.tree_util.tree_map(
+            lambda a: jax.device_put(np.asarray(a, np.float64), dev), tt_np)
+        fn_d = jax.jit(lambda F, tt: sumfac.assemble_terms_folded_pair(
+            tt, F, direct, None, L=6))
+        fn_m = jax.jit(lambda F, tt, tp: sumfac.assemble_terms_folded_pair(
+            tt, F, mirrored, tp, L=6))
+
+        def asm_fn(gi):
+            F = fields_fn(gi)
+            return fn_d(F, tt) + fn_m(F, tt, tperms)
+    return asm_fn
+
+
+def run_on(device, dim, n, dtype, repeats=3):
     import jax
     import jax.numpy as jnp
     from pyiga_tpu.ops import sumfac
@@ -65,99 +118,70 @@ def run_on(device, n, dtype, repeats=3):
     from pyiga_tpu.ops.matfree import MatrixFreeOperator, RestrictedOperator
     from pyiga_tpu import solvers
 
+    on_cpu = device.platform == 'cpu'
     with jax.default_device(device):
-        asm, ndofs = build(n)
+        asm, ndofs = build(dim, n)
         gi = jax.tree_util.tree_map(
             lambda a: jax.device_put(
                 np.asarray(a, dtype=dtype)
                 if np.issubdtype(np.asarray(a).dtype, np.floating)
                 else np.asarray(a), device),
             asm._geo_inputs)
-        tt = jax.tree_util.tree_map(
-            lambda a: jax.device_put(np.asarray(a, dtype=dtype), device),
-            asm.tables.term_tables(asm.terms))
-        field_fn = asm.field_fn
 
-        # symmetric-term folding: only 6 of the 9 stiffness chains computed,
-        # the mirrored ones recovered by a separable transpose gather.
-        # float64 uses the Ozaki-split contraction (bf16 chunk products with
-        # exact f32 MXU accumulation, ~3e-14 assembled relative accuracy —
-        # two orders inside the <=1e-10 parity target, ~3x faster than the
-        # emulated f64 dot)
-        # Ozaki splitting only pays where f64 is emulated; the CPU comparator
-        # keeps its native-f64 best path
-        mode = ('ozaki' if dtype == np.float64
-                and device.platform not in ('cpu',) else 'exact')
-        fold_plan, tperms = asm._fold()
-        tperms = [jax.device_put(np.asarray(p), device) for p in tperms]
-        if mode == 'ozaki':
-            # fields once, then two chain dispatches (diagonal terms;
-            # mirrored pairs + transpose): the chunk/diagonal buffers of the
-            # Ozaki contraction on top of the full six-chain graph exceed
-            # HBM at n=48, and splitting also avoids recomputing the shared
-            # geometry fields per dispatch
-            direct = tuple((t, False) for t, m in fold_plan if not m)
-            mirrored = tuple((t, True) for t, m in fold_plan if m)
-            # double-float32 field pipeline + pair-chained Ozaki contraction:
-            # fields and all chain intermediates stay as f32 pairs (fused f32
-            # elementwise + bf16 MXU dots; no emulated-f64 arithmetic at
-            # all).  Assembled accuracy ~7e-15 relative — better than the
-            # f64-intermediate Ozaki variant.
-            from pyiga_tpu.assemblers import stiffness_fields_df_pair
-            fields_fn = jax.jit(stiffness_fields_df_pair)
-            # L=6 chunks: assembled accuracy ~1e-13 (1000x inside the
-            # 1e-10 entry-parity target) at 25% fewer bf16 dots than L=7
-            fn_d = jax.jit(lambda F, tt: sumfac.assemble_terms_folded_pair(
-                tt, F, direct, None, L=6))
-            fn_m = jax.jit(lambda F, tt, tp: sumfac.assemble_terms_folded_pair(
-                tt, F, mirrored, tp, L=6))
-
-            def asm_fn(gi, tt, tp):
-                F = fields_fn(gi)
-                return fn_d(F, tt) + fn_m(F, tt, tp)
+        if dtype == np.float64 and not on_cpu:
+            # two-float pipeline; fused Pallas stage kernels when the
+            # chain shapes tile, else the XLA pair chains.  Both are
+            # bit-identical; the CPU comparator keeps native-f64 exact.
+            from pyiga_tpu.ops import pallas_sumfac as ps
+            tt_np = asm.tables.term_tables(asm.terms)
+            gshape = tuple(len(g) for g in asm.grid)
+            use_pallas = ps.supported(tt_np, gshape)
+            asm_fn = _f64_assembly_fns(asm, device, use_pallas)
         else:
-            asm_fn = jax.jit(
-                lambda gi, tt, tp: sumfac.assemble_terms_folded(
-                    tt, field_fn(gi), tuple(fold_plan), tp, mode=mode))
+            fold_plan, tperms = asm._fold()
+            tperms_d = [jax.device_put(np.asarray(p), device)
+                        for p in tperms]
+            tt = jax.tree_util.tree_map(
+                lambda a: jax.device_put(np.asarray(a, dtype=dtype), device),
+                asm.tables.term_tables(asm.terms))
+            field_fn = asm.field_fn
+            jfn = jax.jit(lambda gi, tt, tp: sumfac.assemble_terms_folded(
+                tt, field_fn(gi), tuple(fold_plan), tp, mode='exact'))
+            asm_fn = lambda gi: jfn(gi, tt, tperms_d)
 
-        # homogeneous-Dirichlet Poisson solve: matrix-free operator on the
-        # interior dofs, fast-diagonalization preconditioner.  For float64,
-        # the Krylov iterations run in float32 with float64 iterative
-        # refinement (full f64 accuracy; f64 is emulated on TPU).
+        # homogeneous-Dirichlet solve on the interior dofs
         kvs = asm.kvs
         free = interior_dofs(kvs)
         b = jax.device_put(
             np.random.RandomState(0).rand(len(free)).astype(dtype), device)
-        ir = (dtype == np.float64)
-        if ir:
-            # float64 residuals use the assembled matrix (banded layout,
-            # converted on device from the phase-1 compact data): ~10x
-            # cheaper per outer iteration than the f64 matrix-free apply
+        if dtype == np.float64:
+            # f32 Krylov + device-fused f64 refinement; the f64 residual
+            # matvecs run as two-float banded matvecs (fused f32 pair
+            # arithmetic, ~2^-45 relative — emulated-f64 elementwise ops
+            # cost ~15x their traffic bound and are avoided entirely)
+            from pyiga_tpu.ops.banded import BandedOperatorPair
+            from pyiga_tpu.ops import twofloat as tf
             bws = band_info(asm.structure)
             ns = tuple(bk[0] for bk in asm.structure.bs)
             bsz = tuple(2 * bw + 1 for bw in bws)
             maps = [jax.device_put(m, device)
                     for m in banded_gather_maps(asm.structure, bws)]
-            to_banded = jax.jit(
-                lambda d: banded_from_compact_device(d, maps, bsz, ns))
+            to_banded_pair = jax.jit(lambda d: tf.df_from_f64(
+                banded_from_compact_device(d, maps, bsz, ns)))
             op_hi = RestrictedOperator(
-                BandedOperator(None, bws, ns), free, int(np.prod(ns)))
+                BandedOperatorPair(None, bws, ns), free, int(np.prod(ns)))
             op = MatrixFreeOperator(asm, free_dofs=free, dtype=np.float32)
-            # geometry-averaged 1D coefficients: 57 -> 24 CG iterations on
-            # the twisted box vs the parametric fastdiag
             P = fastdiag_precond_weighted(asm, dirichlet=True,
                                           dtype=np.float32)
 
             def solve(data):
-                op_hi.operands['inner']['D'] = to_banded(data)
+                Dh, Dl = to_banded_pair(data)
+                op_hi.operands['inner']['Dh'] = Dh
+                op_hi.operands['inner']['Dl'] = Dl
                 u, info = solvers.cg_ir(op_hi, op, b, tol=1e-8,
-                                        precond_lo=P, inner_tol=3e-3)
-                return u, sum(info['inner_iters'])
-
-            def solve_timed(data):
-                # identical work; cg_ir's single packed info fetch is the
-                # only host sync
-                return solve(data)
+                                        precond_lo=P, inner_tol=3e-3,
+                                        fetch_info=False)
+                return u, info
         else:
             op = MatrixFreeOperator(asm, free_dofs=free)
             P = fastdiag_precond_weighted(asm, dirichlet=True)
@@ -165,61 +189,92 @@ def run_on(device, n, dtype, repeats=3):
             def solve(data):
                 u, it = solvers.cg_jit(op, b, tol=1e-8, maxiter=600,
                                        precond=P)
-                return u, int(it)
-
-            def solve_timed(data):
-                # leave the iteration count on device during timing
-                u, it = solvers.cg_jit(op, b, tol=1e-8, maxiter=600,
-                                       precond=P)
                 return u, it
 
-        # warmup / compile both phases
-        data = asm_fn(gi, tt, tperms)
-        float(jnp.sum(data))
-        u, iters = solve(data)
-        float(jnp.linalg.norm(u))
+        def count_iters(info):
+            if isinstance(info, (int, np.integer)):
+                return int(info)
+            if hasattr(info, 'shape') and getattr(info, 'ndim', 0):
+                return sum(solvers.cg_ir_info(info)['inner_iters'])
+            return int(info)
 
-        best = np.inf
+        # warmup / compile
+        data = asm_fn(gi)
+        float(jnp.sum(data))
+        u, info = solve(data)
+        float(jnp.linalg.norm(u))
+        iters = count_iters(info)
+
+        # headline: both phases back-to-back, ONE host sync (each scalar
+        # fetch costs a ~28ms round-trip on the tunneled backend)
+        t_tot = np.inf
         for _ in range(repeats):
             t0 = time.perf_counter()
-            data = asm_fn(gi, tt, tperms)
-            u, _ = solve_timed(data)
-            # ONE host sync covering both phases (each scalar fetch costs a
-            # ~28ms round-trip on the tunneled backend)
+            data = asm_fn(gi)
+            u, _ = solve(data)
             float(jnp.sum(data) + jnp.linalg.norm(u).astype(data.dtype))
-            best = min(best, time.perf_counter() - t0)
-    return ndofs, best, iters
+            t_tot = min(t_tot, time.perf_counter() - t0)
+
+        # phase split (each phase pays its own sync round-trip)
+        t_asm = t_slv = np.inf
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            data = asm_fn(gi)
+            float(jnp.sum(data))
+            t1 = time.perf_counter()
+            u, _ = solve(data)
+            float(jnp.linalg.norm(u))
+            t2 = time.perf_counter()
+            t_asm = min(t_asm, t1 - t0)
+            t_slv = min(t_slv, t2 - t1)
+    return ndofs, t_asm, t_slv, t_tot, iters
 
 
 def main():
     import pyiga_tpu
     import jax
 
-    dtype = np.dtype(os.environ.get('PYIGA_BENCH_DTYPE', 'float64')).type
-    pyiga_tpu.set_dtype(dtype)
-    n = int(os.environ.get('PYIGA_BENCH_N', '48'))
-    n_cpu = int(os.environ.get('PYIGA_BENCH_N_CPU', '32'))
+    spec = os.environ.get('PYIGA_BENCH_CONFIGS')
+    if spec:
+        configs = [(int(d), int(n), np.dtype(t).type)
+                   for d, n, t in (c.split(',') for c in spec.split(';'))]
+    else:
+        n3 = int(os.environ.get('PYIGA_BENCH_N', '48'))
+        n2 = int(os.environ.get('PYIGA_BENCH_N2', '128'))
+        configs = [(2, n2, np.float64), (3, n3, np.float32),
+                   (3, n3, np.float64)]
 
     dev = jax.devices()[0]
-    ndofs, t_dev, iters = run_on(dev, n, dtype)
-    dofs_per_s = ndofs / t_dev
-
-    vs_baseline = None
     try:
         cpu = jax.devices('cpu')[0]
-        if cpu != dev:
-            nd_c, t_cpu, _ = run_on(cpu, n_cpu, dtype, repeats=2)
-            vs_baseline = round(dofs_per_s / (nd_c / t_cpu), 3)
+        if cpu == dev:
+            cpu = None
     except RuntimeError:
-        pass
+        cpu = None
 
-    print(json.dumps({
-        'metric': '3d_p3_poisson_assembly_plus_cg[%s,n=%d,cg_iters=%d]'
-                  % (np.dtype(dtype).name, n, iters),
-        'value': round(dofs_per_s, 1),
-        'unit': 'dof/s',
-        'vs_baseline': vs_baseline,
-    }))
+    for dim, n, dtype in configs:
+        pyiga_tpu.set_dtype(dtype)
+        ndofs, t_asm, t_slv, t_tot, iters = run_on(dev, dim, n, dtype)
+        dofs_per_s = ndofs / t_tot
+
+        vs_baseline = None
+        if cpu is not None and not os.environ.get('PYIGA_BENCH_NO_CPU'):
+            # matched-size comparator on the host CPU backend
+            _, _, _, t_cpu, _ = run_on(cpu, dim, n, dtype, repeats=1)
+            vs_baseline = round(t_cpu / t_tot, 3)
+
+        print(json.dumps({
+            'metric': '%dd_p3_poisson_assembly_plus_cg[%s,n=%d,cg_iters=%d]'
+                      % (dim, np.dtype(dtype).name, n, iters),
+            'value': round(dofs_per_s, 1),
+            'unit': 'dof/s',
+            'vs_baseline': vs_baseline,
+            't_assembly_ms': round(1e3 * t_asm, 1),
+            't_solve_ms': round(1e3 * t_slv, 1),
+            'iters': iters,
+            'comparator': 'matched-size JAX-on-CPU (Cython+MKL of the '
+                          'reference unavailable; see bench.py docstring)',
+        }), flush=True)
 
 
 if __name__ == '__main__':

@@ -305,3 +305,77 @@ class BandedOperator:
 
     def __call__(self, x):
         return self.matvec(x)
+
+
+def banded_matvec_pair(D_pair, x_pair, bws, ns):
+    """Two-float banded matvec: same window accumulation as
+    :func:`banded_matvec` but in fused f32 pair arithmetic — the float64
+    residual matvecs of iterative refinement without any emulated-f64
+    elementwise ops (which cost ~15x their traffic bound on TPU)."""
+    from . import twofloat as tf
+    d = len(ns)
+    bsz = tuple(2 * bw + 1 for bw in bws)
+    xh = x_pair[0].reshape(ns)
+    xl = x_pair[1].reshape(ns)
+    pad = [(bw, bw) for bw in bws]
+    xph, xpl = jnp.pad(xh, pad), jnp.pad(xl, pad)
+    nmu = int(np.prod(bsz))
+
+    def body(f, y):
+        mus = []
+        rem = f
+        for k in reversed(range(d)):
+            mus.append(rem % bsz[k])
+            rem = rem // bsz[k]
+        mus = tuple(reversed(mus))
+        Ds = tuple(
+            jax.lax.dynamic_slice(Dc, mus + d * (0,),
+                                  d * (1,) + tuple(ns)).reshape(ns)
+            for Dc in D_pair)
+        xw = (jax.lax.dynamic_slice(xph, mus, tuple(ns)),
+              jax.lax.dynamic_slice(xpl, mus, tuple(ns)))
+        return tf.df_add(y, tf.df_mul(Ds, xw))
+
+    z = jnp.zeros(ns, dtype=jnp.float32)
+    yh, yl = jax.lax.fori_loop(0, nmu, body, (z, z))
+    return yh.reshape(-1), yl.reshape(-1)
+
+
+class BandedOperatorPair:
+    """Banded operator holding its data as a two-float f32 pair; maps f64
+    vectors to f64 results at ~2^-45 relative accuracy with f32-speed
+    arithmetic.  Drop-in for :class:`BandedOperator` as the high-precision
+    operator of :func:`~pyiga_tpu.solvers.cg_ir`."""
+
+    def __init__(self, D_pair, bws, ns):
+        from . import twofloat as tf
+        self.bws = tuple(bws)
+        self.ns = tuple(ns)
+        self.shape = (int(np.prod(ns)), int(np.prod(ns)))
+        self.operands = {'Dh': None if D_pair is None else D_pair[0],
+                         'Dl': None if D_pair is None else D_pair[1]}
+        bws_t, ns_t = self.bws, self.ns
+
+        def apply_with_operands(operands, x):
+            xp = tf.df_from_f64(x)
+            yh, yl = banded_matvec_pair((operands['Dh'], operands['Dl']),
+                                        xp, bws_t, ns_t)
+            return tf.df_to_f64((yh, yl))
+
+        self.apply_with_operands = apply_with_operands
+
+    def set_data_f64(self, D):
+        """Split a float64 banded data array into the stored pair."""
+        from . import twofloat as tf
+        hi, lo = tf.df_from_f64(D)
+        self.operands['Dh'] = hi
+        self.operands['Dl'] = lo
+
+    def matvec(self, x):
+        import jax as _jax
+        return _jax.jit(self.apply_with_operands)(self.operands, x)
+
+    def __call__(self, x):
+        return self.matvec(x)
+
+

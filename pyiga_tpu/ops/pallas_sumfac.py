@@ -101,6 +101,37 @@ def _stage_kernel(xh_ref, xl_ref, tc_ref, ts_ref, oh_ref, ol_ref):
     ol_ref[...] = acc[1] * scale
 
 
+# Mosaic double-buffers the HBM<->VMEM blocks and adds scratch, so budget
+# well under the 16 MB of VMEM (measured: a 28.7M-estimate request OOMs,
+# an 11M estimate still compiles to 17.5M)
+_VMEM_BUDGET = 6 * 2 ** 20
+
+
+def _vmem_bytes(K, r, m):
+    x_pair = 2 * K * r * 4
+    chunks = _L * K * r * 2
+    table = _L * m * K * 2 + 4 * m
+    diags = _L * r * m * 4
+    out = 2 * r * m * 4
+    return x_pair + chunks + table + diags + out
+
+
+def _pick_blocks(K, R, M, r_block):
+    """Largest (r, m) tile sizes dividing (R, M) that fit the VMEM
+    budget (m in lane multiples)."""
+    r = min(r_block, R)
+    while R % r:
+        r //= 2
+    m_candidates = [m for m in range(M, 127, -128)
+                    if m % 128 == 0 and M % m == 0]
+    while r >= 128:
+        for m in m_candidates:
+            if _vmem_bytes(K, r, m) <= _VMEM_BUDGET:
+                return r, m
+        r //= 2
+    return None
+
+
 @functools.partial(jax.jit, static_argnames=('r_block', 'interpret'))
 def _stage_call(xh, xl, t_chunks, t_scale, r_block=512, interpret=False):
     """One contraction stage: ``(K, R)`` pair x table chunks ``(L, M, K)``
@@ -109,20 +140,21 @@ def _stage_call(xh, xl, t_chunks, t_scale, r_block=512, interpret=False):
 
     K, R = xh.shape
     L, M, _ = t_chunks.shape
-    grid = (R // r_block,)
+    r_blk, m_blk = _pick_blocks(K, R, M, r_block)
+    grid = (R // r_blk, M // m_blk)
     out_shape = [jax.ShapeDtypeStruct((R, M), jnp.float32),
                  jax.ShapeDtypeStruct((R, M), jnp.float32)]
     # index maps use j*0 for constant positions so every index has the
     # grid index dtype (mixed i64/i32 tuples fail Mosaic legalization
     # under jax_enable_x64)
     in_specs = [
-        pl.BlockSpec((K, r_block), lambda j: (j * 0, j)),
-        pl.BlockSpec((K, r_block), lambda j: (j * 0, j)),
-        pl.BlockSpec((L, M, K), lambda j: (j * 0, j * 0, j * 0)),
-        pl.BlockSpec((1, M), lambda j: (j * 0, j * 0)),
+        pl.BlockSpec((K, r_blk), lambda j, s: (j * 0, j)),
+        pl.BlockSpec((K, r_blk), lambda j, s: (j * 0, j)),
+        pl.BlockSpec((L, m_blk, K), lambda j, s: (j * 0, s, j * 0)),
+        pl.BlockSpec((1, m_blk), lambda j, s: (j * 0, s)),
     ]
-    out_specs = [pl.BlockSpec((r_block, M), lambda j: (j, j * 0)),
-                 pl.BlockSpec((r_block, M), lambda j: (j, j * 0))]
+    out_specs = [pl.BlockSpec((r_blk, m_blk), lambda j, s: (j, s)),
+                 pl.BlockSpec((r_blk, m_blk), lambda j, s: (j, s))]
     oh, ol = pl.pallas_call(
         _stage_kernel,
         grid=grid,
@@ -187,9 +219,14 @@ def supported(term_tables, grid_shape, r_block=512):
         for k, T in enumerate(tabs):
             K = shape[0]
             rest = int(np.prod(shape[1:])) if len(shape) > 1 else 1
-            if K % 8 != 0 or rest % r_block != 0:
+            Mp = _pad_lanes(T.shape[0])
+            # K > 384: long contraction axes (large 2D quadrature grids)
+            # leave too little VMEM for useful tiles — the XLA pair chain
+            # handles those
+            if K % 8 != 0 or K > 384 or \
+                    _pick_blocks(K, rest, Mp, r_block) is None:
                 return False
-            shape = shape[1:] + [_pad_lanes(T.shape[0])]
+            shape = shape[1:] + [Mp]
     return True
 
 

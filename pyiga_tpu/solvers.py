@@ -142,7 +142,7 @@ def cg_jit(matvec, b, x0=None, tol=1e-8, maxiter=1000, precond=None):
 
 
 def cg_ir(op_hi, op_lo, b, tol=1e-8, maxiter_inner=200, max_outer=10,
-          precond_lo=None, inner_tol=1e-3):
+          precond_lo=None, inner_tol=1e-3, fetch_info=True):
     """Mixed-precision CG with iterative refinement.
 
     On TPU, float64 is software-emulated (roughly an order of magnitude
@@ -251,11 +251,21 @@ def cg_ir(op_hi, op_lo, b, tol=1e-8, maxiter_inner=200, max_outer=10,
         per_op[key] = run
 
     x, info = run(b, hi_ops, lo_ops, pc_ops)
+    if not fetch_info:
+        # leave the packed info vector on device (each host fetch costs a
+        # full round-trip on tunneled backends); decode with cg_ir_info
+        return x, info
+    return x, cg_ir_info(info)
+
+
+def cg_ir_info(info):
+    """Decode the packed device info vector of ``cg_ir(...,
+    fetch_info=False)`` into the usual dict (one host fetch)."""
     info = np.asarray(info)
     outer = int(info[1])
-    return x, {'outer': outer,
-               'inner_iters': [int(i) for i in info[2:2 + outer]],
-               'residual': float(info[0])}
+    return {'outer': outer,
+            'inner_iters': [int(i) for i in info[2:2 + outer]],
+            'residual': float(info[0])}
 
 
 _GMRES_CACHE = weakref.WeakKeyDictionary()
