@@ -83,7 +83,7 @@ def _f64_assembly_fns(asm, dev, use_pallas):
         plan = tuple(fold_plan)
 
         def full(gi, parrs, tperms):
-            F = stiffness_fields_df_pair(gi)
+            F = ps.stiffness_fields_pallas(gi)
             tp = [[(c, s, M) for ((c, s), M) in zip(ta, Ma)]
                   for ta, Ma in zip(parrs, Ms)]
             return ps.assemble_terms_folded_pallas(tp, F, plan, tperms)

@@ -210,6 +210,80 @@ def chain_pair(tables_prepped, field_pair, r_block=512, interpret=False):
     return hi[index], lo[index]
 
 
+def _make_stiff_fields_kernel(d):
+    def kernel(jac_ref, gw_ref, out_ref):
+        from . import geom
+        j = [[(jac_ref[2 * (a * d + b)], jac_ref[2 * (a * d + b) + 1])
+              for b in range(d)] for a in range(d)]
+        det, inv = geom.det_and_inv_df_pairs(j)
+        gw = (gw_ref[0], gw_ref[1])
+        W = tf.df_mul(gw, tf.df_abs(det))
+        k = 0
+        for a in range(d):
+            for b in range(a, d):
+                Bab = tf.df_sum([tf.df_mul(inv[a][m], inv[b][m])
+                                 for m in range(d)])
+                hi, lo = tf.df_mul(W, Bab)
+                out_ref[2 * k] = hi
+                out_ref[2 * k + 1] = lo
+                k += 1
+    return kernel
+
+
+def stiffness_fields_pallas(geo_inputs, interpret=False, r_rows=256):
+    """Stiffness coefficient fields ``B_ab = W (J^-1 J^-T)_ab`` as
+    two-float pairs, with the whole elementwise pipeline (det, inverse,
+    weight and B products — ~200 fused f32 passes that XLA materializes
+    expensively) fused into one elementwise Pallas kernel.  The Jacobian
+    itself (per-axis basis contractions) stays in XLA, where it fuses
+    well.  Returns the same ``d*d`` term-field list as
+    ``assemblers.stiffness_fields_df_pair`` (bitwise-equal arithmetic:
+    same pair operations in the same order)."""
+    from jax.experimental import pallas as pl
+    from .. import assemblers
+    from . import geom
+
+    jp = assemblers._geo_jac_pairs(geo_inputs)
+    d = len(jp)
+    gw = tf.df_from_f64(geom.gauss_weight_field(geo_inputs['weights']))
+    grid_shape = gw[0].shape
+    N = int(np.prod(grid_shape))
+    assert N % 128 == 0, 'grid size must be a lane multiple'
+    rows = N // 128
+    while rows % r_rows:
+        r_rows //= 2
+
+    jac_flat = jnp.stack([c.reshape(rows, 128)
+                          for a in range(d) for b in range(d)
+                          for c in jp[a][b]])
+    gw_flat = jnp.stack([c.reshape(rows, 128) for c in gw])
+    n_out = d * (d + 1)        # hi+lo per unique (a, b) pair
+
+    out = pl.pallas_call(
+        _make_stiff_fields_kernel(d),
+        grid=(rows // r_rows,),
+        in_specs=[
+            pl.BlockSpec((2 * d * d, r_rows, 128),
+                         lambda j: (j * 0, j, j * 0)),
+            pl.BlockSpec((2, r_rows, 128), lambda j: (j * 0, j, j * 0)),
+        ],
+        out_specs=pl.BlockSpec((n_out, r_rows, 128),
+                               lambda j: (j * 0, j, j * 0)),
+        out_shape=jax.ShapeDtypeStruct((n_out, rows, 128), jnp.float32),
+        interpret=interpret,
+    )(jac_flat, gw_flat)
+
+    uniq = {}
+    k = 0
+    for a in range(d):
+        for b in range(a, d):
+            uniq[(a, b)] = (out[2 * k].reshape(grid_shape),
+                            out[2 * k + 1].reshape(grid_shape))
+            k += 1
+    return [uniq[tuple(sorted((a, b)))]
+            for a in range(d) for b in range(d)]
+
+
 def supported(term_tables, grid_shape, r_block=512):
     """Whether the fused kernel's tiling constraints hold for these chain
     shapes (every intermediate's flattened rest-extent must tile by

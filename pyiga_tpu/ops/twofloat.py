@@ -20,7 +20,10 @@ available precision"; the classic double-double algorithms (Hida-Li-Bailey).
 
 import jax.numpy as jnp
 
-_SPLIT = jnp.float32(4097.0)        # 2^12 + 1 for f32 Dekker splitting
+# 2^12 + 1 for f32 Dekker splitting.  A Python float (not a jnp scalar):
+# a device-array constant would be captured by Pallas kernels that call
+# these ops, which pallas_call rejects.
+_SPLIT = 4097.0
 
 
 def _split(a):
