@@ -106,7 +106,7 @@ def _f64_assembly_fns(asm, dev, use_pallas):
     return asm_fn
 
 
-def run_on(device, dim, n, dtype, repeats=3):
+def run_on(device, dim, n, dtype, repeats=3, measure_split=True):
     import jax
     import jax.numpy as jnp
     from pyiga_tpu.ops import sumfac
@@ -168,7 +168,11 @@ def run_on(device, dim, n, dtype, repeats=3):
                     for m in banded_gather_maps(asm.structure, bws)]
             to_banded_pair = jax.jit(lambda d: tf.df_from_f64(
                 banded_from_compact_device(d, maps, bsz, ns)))
+            # CPU comparator: native f64 banded residuals (the pair
+            # arithmetic is a TPU workaround and miscompiles on this
+            # environment's CPU jit)
             op_hi = RestrictedOperator(
+                BandedOperator(None, bws, ns) if on_cpu else
                 BandedOperatorPair(None, bws, ns), free, int(np.prod(ns)))
             op = MatrixFreeOperator(asm, free_dofs=free, dtype=np.float32)
             P = fastdiag_precond_weighted(asm, dirichlet=True,
@@ -176,8 +180,12 @@ def run_on(device, dim, n, dtype, repeats=3):
 
             def solve(data):
                 Dh, Dl = to_banded_pair(data)
-                op_hi.operands['inner']['Dh'] = Dh
-                op_hi.operands['inner']['Dl'] = Dl
+                if on_cpu:
+                    op_hi.operands['inner']['D'] = \
+                        Dh.astype(np.float64) + Dl.astype(np.float64)
+                else:
+                    op_hi.operands['inner']['Dh'] = Dh
+                    op_hi.operands['inner']['Dl'] = Dl
                 u, info = solvers.cg_ir(op_hi, op, b, tol=1e-8,
                                         precond_lo=P, inner_tol=3e-3,
                                         fetch_info=False)
@@ -217,7 +225,7 @@ def run_on(device, dim, n, dtype, repeats=3):
 
         # phase split (each phase pays its own sync round-trip)
         t_asm = t_slv = np.inf
-        for _ in range(repeats):
+        for _ in range(repeats if measure_split else 0):
             t0 = time.perf_counter()
             data = asm_fn(gi)
             float(jnp.sum(data))
@@ -260,7 +268,8 @@ def main():
         vs_baseline = None
         if cpu is not None and not os.environ.get('PYIGA_BENCH_NO_CPU'):
             # matched-size comparator on the host CPU backend
-            _, _, _, t_cpu, _ = run_on(cpu, dim, n, dtype, repeats=1)
+            _, _, _, t_cpu, _ = run_on(cpu, dim, n, dtype, repeats=1,
+                                       measure_split=False)
             vs_baseline = round(t_cpu / t_tot, 3)
 
         print(json.dumps({

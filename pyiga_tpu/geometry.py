@@ -96,11 +96,70 @@ def _prep_tp_coeffs(kvs, coeffs, sdim):
     return coeffs, dim
 
 
+class _ControlPointMixin:
+    """Shared behavior of spline-type functions storing control points:
+    support-override plumbing, boundary restriction by coefficient slicing,
+    and affine control-point transforms.  Subclasses supply ``_rebuild``
+    (same type from raw stored coefficients) and ``_map_points`` (same type
+    with the *control points* mapped)."""
+
+    @property
+    def support(self):
+        if self._support_override:
+            return self._support_override
+        return tuple(kv.support() for kv in self.kvs)
+
+    @support.setter
+    def support(self, new_support):
+        new_support = tuple(new_support)
+        assert len(new_support) == self.sdim, 'wrong number of dimensions'
+        assert all(len(s) == 2 for s in new_support), \
+            'entries must be (lo,hi) pairs'
+        self._support_override = new_support
+
+    def boundary(self, bdspec):
+        if self._support_override:
+            return _BaseGeoFunc.boundary(self, bdspec)
+        axis, side = _parse_bdspec(bdspec, self.sdim)
+        face = self.sdim * [slice(None)]
+        face[axis] = -side              # index 0 (side 0) or -1 (side 1)
+        return self._rebuild(self.kvs[:axis] + self.kvs[axis + 1:],
+                             self.coeffs[tuple(face)])
+
+    def copy(self):
+        return self._rebuild(tuple(kv.copy() for kv in self.kvs),
+                             self.coeffs.copy())
+
+    def translate(self, offset):
+        return self._map_points(lambda C: C + offset)
+
+    def scale(self, factor):
+        return self._map_points(lambda C: C * factor)
+
+    def apply_matrix(self, A):
+        """Apply a matrix (or per-control-point array of matrices) to each
+        control point."""
+        assert self.is_vector(), \
+            'Can only apply matrices to vector-valued functions'
+
+        def mapped(C):
+            out = np.matmul(A, C[..., None])
+            assert out.shape[-1] == 1
+            return np.squeeze(out, axis=-1)
+
+        return self._map_points(mapped)
+
+    def rotate_2d(self, angle):
+        assert self.dim == 2, 'Must be 2D vector function'
+        c, s = np.cos(angle), np.sin(angle)
+        return self.apply_matrix(np.array([[c, -s], [s, c]]))
+
+
 ################################################################################
 # BSplineFunc
 ################################################################################
 
-class BSplineFunc(_BaseSplineFunc):
+class BSplineFunc(_ControlPointMixin, _BaseSplineFunc):
     """A function in a tensor-product B-spline basis.
 
     `kvs` is a tuple of `d` :class:`.KnotVector`; `coeffs` has its first `d`
@@ -175,53 +234,14 @@ class BSplineFunc(_BaseSplineFunc):
         the geometry transform `geo`."""
         return PhysicalGradientFunc(self, geo)
 
-    # -- structure ------------------------------------------------------------
+    # -- structure (mixin hooks) ----------------------------------------------
 
-    def boundary(self, bdspec):
-        if self._support_override:
-            return _BaseGeoFunc.boundary(self, bdspec)
-        axis, side = _parse_bdspec(bdspec, self.sdim)
-        slices = self.sdim * [slice(None)]
-        slices[axis] = 0 if side == 0 else -1
-        kvs = self.kvs[:axis] + self.kvs[axis + 1:]
-        return BSplineFunc(kvs, self.coeffs[tuple(slices)])
+    @staticmethod
+    def _rebuild(kvs, coeffs):
+        return BSplineFunc(kvs, coeffs)
 
-    @property
-    def support(self):
-        if self._support_override:
-            return self._support_override
-        return tuple(kv.support() for kv in self.kvs)
-
-    @support.setter
-    def support(self, new_support):
-        new_support = tuple(new_support)
-        assert len(new_support) == self.sdim, 'wrong number of dimensions'
-        assert all(len(s) == 2 for s in new_support), 'entries must be (lo,hi) pairs'
-        self._support_override = new_support
-
-    def copy(self):
-        return BSplineFunc(tuple(kv.copy() for kv in self.kvs), self.coeffs.copy())
-
-    # -- transformations --------------------------------------------------------
-
-    def translate(self, offset):
-        return BSplineFunc(self.kvs, self.coeffs + offset)
-
-    def scale(self, factor):
-        return BSplineFunc(self.kvs, self.coeffs * factor)
-
-    def apply_matrix(self, A):
-        """Apply a matrix (or per-control-point array of matrices) to each
-        control point."""
-        assert self.is_vector(), 'Can only apply matrices to vector-valued functions'
-        C = np.matmul(A, self.coeffs[..., None])
-        assert C.shape[-1] == 1
-        return BSplineFunc(self.kvs, np.squeeze(C, axis=-1))
-
-    def rotate_2d(self, angle):
-        assert self.dim == 2, 'Must be 2D vector function'
-        s, c = np.sin(angle), np.cos(angle)
-        return self.apply_matrix(np.array([[c, -s], [s, c]]))
+    def _map_points(self, fn):
+        return BSplineFunc(self.kvs, fn(self.coeffs))
 
     def perturb(self, noise):
         """Copy with control points randomly perturbed by the given magnitude."""
@@ -286,7 +306,7 @@ def _nurbs_jac_from_homog(val, jac):
     return (Vj * W - V * Wj) / (W ** 2)
 
 
-class NurbsFunc(_BaseSplineFunc):
+class NurbsFunc(_ControlPointMixin, _BaseSplineFunc):
     """A function in a tensor-product NURBS basis.
 
     Stores coefficients *premultiplied* by the weights, with the weights as
@@ -295,38 +315,31 @@ class NurbsFunc(_BaseSplineFunc):
     """
 
     def __init__(self, kvs, coeffs, weights, premultiplied=False):
-        if isinstance(kvs, KnotVector):
-            kvs = (kvs,)
-        self.kvs = tuple(kvs)
+        self.kvs = (kvs,) if isinstance(kvs, KnotVector) else tuple(kvs)
         self.sdim = len(self.kvs)
-
-        N = tuple(kv.numdofs for kv in self.kvs)
-        coeffs = np.asanyarray(coeffs)
-        if coeffs.ndim == 1:
-            assert coeffs.shape[0] == np.prod(N), 'Wrong length of coefficient vector'
-            coeffs = coeffs.reshape(N)
-        assert N == coeffs.shape[:self.sdim], 'Wrong shape of coefficients'
-        tail = coeffs.shape[self.sdim:]
-        assert len(tail) <= 1, 'Tensor-valued NURBS functions not implemented'
-        self._isscalar = (len(tail) == 0)
-        self.dim = 1 if self._isscalar else tail[0]
-        self.coeffs = np.array(coeffs, dtype=float)
+        coeffs, dim = _prep_tp_coeffs(self.kvs, coeffs, self.sdim)
+        assert not isinstance(dim, tuple), \
+            'Tensor-valued NURBS functions not implemented'
+        self._isscalar = (coeffs.ndim == self.sdim)
+        homog = np.array(coeffs, dtype=float)
 
         if weights is None:
-            assert self.dim > 1, 'Weights must be specified in the coeffs array'
-            self.dim -= 1       # weights are the last component of coeffs
+            # the weights ride along as the last vector component
+            assert dim > 1, 'Weights must be specified in the coeffs array'
+            self.dim = dim - 1
         else:
             weights = np.asanyarray(weights)
-            assert weights.shape == N, 'Wrong shape of weights array'
-            if self.coeffs.shape == N:
-                self.coeffs = np.stack((self.coeffs, weights), axis=-1)
-            else:
-                self.coeffs = np.concatenate(
-                    (self.coeffs, weights[..., None]), axis=-1)
+            assert weights.shape == homog.shape[:self.sdim], \
+                'Wrong shape of weights array'
+            join = np.stack if self._isscalar else \
+                (lambda arrs, axis: np.concatenate(
+                    (arrs[0], arrs[1][..., None]), axis=axis))
+            homog = join((homog, weights), axis=-1)
+            self.dim = dim
 
         if not premultiplied:
-            self.coeffs[..., :-1] *= self.coeffs[..., -1:]
-
+            homog[..., :-1] *= homog[..., -1:]
+        self.coeffs = homog
         self._support_override = None
 
     def output_shape(self):
@@ -380,54 +393,20 @@ class NurbsFunc(_BaseSplineFunc):
         J = _nurbs_jac_from_homog(val, jac)
         return np.squeeze(J, -2) if self._isscalar else J
 
-    def boundary(self, bdspec):
-        if self._support_override:
-            return _BaseGeoFunc.boundary(self, bdspec)
-        axis, side = _parse_bdspec(bdspec, self.sdim)
-        slices = self.sdim * [slice(None)]
-        slices[axis] = 0 if side == 0 else -1
-        kvs = self.kvs[:axis] + self.kvs[axis + 1:]
-        return NurbsFunc(kvs, self.coeffs[tuple(slices)], weights=None,
-                         premultiplied=True)
+    # -- structure (mixin hooks) ----------------------------------------------
 
-    @property
-    def support(self):
-        if self._support_override:
-            return self._support_override
-        return tuple(kv.support() for kv in self.kvs)
+    @staticmethod
+    def _rebuild(kvs, coeffs):
+        return NurbsFunc(kvs, coeffs, weights=None, premultiplied=True)
 
-    @support.setter
-    def support(self, new_support):
-        self._support_override = new_support
-
-    def copy(self):
-        return NurbsFunc(tuple(kv.copy() for kv in self.kvs),
-                         self.coeffs.copy(), None, premultiplied=True)
+    def _map_points(self, fn):
+        C, W = self.coeffs_weights()
+        return NurbsFunc(self.kvs, fn(C), W)
 
     def coeffs_weights(self):
         """Non-premultiplied coefficients and weights as a pair of arrays."""
         W = self.coeffs[..., -1]
         return self.coeffs[..., :-1] / W[..., None], W.copy()
-
-    def translate(self, offset):
-        C, W = self.coeffs_weights()
-        return NurbsFunc(self.kvs, C + offset, W)
-
-    def scale(self, factor):
-        C, W = self.coeffs_weights()
-        return NurbsFunc(self.kvs, C * factor, W)
-
-    def apply_matrix(self, A):
-        assert self.is_vector(), 'Can only apply matrices to vector-valued functions'
-        C, W = self.coeffs_weights()
-        C = np.matmul(A, C[..., None])
-        assert C.shape[-1] == 1
-        return NurbsFunc(self.kvs, np.squeeze(C, axis=-1), W)
-
-    def rotate_2d(self, angle):
-        assert self.dim == 2, 'Must be 2D vector function'
-        s, c = np.sin(angle), np.cos(angle)
-        return self.apply_matrix(np.array([[c, -s], [s, c]]))
 
     def as_nurbs(self):
         return self
