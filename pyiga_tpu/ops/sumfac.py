@@ -680,28 +680,52 @@ def run_matrix_assembly_pair(pair_field_fn, geo_inputs, term_tables,
     if fold_plan is None:
         fold_plan = [(t, False) for t in range(len(term_tables))]
         tperms = []
+    plan = tuple(fold_plan)
     # The local XLA:CPU pipeline of this JAX version miscompiles the
     # error-free f32 transformations when they are fused into one jit
     # program (differently-rounded sums break the two-float invariants:
     # 4e-14 -> 6e-8 measured; the TPU backend is unaffected).  On CPU the
     # pair path exists only for validation, so run it op-by-op.
-    use_jit = jax.default_backend() != 'cpu'
-    key = (pair_field_fn, tuple(fold_plan), 'pair', L, use_jit)
-    fn = _KERNEL_CACHE.get(key)
-    if fn is None:
-        plan = tuple(fold_plan)
-
-        def kernel(geo_inputs, term_tables, tperms):
-            return assemble_terms_folded_pair(
-                term_tables, pair_field_fn(geo_inputs), plan, tperms, L=L)
-        fn = jax.jit(kernel) if use_jit else kernel
-        _KERNEL_CACHE[key] = fn
+    on_cpu = jax.default_backend() == 'cpu'
 
     geo_inputs = jax.tree_util.tree_map(
         lambda x: jnp.asarray(x, dtype=jnp.float64)
         if np.issubdtype(np.asarray(x).dtype, np.floating) else jnp.asarray(x),
         geo_inputs)
+    tperms = [jnp.asarray(p) for p in (tperms or [])]
+
+    if not on_cpu:
+        # accelerator: fused Pallas stage kernels when the chain shapes
+        # tile (VMEM chunk slicing + bf16 MXU dots + two-float combine;
+        # bit-identical to the XLA pair chains)
+        from . import pallas_sumfac as ps
+        gshape = tuple(len(np.asarray(w)) for w in geo_inputs['weights'])
+        if ps.supported(term_tables, gshape):
+            prepped = [[ps.prepare_table(T) for T in tabs]
+                       for tabs in term_tables]
+            parrs = [[(c, s) for (c, s, _M) in tabs] for tabs in prepped]
+            Ms = tuple(tuple(M for (_c, _s, M) in tabs) for tabs in prepped)
+            key = (pair_field_fn, plan, 'pallas', L, Ms)
+            fn = _KERNEL_CACHE.get(key)
+            if fn is None:
+                def kernel(geo_inputs, parrs, tperms):
+                    tp = [[(c, s, M) for ((c, s), M) in zip(ta, Ma)]
+                          for ta, Ma in zip(parrs, Ms)]
+                    return ps.assemble_terms_folded_pallas(
+                        tp, pair_field_fn(geo_inputs), plan, tperms)
+                fn = jax.jit(kernel)
+                _KERNEL_CACHE[key] = fn
+            return np.asarray(fn(geo_inputs, parrs, tperms))
+
+    key = (pair_field_fn, plan, 'pair', L, not on_cpu)
+    fn = _KERNEL_CACHE.get(key)
+    if fn is None:
+        def kernel(geo_inputs, term_tables, tperms):
+            return assemble_terms_folded_pair(
+                term_tables, pair_field_fn(geo_inputs), plan, tperms, L=L)
+        fn = kernel if on_cpu else jax.jit(kernel)
+        _KERNEL_CACHE[key] = fn
+
     term_tables = jax.tree_util.tree_map(
         lambda x: jnp.asarray(x, dtype=jnp.float64), term_tables)
-    tperms = [jnp.asarray(p) for p in (tperms or [])]
     return np.asarray(fn(geo_inputs, term_tables, tperms))
