@@ -78,9 +78,7 @@ def _slice_pair_cols(hi, lo):
     return chunks, s
 
 
-def _stage_kernel(xh_ref, xl_ref, tc_ref, ts_ref, oh_ref, ol_ref):
-    xh = xh_ref[...]
-    xl = xl_ref[...]
+def _stage_tile(xh, xl, tc_ref, ts_ref):
     chunks, s_col = _slice_pair_cols(xh, xl)
 
     acc = None
@@ -97,8 +95,24 @@ def _stage_kernel(xh_ref, xl_ref, tc_ref, ts_ref, oh_ref, ol_ref):
     # exact power-of-two scales: s_col (1, r) column scale of the field,
     # ts (1, M) row scale of the table chunks
     scale = s_col.T * ts_ref[...]
-    oh_ref[...] = acc[0] * scale
-    ol_ref[...] = acc[1] * scale
+    return acc[0] * scale, acc[1] * scale
+
+
+def _stage_kernel(xh_ref, xl_ref, tc_ref, ts_ref, oh_ref, ol_ref):
+    hi, lo = _stage_tile(xh_ref[...], xl_ref[...], tc_ref, ts_ref)
+    oh_ref[...] = hi
+    ol_ref[...] = lo
+
+
+def _stage_kernel_acc(xh_ref, xl_ref, tc_ref, ts_ref, ah_ref, al_ref,
+                      oh_ref, ol_ref):
+    """Accumulating variant: the running two-float sum rides in aliased
+    input/output buffers, so summing the six chains needs no separate
+    (HBM-bound) pair-add passes."""
+    hi, lo = _stage_tile(xh_ref[...], xl_ref[...], tc_ref, ts_ref)
+    sh, sl = tf.df_add((ah_ref[...], al_ref[...]), (hi, lo))
+    oh_ref[...] = sh
+    ol_ref[...] = sl
 
 
 # Mosaic double-buffers the HBM<->VMEM blocks and adds scratch, so budget
@@ -133,9 +147,11 @@ def _pick_blocks(K, R, M, r_block):
 
 
 @functools.partial(jax.jit, static_argnames=('r_block', 'interpret'))
-def _stage_call(xh, xl, t_chunks, t_scale, r_block=512, interpret=False):
+def _stage_call(xh, xl, t_chunks, t_scale, acc_h=None, acc_l=None,
+                r_block=512, interpret=False):
     """One contraction stage: ``(K, R)`` pair x table chunks ``(L, M, K)``
-    -> ``(R, M)`` pair."""
+    -> ``(R, M)`` pair.  With an `acc` pair, the result is added onto it
+    in-kernel (exact two-float add; the acc buffers are donated)."""
     from jax.experimental import pallas as pl
 
     K, R = xh.shape
@@ -155,14 +171,22 @@ def _stage_call(xh, xl, t_chunks, t_scale, r_block=512, interpret=False):
     ]
     out_specs = [pl.BlockSpec((r_blk, m_blk), lambda j, s: (j, s)),
                  pl.BlockSpec((r_blk, m_blk), lambda j, s: (j, s))]
+    operands = [xh, xl, t_chunks, t_scale]
+    if acc_h is not None:
+        operands += [acc_h, acc_l]
+        in_specs = in_specs + out_specs
+        kernel, alias = _stage_kernel_acc, {4: 0, 5: 1}
+    else:
+        kernel, alias = _stage_kernel, {}
     oh, ol = pl.pallas_call(
-        _stage_kernel,
+        kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        input_output_aliases=alias,
         interpret=interpret,
-    )(xh, xl, t_chunks, t_scale)
+    )(*operands)
     return oh, ol
 
 
@@ -186,6 +210,31 @@ def prepare_table(table):
     return chunks, scale, M
 
 
+def _chain_pair_padded(tables_prepped, field_pair, acc=None, r_block=512,
+                       interpret=False):
+    """d-stage pair chain; returns the PADDED compact pair plus the
+    per-axis (M, Mp) dims.  With `acc` (a padded pair of the final-stage
+    shape), the last stage accumulates into it in-kernel."""
+    hi, lo = field_pair
+    dims = []
+    n_stages = len(tables_prepped)
+    for k, (tc, ts, M) in enumerate(tables_prepped):
+        K = hi.shape[0]
+        R = int(np.prod(hi.shape[1:]))
+        if acc is not None and k == n_stages - 1:
+            ah, al = (a.reshape(R, tc.shape[1]) for a in acc)
+        else:
+            ah = al = None
+        oh, ol = _stage_call(hi.reshape(K, R), lo.reshape(K, R), tc, ts,
+                             acc_h=ah, acc_l=al,
+                             r_block=r_block, interpret=interpret)
+        Mp = oh.shape[1]
+        new_shape = hi.shape[1:] + (Mp,)
+        hi, lo = oh.reshape(new_shape), ol.reshape(new_shape)
+        dims.append((M, Mp))
+    return (hi, lo), dims
+
+
 def chain_pair(tables_prepped, field_pair, r_block=512, interpret=False):
     """Full d-stage pair chain through the fused stage kernel.
 
@@ -193,19 +242,8 @@ def chain_pair(tables_prepped, field_pair, r_block=512, interpret=False):
     in contraction order (axis 0 first).  `field_pair`: two-float field of
     shape ``(K_1, ..., K_d)``.  Returns the f32 pair of the compact tensor
     with shape ``(M_1, ..., M_d)`` (padding removed)."""
-    hi, lo = field_pair
-    d = hi.ndim
-    dims = []
-    for tc, ts, M in tables_prepped:
-        K = hi.shape[0]
-        R = int(np.prod(hi.shape[1:]))
-        oh, ol = _stage_call(hi.reshape(K, R), lo.reshape(K, R), tc, ts,
-                             r_block=r_block, interpret=interpret)
-        Mp = oh.shape[1]
-        new_shape = hi.shape[1:] + (Mp,)
-        hi, lo = oh.reshape(new_shape), ol.reshape(new_shape)
-        dims.append((M, Mp))
-    # strip the lane padding of every band axis
+    (hi, lo), dims = _chain_pair_padded(tables_prepped, field_pair,
+                                        r_block=r_block, interpret=interpret)
     index = tuple(slice(0, M) for M, _ in dims)
     return hi[index], lo[index]
 
@@ -308,14 +346,18 @@ def assemble_terms_folded_pallas(tables_prepped_per_term, field_pairs,
                                  fold_plan, tperms, r_block=512,
                                  interpret=False):
     """Folded sum of fused-Pallas pair chains (drop-in for
-    :func:`~pyiga_tpu.ops.sumfac.assemble_terms_folded_pair`)."""
+    :func:`~pyiga_tpu.ops.sumfac.assemble_terms_folded_pair`).  Chains of
+    a group sum in-kernel through aliased accumulator buffers — the
+    two-float adds ride the final contraction stage instead of costing
+    separate HBM passes."""
     def chain_sum(idxs):
-        out = None
+        acc, dims = None, None
         for t in idxs:
-            y = chain_pair(tables_prepped_per_term[t], field_pairs[t],
-                           r_block=r_block, interpret=interpret)
-            out = y if out is None else tf.df_add(out, y)
-        return out
+            acc, dims = _chain_pair_padded(
+                tables_prepped_per_term[t], field_pairs[t], acc=acc,
+                r_block=r_block, interpret=interpret)
+        index = tuple(slice(0, M) for M, _ in dims)
+        return acc[0][index], acc[1][index]
 
     direct = [t for t, m in fold_plan if not m]
     mirrored = [t for t, m in fold_plan if m]
