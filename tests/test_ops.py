@@ -417,3 +417,36 @@ def test_cg_ir_deferred_info():
     M = asm.assemble().asmatrix()
     r = np.linalg.norm(M @ np.asarray(x) - b) / np.linalg.norm(b)
     assert r < 1e-9
+
+
+def test_pallas_folded_assembly_interpret():
+    # accumulating folded Pallas assembly (interpret mode) matches the
+    # exact f64 assembly of a small stiffness problem; loose tolerance
+    # because the CPU backend compiles EFT f32 graphs unreliably (on TPU
+    # hardware the path is verified at 1e-13, see pallas_sumfac)
+    from pyiga_tpu.ops import pallas_sumfac as ps
+    from pyiga_tpu.ops import twofloat as tf
+    from pyiga_tpu.assemblers import (StiffnessAssembler,
+                                      stiffness_fields_df_pair)
+
+    kvs, geo = _setup(p=3, n=5, d=2)        # Q=20 -> pad to lane multiples?
+    kvs = 2 * (make_knots(3, 0.0, 1.0, 32),)
+    asm = StiffnessAssembler(kvs, geo)
+    exact = asm.assemble(mode='exact').data
+    gi = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(np.asarray(a), dtype=jnp.float64)
+        if np.issubdtype(np.asarray(a).dtype, np.floating)
+        else jnp.asarray(a), asm._geo_inputs)
+    tt_np = asm.tables.term_tables(asm.terms)
+    fold_plan, tperms = asm._fold()
+    gshape = tuple(len(g) for g in asm.grid)
+    if not ps.supported(tt_np, gshape, r_block=128):
+        import pytest
+        pytest.skip('shapes do not tile for the fused kernel')
+    prepped = [[ps.prepare_table(T) for T in tabs] for tabs in tt_np]
+    F = stiffness_fields_df_pair(gi)
+    got = np.asarray(ps.assemble_terms_folded_pallas(
+        prepped, F, tuple(fold_plan), [jnp.asarray(p) for p in tperms],
+        r_block=128, interpret=True))
+    rel = np.abs(got - exact).max() / np.abs(exact).max()
+    assert rel < 1e-5
