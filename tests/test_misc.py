@@ -87,3 +87,28 @@ def test_lazy_arrays():
     LCA = utils.LazyCachingArray(geo, (2,), grid, 4)
     block = LCA[slice(4, 8), slice(8, 16)]
     assert np.allclose(block, full[4:8, 8:16])
+
+
+def test_profiling_helpers(tmp_path, capsys):
+    import jax.numpy as jnp
+    from pyiga_tpu import profiling
+
+    T = profiling.Timings()
+    with T('phase', sync=None) as box:
+        box['result'] = jnp.arange(10.0) * 2
+    with T('phase'):
+        pass
+    assert len(T.records['phase']) == 2
+    import io
+    buf = io.StringIO()
+    T.report(buf)
+    assert 'phase' in buf.getvalue()
+
+    with profiling.timed('block', verbose=True) as box:
+        box['result'] = jnp.ones(5)
+    out = capsys.readouterr().out
+    assert 'block:' in out
+    assert box['seconds'] >= 0
+
+    with profiling.trace(tmp_path / 'prof'):
+        float(jnp.sum(jnp.ones(8)))
