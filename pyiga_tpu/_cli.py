@@ -21,6 +21,9 @@ def str2asm_main(argv=None):
                     help="boundary spec (e.g. 'left') for boundary integrals")
     ap.add_argument('--dumptree', action='store_true',
                     help='print the expression tree')
+    ap.add_argument('--hlo', action='store_true',
+                    help='print the lowered StableHLO of the assembly '
+                         'kernel (the analog of dumping generated source)')
     args = ap.parse_args(argv)
 
     import jax
@@ -59,3 +62,16 @@ def str2asm_main(argv=None):
           % (len(asm.combos), asm._num_combos_total))
     for su, sv in asm.combos:
         print('  term: trial seed %s  x  test seed %s' % (su, sv))
+
+    if args.hlo:
+        import jax.numpy as jnp
+        fn = asm._assembly_fn('exact')
+        inputs = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x), asm._device_inputs())
+        tts = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x), asm._term_tables_for(asm.combos))
+        fold = getattr(asm, '_fold_plan', None)
+        tperms = ([jnp.asarray(p) for p in asm._fold_tperms]
+                  if fold is not None else None)
+        print()
+        print(jax.jit(fn).lower(inputs, tts, tperms).as_text())

@@ -112,3 +112,11 @@ def test_profiling_helpers(tmp_path, capsys):
 
     with profiling.trace(tmp_path / 'prof'):
         float(jnp.sum(jnp.ones(8)))
+
+
+def test_str2asm_cli(capsys):
+    from pyiga_tpu._cli import str2asm_main
+    str2asm_main(['inner(grad(u), grad(v)) * dx', '--dim', '2', '--hlo'])
+    out = capsys.readouterr().out
+    assert 'assembly plan' in out
+    assert 'stablehlo' in out
