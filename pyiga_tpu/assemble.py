@@ -411,6 +411,15 @@ def assemble_entries(asm, symmetric=False, format='csr', layout='blocked'):
     return mlm.asmatrix(format)
 
 
+def assemble_entries_vec(asm, symmetric=False, format='csr',
+                         layout='blocked'):
+    """Assemble a vector-valued problem (reference API: assemble.py:761;
+    here simply :func:`assemble_entries`, which dispatches on the
+    assembler's vector-valuedness)."""
+    return assemble_entries(asm, symmetric=symmetric, format=format,
+                            layout=layout)
+
+
 def _combine_vector_blocks(asm, blocks, format, layout):
     """Combine per-component MLMatrix blocks into a sparse matrix in the
     requested layout ('blocked' = component-major, 'packed' = interleaved)."""

@@ -240,3 +240,18 @@ class SubspaceOperator(LinearOperator):
         out = SubspaceOperator(self.subspaces, self.Bs)
         out._flip = not self._flip
         return out
+
+
+# The reference auto-selects MKL PARDISO when pyMKL is importable
+# (reference operators.py:8-12, 252-259); neither MKL nor pyMKL exists in
+# the TPU environment, so the direct-solver fallback is always SuperLU.
+HAVE_MKL = False
+
+
+class PardisoSolverWrapper:
+    """API-parity stub for the reference's MKL PARDISO wrapper; PARDISO is
+    unavailable here (``make_solver`` uses SuperLU instead)."""
+
+    def __init__(self, *args, **kwargs):
+        raise ImportError('MKL PARDISO (pyMKL) is not available; '
+                          'make_solver() uses SuperLU')

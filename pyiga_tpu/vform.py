@@ -1425,3 +1425,33 @@ def parse_vf(expr, kvs, args=None, bfuns=None, boundary=False, updatable=()):
 
     vf.add(eval(expr, globals(), loc))
     return vf
+
+
+# -- expression-tree utilities (reference API: vform.py iterexprs/exprhash/
+# tree_print; this rebuild's expression nodes expose `children`) ------------
+
+def iterexprs(exprs):
+    """Depth-first iteration over expressions and all their children."""
+    seen = set()
+    stack = list(exprs)
+    while stack:
+        e = stack.pop()
+        if id(e) in seen:
+            continue
+        seen.add(id(e))
+        yield e
+        stack.extend(e.children)
+
+
+def exprhash(e):
+    """Structural hash of an expression (equal trees hash equally)."""
+    return e.exprhash()
+
+
+def tree_print(e, indent=0, stream=None):
+    """Print an expression tree with indentation."""
+    import sys
+    out = stream or sys.stdout
+    out.write('%s%s\n' % (indent * '  ', e))
+    for c in e.children:
+        tree_print(c, indent + 1, stream=out)
