@@ -249,8 +249,10 @@ def main():
     else:
         n3 = int(os.environ.get('PYIGA_BENCH_N', '48'))
         n2 = int(os.environ.get('PYIGA_BENCH_N2', '128'))
-        configs = [(2, n2, np.float64), (3, n3, np.float32),
-                   (3, n3, np.float64)]
+        # headline FIRST (so a timeout still records it) and re-printed
+        # last (so last-line parsers see it too)
+        configs = [(3, n3, np.float64), (2, n2, np.float64),
+                   (3, n3, np.float32)]
 
     dev = jax.devices()[0]
     try:
@@ -260,6 +262,7 @@ def main():
     except RuntimeError:
         cpu = None
 
+    lines = []
     for dim, n, dtype in configs:
         pyiga_tpu.set_dtype(dtype)
         ndofs, t_asm, t_slv, t_tot, iters = run_on(dev, dim, n, dtype)
@@ -272,7 +275,7 @@ def main():
                                        measure_split=False)
             vs_baseline = round(t_cpu / t_tot, 3)
 
-        print(json.dumps({
+        line = json.dumps({
             'metric': '%dd_p3_poisson_assembly_plus_cg[%s,n=%d,cg_iters=%d]'
                       % (dim, np.dtype(dtype).name, n, iters),
             'value': round(dofs_per_s, 1),
@@ -283,7 +286,11 @@ def main():
             'iters': iters,
             'comparator': 'matched-size JAX-on-CPU (Cython+MKL of the '
                           'reference unavailable; see bench.py docstring)',
-        }), flush=True)
+        })
+        lines.append(line)
+        print(line, flush=True)
+    if len(lines) > 1:
+        print(lines[0], flush=True)     # headline again as the last line
 
 
 if __name__ == '__main__':
