@@ -159,6 +159,59 @@ def aca3d_update(X, alpha, col, mat):
 # Adaptive cross approximation
 ################################################################################
 
+
+class _PivotControl:
+    """Shared pivot bookkeeping of the ACA drivers: counts consecutive
+    below-tolerance pivots and zero-pivot skips, enforces the iteration
+    cap, and emits the reference-compatible verbose log (stopping rules of
+    the reference ACA core, fastasm.cc:291-368)."""
+
+    def __init__(self, tol, maxiter, skipcount, tolcount, verbose,
+                 what='it.'):
+        self.tol, self.maxiter = tol, maxiter
+        self.max_skips, self.max_hits = skipcount, tolcount
+        self.verbose, self.what = verbose, what
+        self.it = self.skips = self.hits = 0
+
+    def classify(self, e, where):
+        """Classify a pivot magnitude: 'skip' (degenerate pivot — repivot,
+        then ask :meth:`skipped_out`), 'stop', or 'take'."""
+        if e < 1e-15:
+            if self.verbose >= 2:
+                print('skipping', where)
+            return 'skip'
+        if e < self.tol:
+            self.hits += 1
+            if self.hits >= self.max_hits:
+                if self.verbose >= 1:
+                    print('desired tolerance reached', self.hits,
+                          'times; stopping (%d %s)' % (self.it, self.what))
+                return 'stop'
+        else:
+            self.skips = self.hits = 0
+        return 'take'
+
+    def skipped_out(self):
+        """Count one skip; True when the skip budget is exhausted."""
+        self.skips += 1
+        if self.skips >= self.max_skips:
+            if self.verbose >= 1:
+                print('maximum skip count reached; stopping (%d %s)'
+                      % (self.it, self.what))
+            return True
+        return False
+
+    def advance(self):
+        """Count one accepted cross; True while under the iteration cap."""
+        self.it += 1
+        if self.it >= self.maxiter:
+            if self.verbose >= 1:
+                print('Maximum iteration count reached; aborting (%d %s)'
+                      % (self.it, self.what))
+            return False
+        return True
+
+
 def aca(A, tol=1e-10, maxiter=100, skipcount=3, tolcount=3, verbose=2,
         startval=None):
     """Row-pivoted adaptive cross approximation of a matrix (generator);
@@ -168,53 +221,32 @@ def aca(A, tol=1e-10, maxiter=100, skipcount=3, tolcount=3, verbose=2,
     if not isinstance(A, TensorGenerator):
         A = MatrixGenerator.from_array(np.asarray(A))
     assert A.ndim == 2
-    if startval is not None:
-        X = np.array(startval, order='C')
-        assert X.shape == A.shape
-    else:
-        X = np.zeros(A.shape, order='C')
+    X = (np.array(startval, order='C') if startval is not None
+         else np.zeros(A.shape, order='C'))
+    assert X.shape == A.shape
 
+    ctl = _PivotControl(tol, maxiter, skipcount, tolcount, verbose)
     i = A.shape[0] // 2
-    k = 0
-    skips, max_skips = 0, skipcount
-    hits, max_hits = 0, tolcount
-
     while True:
         E_row = X[i, :] - A[i, :]
         j0 = abs(E_row).argmax()
-        e = abs(E_row[j0])
-        if e < 1e-15:
-            if verbose >= 2:
-                print('skipping', i)
+        verdict = ctl.classify(abs(E_row[j0]), i)
+        if verdict == 'stop':
+            break
+        if verdict == 'skip':
             i = np.random.randint(A.shape[0])
-            skips += 1
-            if skips >= max_skips:
-                if verbose >= 1:
-                    print('maximum skip count reached; stopping (%d it.)' % k)
+            if ctl.skipped_out():
                 break
             continue
-        elif e < tol:
-            hits += 1
-            if hits >= max_hits:
-                if verbose >= 1:
-                    print('desired tolerance reached', hits,
-                          'times; stopping (%d it.)' % k)
-                break
-        else:
-            skips = hits = 0
-
         if verbose >= 2:
-            print(i, '\t', j0, '\t', e)
+            print(i, '\t', j0, '\t', abs(E_row[j0]))
 
         col = A[:, j0] - X[:, j0]
         rank_1_update(X, 1.0 / E_row[j0], col, E_row)
 
         col[i] = 0
         i = abs(col).argmax()
-        k += 1
-        if k >= maxiter:
-            if verbose >= 1:
-                print('Maximum iteration count reached; aborting (%d it.)' % k)
+        if not ctl.advance():
             break
     return X
 
@@ -233,41 +265,26 @@ def aca_lr(A, tol=1e-10, maxiter=100, verbose=2):
     def X_col(j):
         return sum((c * r[j] for c, r in crosses), np.zeros(A.shape[0]))
 
+    ctl = _PivotControl(tol, maxiter, 3, 3, verbose)
     i = A.shape[0] // 2
-    k = 0
-    skips, max_skips = 0, 3
-    hits, max_hits = 0, 3
-
-    while k < maxiter:
+    while True:
         err_i = X_row(i) - A[i, :]
         j0 = abs(err_i).argmax()
-        e = abs(err_i[j0])
-        if e < 1e-15:
-            if verbose >= 2:
-                print('skipping', i)
+        verdict = ctl.classify(abs(err_i[j0]), i)
+        if verdict == 'stop':
+            break
+        if verdict == 'skip':
             i = np.random.randint(A.shape[0])
-            skips += 1
-            if skips >= max_skips:
-                if verbose >= 1:
-                    print('maximum skip count reached; stopping (%d it.)' % k)
+            if ctl.skipped_out():
                 break
             continue
-        elif e < tol:
-            hits += 1
-            if hits >= max_hits:
-                if verbose >= 1:
-                    print('desired tolerance reached', hits,
-                          'times; stopping (%d it.)' % k)
-                break
-        else:
-            skips = hits = 0
-
         if verbose >= 2:
-            print(i, '\t', j0, '\t', e)
+            print(i, '\t', j0, '\t', abs(err_i[j0]))
         c = (A[:, j0] - X_col(j0)) / err_i[j0]
         crosses.append((c, err_i))
         i = abs(c).argmax()
-        k += 1
+        if not ctl.advance():
+            break
     return crosses
 
 
@@ -284,48 +301,28 @@ def aca_3d(A, tol=1e-10, maxiter=100, skipcount=3, tolcount=3, verbose=2,
     if lr:
         X_lr = tensor.TensorSum(tensor.CanonicalTensor.zeros(A.shape))
 
+    ctl = _PivotControl(tol, maxiter, skipcount, tolcount, verbose,
+                        what='outer it.')
     I = [m // 2 for m in A.shape]
-
-    def randomize():
-        for j in range(len(A.shape)):
-            I[j] = np.random.randint(A.shape[j])
-
-    k = 0
-    skips, max_skips = 0, skipcount
-    hits, max_hits = 0, tolcount
-
-    while k < maxiter:
+    while True:
         E_col = A[:, I[1], I[2]] - X[:, I[1], I[2]]
         i0 = abs(E_col).argmax()
-        e = abs(E_col[i0])
-        if e < 1e-15:
-            if verbose >= 2:
-                print('skipping', I)
-            randomize()
-            skips += 1
-            if skips >= max_skips:
-                if verbose >= 1:
-                    print('maximum skip count reached; stopping '
-                          '(%d outer it.)' % k)
+        verdict = ctl.classify(abs(E_col[i0]), I)
+        if verdict == 'stop':
+            break
+        if verdict == 'skip':
+            I[:] = [np.random.randint(m) for m in A.shape]
+            if ctl.skipped_out():
                 break
             continue
-        elif e < tol:
-            hits += 1
-            if hits >= max_hits:
-                if verbose >= 1:
-                    print('desired tolerance reached', hits,
-                          'times; stopping (%d outer it.)' % k)
-                break
-        else:
-            skips = hits = 0
 
         I[0] = i0
         if verbose >= 2:
-            print(I, '\t', e)
+            print(I, '\t', abs(E_col[i0]))
 
         A_mat = aca(A.matrix_at(I, axes=(1, 2)), startval=X[i0, :, :],
-                    tol=tol, maxiter=maxiter, skipcount=max_skips,
-                    tolcount=max_hits, verbose=min(verbose, 1))
+                    tol=tol, maxiter=maxiter, skipcount=skipcount,
+                    tolcount=tolcount, verbose=min(verbose, 1))
         E_mat = A_mat - X[i0, :, :]
 
         aca3d_update(X, 1.0 / E_col[i0], E_col, E_mat)
@@ -334,11 +331,7 @@ def aca_3d(A, tol=1e-10, maxiter=100, skipcount=3, tolcount=3, verbose=2,
 
         E_mat[tuple(I[1:])] = 0
         I[1:] = np.unravel_index(abs(E_mat).argmax(), E_mat.shape)
-        k += 1
-        if k >= maxiter:
-            if verbose >= 1:
-                print('Maximum iteration count reached; aborting '
-                      '(%d outer it.)' % k)
+        if not ctl.advance():
             break
     if lr:
         return tensor.TensorSum(*X_lr.Xs[1:])
