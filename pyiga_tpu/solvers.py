@@ -300,7 +300,10 @@ def gmres_jit(matvec, b, x0=None, tol=1e-8, restart=30, max_restarts=100,
         per_op = _GMRES_CACHE.setdefault(matvec, {})
     except TypeError:
         per_op = {}
-    key = (id(precond) if precond is not None else None, tol, restart,
+    # strong-reference key instead of id() — see _op_key (a GC'd
+    # preconditioner whose id is reused must not alias another operator's
+    # traced cycle)
+    key = (_op_key(precond) if precond is not None else None, tol, restart,
            n, b.dtype.name)
     cycle = per_op.get(key)
 

@@ -180,3 +180,35 @@ def test_gmres():
     rp = np.linalg.norm(A @ np.asarray(xp) - rhs) / np.linalg.norm(rhs)
     assert rp < 1e-9
     assert itp < it    # preconditioning must pay off
+
+
+def test_gmres_cache_key_not_id():
+    # Regression (round-2 advisory): the compiled-cycle cache must key the
+    # preconditioner by strong reference (_op_key), never by id() — an id
+    # can be reused after GC, silently aliasing another operator's traced
+    # cycle.  Asserts (a) the cache key holds the operator itself and (b) a
+    # rebuilt preconditioner gets its own cycle and a correct solve.
+    import jax.numpy as jnp
+    from pyiga_tpu import solvers
+
+    n = 8
+    A = np.diag(np.arange(1.0, n + 1))
+    Adj = jnp.asarray(A)
+    matvec = lambda v: Adj @ v
+    rhs = np.ones(n)
+    d1 = jnp.asarray(1.0 / np.arange(1.0, n + 1))
+
+    p1 = lambda r: d1 * r
+    x1, _ = solvers.gmres_jit(matvec, jnp.asarray(rhs), precond=p1,
+                              restart=n)
+    per_op = solvers._GMRES_CACHE[matvec]
+    assert any(k[0] is p1 for k in per_op), \
+        'cache key must strong-reference the preconditioner, not its id'
+    assert np.allclose(A @ np.asarray(x1), rhs, atol=1e-8)
+
+    del p1
+    p2 = lambda r: 2.0 * (d1 * r)
+    x2, _ = solvers.gmres_jit(matvec, jnp.asarray(rhs), precond=p2,
+                              restart=n)
+    assert len(per_op) == 2, 'rebuilt preconditioner must get its own cycle'
+    assert np.allclose(A @ np.asarray(x2), rhs, atol=1e-8)
