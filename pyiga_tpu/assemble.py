@@ -384,7 +384,8 @@ class RestrictedLinearSystem:
 # Assembly drivers
 ################################################################################
 
-def assemble_entries(asm, symmetric=False, format='csr', layout='blocked'):
+def assemble_entries(asm, symmetric=False, format='csr', layout='blocked',
+                     mode=None):
     """Assemble all entries of the given assembler and return the matrix (or
     vector for arity-1 assemblers).
 
@@ -403,9 +404,13 @@ def assemble_entries(asm, symmetric=False, format='csr', layout='blocked'):
         if is_vector_valued and layout == 'blocked':
             result = np.moveaxis(result, -1, 0)
         return result
+    # mode=None lets the assembler pick its default ('ozaki' f64 fast path
+    # on accelerators); only assemblers with a mode kwarg receive it
+    asm_call = ((lambda: asm.assemble(mode=mode)) if mode is not None
+                else asm.assemble)
     if is_vector_valued:
-        return _combine_vector_blocks(asm, asm.assemble(), format, layout)
-    mlm = asm.assemble()
+        return _combine_vector_blocks(asm, asm_call(), format, layout)
+    mlm = asm_call()
     if format == 'mlb':
         return mlm
     return mlm.asmatrix(format)
@@ -536,7 +541,8 @@ def instantiate_assembler(problem, kvs, args, bfuns, boundary=None,
 
 
 def assemble(problem, kvs, args=None, bfuns=None, boundary=None,
-             symmetric=False, format='csr', layout='blocked', **kwargs):
+             symmetric=False, format='csr', layout='blocked', mode=None,
+             **kwargs):
     """Assemble a matrix or vector in a function space.
 
     `problem` may be a string (parsed by :func:`pyiga_tpu.vform.parse_vf`),
@@ -574,7 +580,7 @@ def assemble(problem, kvs, args=None, bfuns=None, boundary=None,
 
     asm = instantiate_assembler(problem, kvs, args, bfuns, boundary)
     return assemble_entries(asm, symmetric=symmetric, format=format,
-                            layout=layout)
+                            layout=layout, mode=mode)
 
 
 def assemble_vf(vf, kvs, symmetric=False, format='csr', layout='blocked',

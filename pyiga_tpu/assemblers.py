@@ -188,10 +188,7 @@ class BaseGaussAssembler:
         """'ozaki' (bf16-MXU f64 fast path) on accelerators where float64
         is software-emulated; 'exact' on CPU (native f64)."""
         from . import config
-        import jax
-        if config.get_dtype() != np.float64:
-            return 'exact'
-        return 'exact' if jax.default_backend() == 'cpu' else 'ozaki'
+        return config.default_assembly_mode()
 
     def assemble(self, mode=None):
         """Assemble the compact data tensor and return it as an MLMatrix.

@@ -171,6 +171,98 @@ def _sym_index(d, i, j):
     return before + (j - i)
 
 
+class PairAsmContext(AsmContext):
+    """AsmContext whose fields are two-float f32 pairs
+    (:class:`~pyiga_tpu.ops.twofloat.DF`): the whole integrand evaluates in
+    fused f32 pair arithmetic with **no emulated-f64 elementwise ops** — the
+    f64 fast path for generic compiled vforms, matching the treatment the
+    reference's codegen gives every form
+    (/root/reference/pyiga/codegen/cython.py:673 precompute_fields).
+
+    Array leaves arrive pre-split as (hi, lo) f32 pairs (see
+    ``VFormAssembler._device_inputs_pair``); geometry values/Jacobians come
+    from :func:`~pyiga_tpu.ops.geom.geo_jacobian_field_df` and det/inv from
+    :func:`~pyiga_tpu.ops.geom.det_and_inv_df_pairs`.  Forms that need
+    geometry Hessians or transcendental builtins are gated out upstream
+    (``_supports_pair_eval``)."""
+
+    def _compute(self, key):
+        from .ops import twofloat as tf
+        DF = tf.DF
+        vf, arrays = self.vf, self.arrays
+        kind = key[0]
+        d = vf.dim
+        gd = vf.geo_dim
+
+        if kind == 'gw':
+            W = DF(*arrays['weights'][0])
+            for w in arrays['weights'][1:]:
+                W = DF(W.hi[..., None], W.lo[..., None]) * DF(*w)
+            return W
+
+        if kind == '_measure':
+            if key[1] == 'dx':
+                return vf.W.eval(self)
+            return vf.SW.eval(self)
+
+        if kind == 'jacinv':
+            m, k = key[1], key[2]
+            inv = self.field(('_jacinv_lvl',))
+            return DF(*inv[d - 1 - m][d - 1 - k])
+
+        if kind == '_jacinv_lvl':
+            _, jac = self.field(('_geo_pairs',))
+            _, inv = geom.det_and_inv_df_pairs(jac)
+            return inv
+
+        if kind == '_geo_pairs':
+            # (val, jac) as nested pair lists, [c] and [c][k] (level order)
+            if 'geo_jac_pair' in arrays:
+                return arrays.get('geo_val_pair'), arrays['geo_jac_pair']
+            return geom.geo_jacobian_field_df(
+                arrays['geo_tables'], arrays['geo_coeffs'],
+                arrays['geo_is_nurbs'], d)
+
+        if kind == 'param':
+            _, name, idx = key
+            hi, lo = arrays['param:' + name]
+            return DF(hi[idx], lo[idx]) if idx != () else DF(hi, lo)
+
+        if kind == 'input':
+            _, name, comp = key
+            if name == 'geo':
+                val, _ = self.field(('_geo_pairs',))
+                return DF(*val[gd - 1 - comp[0]])
+            hi, lo = arrays['input:' + name]
+            return DF(hi[comp], lo[comp])
+
+        if kind == 'input_deriv':
+            _, name, comp, D = key
+            order = sum(D)
+            if name == 'geo':
+                m = gd - 1 - comp[0]
+                if order == 1:
+                    i = D.index(1)
+                    _, jac = self.field(('_geo_pairs',))
+                    return DF(*jac[m][d - 1 - i])
+                raise NotImplementedError(
+                    'geometry Hessians have no two-float path (gated by '
+                    '_supports_pair_eval)')
+            arr = arrays['ideriv:%s:%d' % (name, order)]
+            hi, lo = arr
+            if order == 1:
+                idx = comp + (D.index(1),)
+                return DF(hi[idx], lo[idx])
+            if order == 2:
+                ii = [k for k, nk in enumerate(D) for _ in range(nk)]
+                i, j = sorted(ii)
+                idx = comp + (_sym_index(d, i, j),)
+                return DF(hi[idx], lo[idx])
+            raise NotImplementedError('input derivs of order > 2')
+
+        raise KeyError('unknown field key %r' % (key,))
+
+
 def _physical_field_derivs(f, geo, grid, comp_shape, with_hessian=False):
     """Physical gradient (and optionally Hessian) of the physical-coordinate
     field `f` at the mapped Gauss points of `grid`.
@@ -525,6 +617,83 @@ class VFormAssembler:
             fields.append(C)
         return fields
 
+    def _supports_pair_eval(self):
+        """Whether the two-float (emulation-free f64) fast path can evaluate
+        this form: requires (a) no geometry Hessians (2nd-order geometry
+        tables have no pair pipeline) and (b) no transcendental builtins
+        (only abs/sqrt have double-float implementations)."""
+        from . import vform as vform_mod
+        if self._needs_geo_hessian():
+            return False
+        if self.maxderiv >= 2 and any(key[0] == 'jacinv'
+                                      for key in self._needed_keys):
+            # physical 2nd-order basis derivatives expand through the
+            # geometry Hessian transform even in space-time forms
+            return False
+        for e in vform_mod.iterexprs(self.vf.exprs):
+            if isinstance(e, vform_mod.BuiltinFuncExpr) and \
+                    e.func not in ('abs', 'sqrt'):
+                return False
+        return True
+
+    def _device_inputs_pair(self):
+        """Jit-input pytree for the pair fast path: every host float array
+        is pre-split into an (hi, lo) f32 pair on host (numpy — zero device
+        f64 work); geometry tables/coeffs stay f64 for ops.geom's df
+        pipeline, which unrolls them into pair arithmetic internally."""
+        def split(a):
+            a = np.asarray(a, dtype=np.float64)
+            hi = a.astype(np.float32)
+            lo = (a - hi.astype(np.float64)).astype(np.float32)
+            return (hi, lo)
+
+        arrays = self._host_arrays
+        inputs = {'weights': [split(w) for w in arrays['weights']]}
+        for key, arr in arrays.items():
+            if key == 'weights':
+                continue
+            if key == 'geo_jac_lvl':        # host-geometry path
+                dg, d = arr.shape[:2]
+                inputs['geo_jac_pair'] = [[split(arr[a, b])
+                                           for b in range(d)]
+                                          for a in range(dg)]
+            elif key == 'geo_val_lvl':
+                inputs['geo_val_pair'] = [split(arr[c])
+                                          for c in range(arr.shape[0])]
+            else:
+                inputs[key] = split(arr)
+        if self._geo_tables is not None:
+            inputs['geo_tables'] = [np.asarray(t) for t in self._geo_tables]
+            inputs['geo_coeffs'] = np.asarray(self._geo_coeffs)
+        return inputs
+
+    def _make_pair_context(self, inputs, seed_u, seed_v):
+        arrays = dict(inputs)
+        if self._geo_tables is not None:
+            arrays['geo_is_nurbs'] = self._geo_is_nurbs   # static flag
+        return PairAsmContext(self.vf, arrays, seed_u, seed_v)
+
+    def _eval_combo_fields_pair(self, inputs, combos):
+        """Traced: two-float (hi, lo) coefficient field per combo."""
+        import jax.numpy as jnp
+        from .ops import twofloat as tf
+        grid_shape = tuple(np.shape(w[0])[0] for w in inputs['weights'])
+        fields = []
+        for su, sv in combos:
+            ctx = self._make_pair_context(inputs, su, sv)
+            C = 0.0
+            for e in self.vf.exprs:
+                C = C + e.eval(ctx)
+            if isinstance(C, tf.DF):
+                hi = jnp.broadcast_to(C.hi, grid_shape)
+                lo = jnp.broadcast_to(C.lo, grid_shape)
+            else:       # scalar-constant integrand: exact split
+                cd = tf.as_df(float(C))
+                hi = jnp.broadcast_to(jnp.float32(cd.hi), grid_shape)
+                lo = jnp.broadcast_to(jnp.float32(cd.lo), grid_shape)
+            fields.append((hi, lo))
+        return fields
+
     def _prune_combos(self):
         """Drop structurally-zero seed combinations using a random probe on a
         tiny grid (one jitted evaluation)."""
@@ -670,6 +839,34 @@ class VFormAssembler:
         combos = self.combos
         fold_plan = getattr(self, '_fold_plan', None)
 
+        if mode == 'pair':
+            # emulation-free f64: two-float field evaluation + pair-chained
+            # Ozaki contraction (internal mode, selected by _run when
+            # mode='ozaki' and the form supports pair evaluation)
+            from .ops import twofloat as tf
+
+            if fold_plan is not None:
+                plan = tuple(fold_plan)
+
+                def fn(inputs, term_tables, tperms):
+                    pairs = self._eval_combo_fields_pair(inputs, combos)
+                    Y = sumfac.assemble_terms_folded_pair(
+                        term_tables, pairs, plan, tperms)
+                    return {(None, None): Y}
+                return fn
+
+            def fn(inputs, term_tables, tperms):
+                pairs = self._eval_combo_fields_pair(inputs, combos)
+                blocks = {}
+                for (su, sv), P, tabs in zip(combos, pairs, term_tables):
+                    cu = su[0] if su is not None else None
+                    key = (cu, sv[0])
+                    Y = sumfac.contract_chain_ozaki_pair(tabs, P)
+                    blocks[key] = (Y if key not in blocks
+                                   else tf.df_add(blocks[key], Y))
+                return {k: tf.df_to_f64(v) for k, v in blocks.items()}
+            return fn
+
         if fold_plan is not None:
             # scalar symmetric form: folded chains + transpose gather.
             # tperms are traced arguments — the jit cache is shared across
@@ -705,23 +902,41 @@ class VFormAssembler:
         import jax.numpy as jnp
         from . import config
 
+        if mode == 'ozaki' and self.arity == 2 and self._supports_pair_eval():
+            # emulation-free upgrade: two-float fields + pair-chained Ozaki
+            mode = 'pair'
+
+        # The local XLA:CPU pipeline of this JAX version miscompiles the
+        # error-free f32 transformations when fused into one jit program
+        # (measured here: pair fields 1e-14 -> 5e-8); on CPU the pair path
+        # exists only for validation, so run it op-by-op (same workaround
+        # as sumfac.run_matrix_assembly_pair).
+        eager = (mode == 'pair' and jax.default_backend() == 'cpu')
+
         fold = getattr(self, '_fold_plan', None)
         key = (self.vf.hash(), tuple(map(repr, self.combos)),
                tuple(fold) if fold is not None else None,
                self._geo_tables is None,
                getattr(self, '_geo_is_nurbs', None),
-               self._needs_geo_hessian(), mode)
+               self._needs_geo_hessian(), mode, eager)
         fn = VFormAssembler._JIT_CACHE.get(key)
         if fn is None:
-            fn = jax.jit(self._assembly_fn(mode))
+            fn = self._assembly_fn(mode)
+            if not eager:
+                fn = jax.jit(fn)
             VFormAssembler._JIT_CACHE[key] = fn
 
         dtype = config.get_dtype()
-        inputs = jax.tree_util.tree_map(
-            lambda x: jnp.asarray(x, dtype=dtype)
-            if np.issubdtype(np.asarray(x).dtype, np.floating)
-            else jnp.asarray(x),
-            self._device_inputs())
+        if mode == 'pair':
+            # pre-split f32 pairs stay f32; geometry tables/coeffs stay f64
+            inputs = jax.tree_util.tree_map(jnp.asarray,
+                                            self._device_inputs_pair())
+        else:
+            inputs = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, dtype=dtype)
+                if np.issubdtype(np.asarray(x).dtype, np.floating)
+                else jnp.asarray(x),
+                self._device_inputs())
         term_tables = jax.tree_util.tree_map(
             lambda x: jnp.asarray(x, dtype=dtype),
             self._term_tables_for(self.combos))
@@ -730,14 +945,23 @@ class VFormAssembler:
         blocks = fn(inputs, term_tables, tperms)
         return {k: np.asarray(v, dtype=np.float64) for k, v in blocks.items()}
 
-    def assemble(self, mode='exact'):
+    def assemble(self, mode=None):
         """Assemble and return the matrix as an MLMatrix (scalar forms) or a
         dict of (comp_u, comp_v) -> MLMatrix blocks (vector forms).
 
-        ``mode='ozaki'`` computes the float64 contractions by the Ozaki
-        splitting (bf16 chunk products with exact f32 MXU accumulation,
-        ~1e-13 relative, ~2-3x faster than emulated f64 on TPU)."""
+        ``mode='ozaki'`` computes the float64 result with no emulated-f64
+        arithmetic: when the form supports it (no geometry Hessians, no
+        transcendental builtins) the coefficient fields evaluate in fused
+        two-float f32 pair arithmetic and the contractions run pair-chained
+        Ozaki (bf16 chunk products with exact f32 MXU accumulation,
+        ~1e-13 relative); otherwise fields evaluate in f64 with
+        Ozaki-split contractions.  The default (None) picks 'ozaki'
+        automatically for float64 on accelerator backends, 'exact' on CPU
+        (:func:`pyiga_tpu.config.default_assembly_mode`)."""
         assert self.arity == 2
+        if mode is None:
+            from . import config
+            mode = config.default_assembly_mode()
         assert mode in ('exact', 'ozaki'), "mode must be 'exact' or 'ozaki'"
         blocks = self._run(mode)
         if not self.vf.vec:

@@ -52,6 +52,16 @@ def set_max_threads(n):
     _state.max_threads = int(n)
 
 
+def default_assembly_mode():
+    """Default assembly mode: 'ozaki' (the bf16-MXU f64 fast path) for
+    float64 on accelerator backends where f64 is software-emulated, 'exact'
+    on CPU (native f64) and for float32."""
+    import jax
+    if get_dtype() != np.float64:
+        return "exact"
+    return "exact" if jax.default_backend() == "cpu" else "ozaki"
+
+
 def get_backend():
     return _get("backend")
 

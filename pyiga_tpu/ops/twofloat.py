@@ -121,3 +121,100 @@ def df_sum(values):
     for v in values[1:]:
         acc = df_add(acc, v)
     return acc
+
+
+def df_sqrt(a):
+    """Two-float square root: f32 sqrt + one Newton step in pair
+    arithmetic (relative accuracy ~2^-46; zero maps to zero)."""
+    x = jnp.sqrt(a[0])
+    r = df_add(a, df_neg(df_mul((x, jnp.zeros_like(x)), (x, jnp.zeros_like(x)))))
+    denom = jnp.where(x > 0, 2.0 * x, jnp.ones_like(x))
+    corr = jnp.where(x > 0, (r[0] + r[1]) / denom, jnp.zeros_like(x))
+    return quick_two_sum(x, corr)
+
+
+class DF:
+    """Two-float value with operator overloading, so whole expression trees
+    (the vform language's ``Expr.eval``) evaluate in fused f32 pair
+    arithmetic with no emulated-f64 elementwise ops — the f64 fast path for
+    *generic* compiled vforms (see compile.PairAsmContext; the reference
+    gives every form the same fast-kernel treatment through codegen,
+    /root/reference/pyiga/codegen/cython.py:673).
+
+    Wraps an ``(hi, lo)`` pair; arithmetic delegates to the df_* functions.
+    Python-float operands are split exactly; the literals 0.0/1.0 (pruned
+    basis seeds) short-circuit so they do not inflate the traced graph."""
+
+    __slots__ = ('hi', 'lo')
+    __array_priority__ = 1000
+
+    def __init__(self, hi, lo=None):
+        self.hi = hi
+        self.lo = jnp.zeros_like(hi) if lo is None else lo
+
+    @property
+    def pair(self):
+        return (self.hi, self.lo)
+
+    def __add__(self, other):
+        if isinstance(other, (int, float)) and float(other) == 0.0:
+            return self
+        return DF(*df_add(self.pair, as_df(other).pair))
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        if isinstance(other, (int, float)) and float(other) == 0.0:
+            return self
+        return DF(*df_sub(self.pair, as_df(other).pair))
+
+    def __rsub__(self, other):
+        if isinstance(other, (int, float)) and float(other) == 0.0:
+            return DF(*df_neg(self.pair))
+        return DF(*df_sub(as_df(other).pair, self.pair))
+
+    def __mul__(self, other):
+        if isinstance(other, (int, float)):
+            if float(other) == 0.0:
+                return 0.0
+            if float(other) == 1.0:
+                return self
+        return DF(*df_mul(self.pair, as_df(other).pair))
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other):
+        if isinstance(other, (int, float)) and float(other) == 1.0:
+            return self
+        return DF(*df_div(self.pair, as_df(other).pair))
+
+    def __rtruediv__(self, other):
+        if isinstance(other, (int, float)) and float(other) == 0.0:
+            return 0.0
+        return DF(*df_div(as_df(other).pair, self.pair))
+
+    def __neg__(self):
+        return DF(*df_neg(self.pair))
+
+    def __pos__(self):
+        return self
+
+    def __abs__(self):
+        return DF(*df_abs(self.pair))
+
+
+def as_df(x):
+    """Promote a value to :class:`DF`: Python scalars split exactly at trace
+    time (host floats, no device ops); f64 arrays split with
+    :func:`df_from_f64`; f32 arrays get a zero low part."""
+    if isinstance(x, DF):
+        return x
+    if isinstance(x, (int, float)):
+        import numpy as np
+        hi = np.float32(x)
+        lo = np.float32(float(x) - float(hi))
+        return DF(hi, lo)
+    x = jnp.asarray(x)
+    if x.dtype == jnp.float64:
+        return DF(*df_from_f64(x))
+    return DF(x.astype(jnp.float32))

@@ -563,10 +563,23 @@ class BuiltinFuncExpr(Expr):
 
     def eval(self, ctx):
         import jax.numpy as jnp
+        x = self.children[0].eval(ctx)
+        from .ops import twofloat as tf
+        if isinstance(x, tf.DF):
+            # two-float pair evaluation (compile.PairAsmContext): only abs
+            # and sqrt have double-float implementations; forms using other
+            # builtins are gated out of the pair fast path upstream
+            # (VFormAssembler._supports_pair_eval)
+            if self.func == 'abs':
+                return abs(x)
+            if self.func == 'sqrt':
+                return tf.DF(*tf.df_sqrt(x.pair))
+            raise NotImplementedError(
+                'no two-float implementation of %r' % self.func)
         fn = {'sqrt': jnp.sqrt, 'exp': jnp.exp, 'log': jnp.log,
               'sin': jnp.sin, 'cos': jnp.cos, 'tan': jnp.tan,
               'abs': jnp.abs}[self.func]
-        return fn(self.children[0].eval(ctx))
+        return fn(x)
 
     def __str__(self):
         return '%s(%s)' % (self.func, self.children[0])
