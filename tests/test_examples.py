@@ -26,6 +26,7 @@ def _load(name):
     ('stokes', dict(p=2, n_el=(4, 6))),
     ('geometry_tour', dict()),
 ])
+@pytest.mark.slow
 def test_example_runs(name, kwargs):
     mod = _load(name)
     mod.main(**kwargs)

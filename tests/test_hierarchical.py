@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 from numpy.random import rand
 
@@ -134,6 +135,7 @@ def test_incidence():
         [0, 0, 0, 0, 0, 1, 1, 1]])
 
 
+@pytest.mark.slow
 def test_hierarchical_assemble():
     hs = create_example_hspace(p=4, dim=2, n0=4, disparity=1)
     geo = geometry.bspline_quarter_annulus()
@@ -161,6 +163,7 @@ def _convdiff_vf(dim, conv_vector):
     return vf
 
 
+@pytest.mark.slow
 def test_hierarchical_assemble_nonsym():
     hs = create_example_hspace(p=4, dim=2, n0=4, disparity=1, num_levels=2)
     geo = geometry.bspline_quarter_annulus()

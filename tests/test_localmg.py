@@ -2,6 +2,7 @@
 # (BASELINE config 5: counts must be identical to the reference,
 # test/test_localmg.py:88-98).
 
+import pytest
 import numpy as np
 import scipy.linalg
 import scipy.sparse.linalg
@@ -44,6 +45,7 @@ def run_local_multigrid(p, dim, n0, disparity, smoother, smooth_steps,
     return tuple(iters)
 
 
+@pytest.mark.slow
 def test_localmg():
     tol, dim, n0, p = 1e-8, 2, 6, 3
     smoother, smooth_steps = 'symmetric_gs', 1
@@ -62,6 +64,7 @@ def test_localmg():
                           [(105, 104), (59, 23), (59, 23), (61, 22)])
 
 
+@pytest.mark.slow
 def test_solve_hmultigrid():
     hs = create_example_hspace(p=3, dim=2, n0=10, disparity=1, num_levels=3)
     for truncate in (False, True):

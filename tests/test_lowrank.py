@@ -1,3 +1,4 @@
+import pytest
 import os.path
 
 import numpy as np
@@ -71,6 +72,7 @@ def test_fast_mass_stiffness_2d():
     assert abs(A - A_ref).max() < 1e-9
 
 
+@pytest.mark.slow
 def test_fast_mass_stiffness_3d():
     kv = bspline.make_knots(2, 0.0, 1.0, 10)
     geo = geometry.twisted_box()

@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import scipy.sparse
 import scipy.sparse.linalg
@@ -54,6 +55,7 @@ def test_detect_interfaces():
     assert MP2.shared_per_patch == MP.shared_per_patch
 
 
+@pytest.mark.slow
 def test_multipatch_assemble():
     kvs = 2 * (bspline.make_knots(2, 0.0, 1.0, 8),)
     geos = [geometry.unit_square(), geometry.unit_square().translate((1, 0))]

@@ -10,6 +10,7 @@ TPU.  This matches the treatment the reference's codegen gives every form
 All cases assert <= 1e-10 entry parity against the exact-f64 path (measured
 ~1e-14)."""
 
+import pytest
 import numpy as np
 
 from pyiga_tpu import assemble, bspline, geometry
@@ -27,6 +28,7 @@ def _parity(Ae, Ap, tol=1e-10):
     return err
 
 
+@pytest.mark.slow
 def test_pair_vform_convdiff_nurbs():
     # VERDICT r2 done-criterion: a NURBS-geometry convection-diffusion
     # string form at <= 1e-10 parity via the pair path
@@ -91,6 +93,7 @@ def test_pair_vform_boundary_sqrt():
     _parity(Ae, Ap)
 
 
+@pytest.mark.slow
 def test_pair_vform_vector_blocks():
     kvs = _kvs()
     geo = geometry.quarter_annulus()
@@ -104,6 +107,7 @@ def test_pair_vform_vector_blocks():
         assert err < 1e-10, (k, err)
 
 
+@pytest.mark.slow
 def test_pair_vform_gating():
     # transcendental builtins and geometry Hessians have no two-float
     # implementation: the pair upgrade must be refused (and mode='ozaki'

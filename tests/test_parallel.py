@@ -38,6 +38,7 @@ def test_sharded_assembly_and_cg(ndev):
     assert np.abs(data - ref).max() < 1e-12
 
 
+@pytest.mark.slow
 def test_sharded_3d_flagship_weak_scaling():
     """3D p=3 sum-factorization assembly + CG: 1-device vs 8-device meshes
     must agree to ~1e-12 (the driver's dryrun_multichip workload)."""

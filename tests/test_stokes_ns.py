@@ -1,6 +1,7 @@
 # Stokes / instationary Navier-Stokes mixed discretization with Rosenbrock
 # time stepping (BASELINE config 4; reference notebook solve-navier-stokes).
 
+import pytest
 import os
 import sys
 
@@ -11,6 +12,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'examples'))
 from navier_stokes import NavierStokes
 
 
+@pytest.mark.slow
 def test_stokes_initial_state():
     ns = NavierStokes(n_el=(6, 10), p=2, Re=10.0)
     x0 = ns.initial_state()
@@ -25,6 +27,7 @@ def test_stokes_initial_state():
     assert np.allclose(V[:, 0, 1], 0.0, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_navier_stokes_rosenbrock():
     ns = NavierStokes(n_el=(5, 8), p=2, Re=20.0)
     times, states = ns.integrate(tau=5e-2, t_end=0.3, method='rowdaind2',

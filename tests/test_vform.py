@@ -65,6 +65,7 @@ def test_heat_wave_st():
     assert abs(W_ref - W).max() < 1e-12
 
 
+@pytest.mark.slow
 def test_divdiv():
     kv = bspline.make_knots(3, 0.0, 1.0, 8)
     kvs = (kv, kv)
@@ -78,6 +79,7 @@ def test_divdiv():
     assert abs(A.dot(u_blocked.ravel())).max() < 1e-12
 
 
+@pytest.mark.slow
 def test_assemble_string():
     kvs = 2 * (bspline.make_knots(2, 0.0, 1.0, 10),)
     geo = geometry.quarter_annulus()
@@ -157,6 +159,7 @@ def test_assemble_surface_vf():
     assert np.allclose(f.sum(), (2 * 2 * np.pi) / 4)
 
 
+@pytest.mark.slow
 def test_assemble_boundary_vector():
     kvs = 3 * (bspline.make_knots(3, 0.0, 1.0, 3),)
     geo_3d = geometry.tensor_product(geometry.line_segment(0.0, 1.0),
@@ -195,6 +198,7 @@ def test_assemble_boundary_vector():
         assert np.allclose(nv.sum(axis=(0, 1)), expected), bd
 
 
+@pytest.mark.slow
 def test_assemble_boundary_matrix():
     kvs = (bspline.make_knots(3, 0.0, 1.0, 3),
            bspline.make_knots(3, 0.0, 1.0, 4),
@@ -265,6 +269,7 @@ def test_parse_vf_shorthands():
     assert np.allclose(f1, f2)
 
 
+@pytest.mark.slow
 def test_vform_symmetry_folding():
     # probe-detected symmetric folding: stiffness folds (and is then exactly
     # symmetric); the convection part of a convection-diffusion form must
@@ -294,6 +299,7 @@ def test_vform_symmetry_folding():
     assert abs(B - B.T).max() > 1e-6      # convection not mirrored away
 
 
+@pytest.mark.slow
 def test_vform_ozaki_mode():
     # Ozaki-split assembly through the compiled-vform API matches exact f64
     import numpy as np
@@ -345,6 +351,7 @@ def test_prune_keeps_tiny_asymmetric_terms():
     assert len(zero.combos) == len(base.combos)
 
 
+@pytest.mark.slow
 def test_physical_input_field_derivatives():
     # derivatives of physical-coordinate input fields (capability extension:
     # the reference's codegen rejects this case, codegen/cython.py:474-477).
@@ -386,6 +393,7 @@ def test_physical_input_field_derivatives():
     assert abs(A5 - A2).max() < 1e-7 * abs(A2).max()
 
 
+@pytest.mark.slow
 def test_spacetime_second_order_space_derivs():
     # second-order space derivatives in space-time forms (reference parity
     # hole): on a space-time cylinder the physical d^2/dx^2 must agree with
