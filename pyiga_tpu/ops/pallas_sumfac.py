@@ -99,20 +99,49 @@ def _stage_tile(xh, xl, tc_ref, ts_ref):
 
 
 def _stage_kernel(xh_ref, xl_ref, tc_ref, ts_ref, oh_ref, ol_ref):
+    """Grid = (R-tiles, M-tiles, K-blocks); the K axis is innermost so the
+    output pair block stays resident in VMEM and accumulates the per-block
+    partial results with exact two-float adds (long contraction axes split
+    into <= _K_MAX blocks; each block's Ozaki split is independently exact,
+    so the K-split preserves the accuracy guarantee — same scheme as
+    sumfac._ozaki_contract_axis_pair's block path)."""
+    from jax.experimental import pallas as pl
     hi, lo = _stage_tile(xh_ref[...], xl_ref[...], tc_ref, ts_ref)
-    oh_ref[...] = hi
-    ol_ref[...] = lo
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        oh_ref[...] = hi
+        ol_ref[...] = lo
+
+    @pl.when(kb > 0)
+    def _():
+        sh, sl = tf.df_add((oh_ref[...], ol_ref[...]), (hi, lo))
+        oh_ref[...] = sh
+        ol_ref[...] = sl
 
 
 def _stage_kernel_acc(xh_ref, xl_ref, tc_ref, ts_ref, ah_ref, al_ref,
                       oh_ref, ol_ref):
     """Accumulating variant: the running two-float sum rides in aliased
     input/output buffers, so summing the six chains needs no separate
-    (HBM-bound) pair-add passes."""
+    (HBM-bound) pair-add passes.  K-blocks > 0 accumulate onto the output
+    block like :func:`_stage_kernel`."""
+    from jax.experimental import pallas as pl
     hi, lo = _stage_tile(xh_ref[...], xl_ref[...], tc_ref, ts_ref)
-    sh, sl = tf.df_add((ah_ref[...], al_ref[...]), (hi, lo))
-    oh_ref[...] = sh
-    ol_ref[...] = sl
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        sh, sl = tf.df_add((ah_ref[...], al_ref[...]), (hi, lo))
+        oh_ref[...] = sh
+        ol_ref[...] = sl
+
+    @pl.when(kb > 0)
+    def _():
+        sh, sl = tf.df_add((oh_ref[...], ol_ref[...]), (hi, lo))
+        oh_ref[...] = sh
+        ol_ref[...] = sl
 
 
 # Mosaic double-buffers the HBM<->VMEM blocks and adds scratch, so budget
@@ -130,9 +159,31 @@ def _vmem_bytes(K, r, m):
     return x_pair + chunks + table + diags + out
 
 
+# largest contraction block per kernel invocation; longer K axes (large 2D
+# quadrature grids) split into blocks accumulated in-VMEM across the
+# innermost grid dimension
+_K_MAX = 384
+
+
+def _pick_kblock(K):
+    """Largest block <= _K_MAX that divides K in multiples of 8 (None if
+    K itself is not a multiple of 8)."""
+    if K % 8 != 0:
+        return None
+    if K <= _K_MAX:
+        return K
+    for kb in range(_K_MAX, 7, -8):
+        if K % kb == 0:
+            return kb
+    return None
+
+
 def _pick_blocks(K, R, M, r_block):
-    """Largest (r, m) tile sizes dividing (R, M) that fit the VMEM
-    budget (m in lane multiples)."""
+    """Largest (r, m, kb) tile sizes dividing (R, M, K) that fit the VMEM
+    budget (m in lane multiples, kb in multiples of 8)."""
+    kb = _pick_kblock(K)
+    if kb is None:
+        return None
     r = min(r_block, R)
     while R % r:
         r //= 2
@@ -140,8 +191,8 @@ def _pick_blocks(K, R, M, r_block):
                     if m % 128 == 0 and M % m == 0]
     while r >= 128:
         for m in m_candidates:
-            if _vmem_bytes(K, r, m) <= _VMEM_BUDGET:
-                return r, m
+            if _vmem_bytes(kb, r, m) <= _VMEM_BUDGET:
+                return r, m, kb
         r //= 2
     return None
 
@@ -156,21 +207,23 @@ def _stage_call(xh, xl, t_chunks, t_scale, acc_h=None, acc_l=None,
 
     K, R = xh.shape
     L, M, _ = t_chunks.shape
-    r_blk, m_blk = _pick_blocks(K, R, M, r_block)
-    grid = (R // r_blk, M // m_blk)
+    r_blk, m_blk, k_blk = _pick_blocks(K, R, M, r_block)
+    # K innermost: the output pair block stays VMEM-resident across the
+    # K-block accumulation (see _stage_kernel)
+    grid = (R // r_blk, M // m_blk, K // k_blk)
     out_shape = [jax.ShapeDtypeStruct((R, M), jnp.float32),
                  jax.ShapeDtypeStruct((R, M), jnp.float32)]
     # index maps use j*0 for constant positions so every index has the
     # grid index dtype (mixed i64/i32 tuples fail Mosaic legalization
     # under jax_enable_x64)
     in_specs = [
-        pl.BlockSpec((K, r_blk), lambda j, s: (j * 0, j)),
-        pl.BlockSpec((K, r_blk), lambda j, s: (j * 0, j)),
-        pl.BlockSpec((L, m_blk, K), lambda j, s: (j * 0, s, j * 0)),
-        pl.BlockSpec((1, m_blk), lambda j, s: (j * 0, s)),
+        pl.BlockSpec((k_blk, r_blk), lambda j, s, kb: (kb, j)),
+        pl.BlockSpec((k_blk, r_blk), lambda j, s, kb: (kb, j)),
+        pl.BlockSpec((L, m_blk, k_blk), lambda j, s, kb: (j * 0, s, kb)),
+        pl.BlockSpec((1, m_blk), lambda j, s, kb: (j * 0, s)),
     ]
-    out_specs = [pl.BlockSpec((r_blk, m_blk), lambda j, s: (j, s)),
-                 pl.BlockSpec((r_blk, m_blk), lambda j, s: (j, s))]
+    out_specs = [pl.BlockSpec((r_blk, m_blk), lambda j, s, kb: (j, s)),
+                 pl.BlockSpec((r_blk, m_blk), lambda j, s, kb: (j, s))]
     operands = [xh, xl, t_chunks, t_scale]
     if acc_h is not None:
         operands += [acc_h, acc_l]
@@ -332,11 +385,10 @@ def supported(term_tables, grid_shape, r_block=512):
             K = shape[0]
             rest = int(np.prod(shape[1:])) if len(shape) > 1 else 1
             Mp = _pad_lanes(T.shape[0])
-            # K > 384: long contraction axes (large 2D quadrature grids)
-            # leave too little VMEM for useful tiles — the XLA pair chain
-            # handles those
-            if K % 8 != 0 or K > 384 or \
-                    _pick_blocks(K, rest, Mp, r_block) is None:
+            # long contraction axes (K > _K_MAX, e.g. large 2D quadrature
+            # grids) split into in-VMEM-accumulated K-blocks; only shapes
+            # whose K has no multiple-of-8 factorization fall back
+            if _pick_blocks(K, rest, Mp, r_block) is None:
                 return False
             shape = shape[1:] + [Mp]
     return True

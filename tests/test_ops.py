@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -147,6 +148,7 @@ def test_restricted_operator():
     assert np.abs(y - Aff @ x).max() < 1e-12
 
 
+@pytest.mark.slow
 def test_windowed_assembly():
     # windowed pair tables (support-window contraction) match dense assembly
     for d in (2, 3):
@@ -173,6 +175,7 @@ def test_box_restriction():
     assert box_restriction(sub, ns) is None
 
 
+@pytest.mark.slow
 def test_ozaki_assembly():
     # Ozaki-split (bf16 chunk) f64 contraction matches the exact f64 chains
     # far inside the 1e-10 entry-parity target
@@ -222,6 +225,7 @@ def test_twofloat():
                          jnp.maximum(jnp.abs(X), jnp.abs(Y)))) < 1e-13
 
 
+@pytest.mark.slow
 def test_pair_chain_assembly():
     # pair-chained Ozaki assembly (f32 pairs end to end) matches exact f64
     from pyiga_tpu.ops import sumfac, twofloat as tf
@@ -314,6 +318,7 @@ def test_ozaki_chunk_ladder():
         assert rel < tol
 
 
+@pytest.mark.slow
 def test_ozaki_long_contraction_split():
     # contraction lengths K > 2^(24-2w) = 256 violate the exact-f32-
     # accumulation condition; the contraction must split the axis into
@@ -334,6 +339,7 @@ def test_ozaki_long_contraction_split():
     assert rel < 1e-12
 
 
+@pytest.mark.slow
 def test_pair_assembly_mass_and_nurbs():
     # the f64 fast path (two-float fields + pair-chained Ozaki) must cover
     # mass assembly and NURBS geometries (quarter_annulus is exact NURBS)
@@ -382,8 +388,10 @@ def test_pallas_supported_shapes():
     T = np.zeros((336, 192))
     assert ps.supported([[T, T, T]], (192, 192, 192))
     assert not ps.supported([[T, T, T]], (100, 100, 100))   # K not /8
+    # K > _K_MAX splits into in-VMEM-accumulated blocks (2D n=128 config)
     big = np.zeros((900, 512))
-    assert not ps.supported([[big, big]], (512, 512))       # K > 384
+    assert ps.supported([[big, big]], (512, 512))
+    assert ps._pick_blocks(512, 512, 1024, 512)[2] == 256
 
 
 def test_banded_pair_matvec():
@@ -419,6 +427,7 @@ def test_cg_ir_deferred_info():
     assert r < 1e-9
 
 
+@pytest.mark.slow
 def test_pallas_folded_assembly_interpret():
     # accumulating folded Pallas assembly (interpret mode) matches the
     # exact f64 assembly of a small stiffness problem; loose tolerance
@@ -450,3 +459,23 @@ def test_pallas_folded_assembly_interpret():
         r_block=128, interpret=True))
     rel = np.abs(got - exact).max() / np.abs(exact).max()
     assert rel < 1e-5
+
+
+def test_pallas_kblock_split_interpret():
+    # long contraction axis (K=512 > _K_MAX) splits into K-blocks that
+    # accumulate in VMEM with two-float adds; result must stay at pair
+    # accuracy (the 2D n=128 headline shape hits this path)
+    from pyiga_tpu.ops import pallas_sumfac as ps
+    from pyiga_tpu.ops import twofloat as tf
+
+    rng = np.random.RandomState(3)
+    K, R, M = 512, 512, 7
+    X = rng.rand(K, R) * 2 - 1
+    T = rng.rand(M, K) * 2 - 1
+    pair = tf.df_from_f64(jnp.asarray(X))
+    tc, ts, _ = ps.prepare_table(T)
+    assert ps._pick_blocks(K, R, ps._pad_lanes(M), 512)[2] == 256
+    oh, ol = ps._stage_call(pair[0], pair[1], tc, ts, interpret=True)
+    out = np.asarray(oh.astype(np.float64) + ol.astype(np.float64))[:, :M]
+    ref = (T @ X).T
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-12
