@@ -12,14 +12,20 @@ Default configs (override with PYIGA_BENCH_CONFIGS="dim,n,dtype;..."):
   3,48,float64    - 3D p=3 twisted box, entry-parity dtype (HEADLINE)
 
 Timed on the default (TPU) device, per phase:
-  1. sum-factorization assembly of the compact stiffness tensor.  The
-     float64 path uses the two-float pipeline with the fused Pallas
-     stage kernels (ops/pallas_sumfac.py: VMEM chunk slicing + 21 bf16
-     MXU dots with exact f32 accumulation + two-float combine per tile;
-     bit-identical to the XLA pair chain) when the shapes tile, else the
-     XLA pair chains; zero emulated-f64 arithmetic either way.
-  2. CG to 1e-8 with the matrix-free sum-factorization operator
-     (f32 Krylov + device-fused f64 iterative refinement for float64).
+  1. sum-factorization assembly straight into the solver's flat banded
+     pair layout.  The float64 path: two-float geometry fields (fused
+     Pallas elementwise kernel) -> pair chains over banded pair tables
+     (fused Pallas stage kernels: VMEM chunk slicing + 21 bf16 MXU dots
+     with exact f32 accumulation) -> pair mirror/combine -> banded
+     (b..., n...) pair -> flat matvec layout, all inside ONE jit; the f64
+     compact tensor is never materialized and zero emulated-f64
+     arithmetic runs anywhere.  XLA pair chains are the fallback when
+     the stage kernel cannot tile the shapes.
+  2. CG to 1e-8 on the flat-offset Pallas banded matvec kernel
+     (ops/banded.py: the whole d-D banded product as static 1D shifts;
+     the data streams HBM exactly once per matvec, x/y stay in VMEM).
+     float64 runs f32 Krylov + device-fused iterative refinement whose
+     f64 residuals use the two-float flat banded kernel.
 
 COMPARATOR CAVEAT (vs_baseline): the reference's own CPU path (Cython
 -O3 -march=native -ffast-math + OpenMP + MKL PARDISO,
@@ -55,55 +61,88 @@ def build(dim, n, p=3):
 
 
 def _f64_assembly_fns(asm, dev, use_pallas):
-    """Build the float64 assembly callable: two-float fields + (Pallas or
-    XLA) pair chains, split into two dispatches (direct / mirrored chains)
-    to bound HBM peak."""
+    """Build the float64 assembly callable.
+
+    Pallas path: two-float fields -> fused pair chains over BANDED pair
+    tables -> pair mirror/combine -> flat banded kernel layout, all in ONE
+    jit — the f64 compact tensor is never materialized and the former
+    compact->banded gather conversion (~21 ms) disappears.  Returns
+    ``(Dh3, Dl3)`` in the flat-offset matvec layout (ops/banded.py).
+
+    XLA fallback (shapes the stage kernel cannot tile): two-float fields +
+    XLA pair chains into the compact tensor, converted and split on device.
+    """
     import jax
     import jax.numpy as jnp
     from pyiga_tpu.ops import sumfac
+    from pyiga_tpu.ops import twofloat as tf
+    from pyiga_tpu.ops.banded import (band_info, banded_gather_maps,
+                                      banded_from_compact_device,
+                                      flat_banded_layout,
+                                      flat_banded_embed_device)
     from pyiga_tpu.assemblers import stiffness_fields_df_pair
 
-    fold_plan, tperms = asm._fold()
-    tperms = [jax.device_put(np.asarray(p), dev) for p in tperms]
-    tt_np = asm.tables.term_tables(asm.terms)
-    direct = tuple((t, False) for t, m in fold_plan if not m)
-    mirrored = tuple((t, True) for t, m in fold_plan if m)
-    fields_fn = jax.jit(stiffness_fields_df_pair)
+    fold_plan, _ = asm._fold()
+    plan = tuple(fold_plan)
+    bws = band_info(asm.structure)
+    ns = tuple(b[0] for b in asm.structure.bs)
+    bsz = tuple(2 * bw + 1 for bw in bws)
+    lay = flat_banded_layout(tuple(bws), ns)
 
     if use_pallas:
-        # one jit for the whole assembly: fields, the fused Pallas stage
-        # kernels of all six chains, and the two-float combines (the
-        # Pallas path keeps no chunk arrays in HBM, so the fused program
-        # fits where the XLA pair chains needed a two-dispatch split)
         from pyiga_tpu.ops import pallas_sumfac as ps
-        prepped = [[ps.prepare_table(T) for T in tabs] for tabs in tt_np]
+        btabs = asm.tables.banded_term_tables(asm.terms, bws)
+        prepped = [[ps.prepare_table(T) for T in tabs] for tabs in btabs]
         parrs = [[(jax.device_put(c, dev), jax.device_put(s, dev))
                   for (c, s, _M) in tabs] for tabs in prepped]
         Ms = tuple(tuple(M for (_c, _s, M) in tabs) for tabs in prepped)
-        plan = tuple(fold_plan)
+        tperms = []
+        for bw, n in zip(bws, ns):
+            pcore = sumfac.banded_transpose_perm(n, bw)
+            Mp = ps._pad_lanes(len(pcore))
+            fullp = np.arange(Mp)
+            fullp[:len(pcore)] = pcore
+            tperms.append(jax.device_put(jnp.asarray(fullp), dev))
 
         def full(gi, parrs, tperms):
             F = ps.stiffness_fields_pallas(gi)
             tp = [[(c, s, M) for ((c, s), M) in zip(ta, Ma)]
                   for ta, Ma in zip(parrs, Ms)]
-            return ps.assemble_terms_folded_pallas(tp, F, plan, tperms)
+            Dh, Dl = ps.assemble_banded_pair_pallas(tp, F, plan, tperms,
+                                                    bsz, ns)
+            return (flat_banded_embed_device(Dh, bws, ns, lay),
+                    flat_banded_embed_device(Dl, bws, ns, lay))
 
         jfull = jax.jit(full)
 
         def asm_fn(gi):
             return jfull(gi, parrs, tperms)
-    else:
-        tt = jax.tree_util.tree_map(
-            lambda a: jax.device_put(np.asarray(a, np.float64), dev), tt_np)
-        fn_d = jax.jit(lambda F, tt: sumfac.assemble_terms_folded_pair(
-            tt, F, direct, None, L=6))
-        fn_m = jax.jit(lambda F, tt, tp: sumfac.assemble_terms_folded_pair(
-            tt, F, mirrored, tp, L=6))
+        return asm_fn, lay, bws, ns
 
-        def asm_fn(gi):
-            F = fields_fn(gi)
-            return fn_d(F, tt) + fn_m(F, tt, tperms)
-    return asm_fn
+    # XLA fallback: compact pair chains + device conversion + split
+    tt_np = asm.tables.term_tables(asm.terms)
+    from pyiga_tpu.mlmatrix import transpose_idx_for_bidx
+    ctperms = [jax.device_put(jnp.asarray(transpose_idx_for_bidx(bx)), dev)
+               for bx in asm.structure.bidx]
+    tt = jax.tree_util.tree_map(
+        lambda a: jax.device_put(np.asarray(a, np.float64), dev), tt_np)
+    maps = [jax.device_put(jnp.asarray(m), dev)
+            for m in banded_gather_maps(asm.structure, bws)]
+    fields_fn = jax.jit(stiffness_fields_df_pair)
+
+    def full_xla(gi, tt, ctperms):
+        F = fields_fn(gi)
+        data = sumfac.assemble_terms_folded_pair(tt, F, plan, ctperms)
+        Dh, Dl = tf.df_from_f64(
+            banded_from_compact_device(data, maps, bsz, ns))
+        return (flat_banded_embed_device(Dh, bws, ns, lay),
+                flat_banded_embed_device(Dl, bws, ns, lay))
+
+    jfull = jax.jit(full_xla)
+
+    def asm_fn(gi):
+        return jfull(gi, tt, ctperms)
+    return asm_fn, lay, bws, ns
 
 
 def run_on(device, dim, n, dtype, repeats=3, measure_split=True):
@@ -128,15 +167,47 @@ def run_on(device, dim, n, dtype, repeats=3, measure_split=True):
                 else np.asarray(a), device),
             asm._geo_inputs)
 
+        flat_lay = None
         if dtype == np.float64 and not on_cpu:
             # two-float pipeline; fused Pallas stage kernels when the
-            # chain shapes tile, else the XLA pair chains.  Both are
-            # bit-identical; the CPU comparator keeps native-f64 exact.
+            # chain shapes tile, else the XLA pair chains.  Both produce
+            # the flat banded pair layout for the Pallas matvec kernels;
+            # the CPU comparator keeps native-f64 exact.
             from pyiga_tpu.ops import pallas_sumfac as ps
-            tt_np = asm.tables.term_tables(asm.terms)
+            btabs_np = asm.tables.banded_term_tables(
+                asm.terms, band_info(asm.structure))
             gshape = tuple(len(g) for g in asm.grid)
-            use_pallas = ps.supported(tt_np, gshape)
-            asm_fn = _f64_assembly_fns(asm, device, use_pallas)
+            use_pallas = ps.supported(btabs_np, gshape)
+            asm_fn, flat_lay, bws_f, ns_f = _f64_assembly_fns(
+                asm, device, use_pallas)
+        elif dtype == np.float32 and not on_cpu:
+            # f32 TPU path: exact f32 chains straight into the flat banded
+            # layout so the solve runs the Pallas flat matvec kernel
+            from pyiga_tpu.ops.banded import (flat_banded_layout,
+                                              flat_banded_embed_device)
+            fold_plan, _ = asm._fold()
+            plan32 = tuple(fold_plan)
+            bws_f = band_info(asm.structure)
+            ns_f = tuple(b[0] for b in asm.structure.bs)
+            bsz_f = tuple(2 * bw + 1 for bw in bws_f)
+            flat_lay = flat_banded_layout(tuple(bws_f), ns_f)
+            btabs = asm.tables.banded_term_tables(asm.terms, bws_f)
+            tt = jax.tree_util.tree_map(
+                lambda a: jax.device_put(np.asarray(a, dtype=dtype), device),
+                btabs)
+            tperms_d = [jax.device_put(
+                np.asarray(sumfac.banded_transpose_perm(n, bw)), device)
+                for bw, n in zip(bws_f, ns_f)]
+            field_fn = asm.field_fn
+
+            def full32(gi, tt, tp):
+                data = sumfac.assemble_terms_folded(
+                    tt, field_fn(gi), plan32, tp, mode='exact')
+                D = sumfac.banded_reorder(data, bsz_f, ns_f)
+                return flat_banded_embed_device(D, bws_f, ns_f, flat_lay)
+
+            jfn = jax.jit(full32)
+            asm_fn = lambda gi: jfn(gi, tt, tperms_d)
         else:
             fold_plan, tperms = asm._fold()
             tperms_d = [jax.device_put(np.asarray(p), device)
@@ -154,42 +225,66 @@ def run_on(device, dim, n, dtype, repeats=3, measure_split=True):
         free = interior_dofs(kvs)
         b = jax.device_put(
             np.random.RandomState(0).rand(len(free)).astype(dtype), device)
-        if dtype == np.float64:
-            # f32 Krylov + device-fused f64 refinement; the f64 residual
-            # matvecs run as two-float banded matvecs (fused f32 pair
-            # arithmetic, ~2^-45 relative — emulated-f64 elementwise ops
-            # cost ~15x their traffic bound and are avoided entirely)
-            from pyiga_tpu.ops.banded import BandedOperatorPair
-            from pyiga_tpu.ops import twofloat as tf
+        if dtype == np.float64 and not on_cpu:
+            # f32 Krylov on the flat Pallas banded kernel + device-fused
+            # f64 refinement with two-float flat banded residual matvecs
+            # (all arithmetic f32; the assembled pair streams HBM once
+            # per matvec, x/y stay VMEM-resident)
+            from pyiga_tpu.ops.banded import (FlatBandedOperator,
+                                              FlatBandedOperatorPair)
+            op_hi = RestrictedOperator(
+                FlatBandedOperatorPair(None, bws_f, ns_f), free,
+                int(np.prod(ns_f)))
+            op_lo = RestrictedOperator(
+                FlatBandedOperator(None, bws_f, ns_f), free,
+                int(np.prod(ns_f)))
+            P = fastdiag_precond_weighted(asm, dirichlet=True,
+                                          dtype=np.float32)
+
+            def solve(data):
+                Dh3, Dl3 = data
+                op_hi.operands['inner']['Dh3'] = Dh3
+                op_hi.operands['inner']['Dl3'] = Dl3
+                op_lo.operands['inner']['D3'] = Dh3
+                u, info = solvers.cg_ir(op_hi, op_lo, b, tol=1e-8,
+                                        precond_lo=P, inner_tol=3e-3,
+                                        fetch_info=False)
+                return u, info
+        elif dtype == np.float64:
+            # CPU comparator: native f64 exact assembly + banded residuals
+            # (the pair arithmetic is a TPU workaround and miscompiles on
+            # this environment's CPU jit)
             bws = band_info(asm.structure)
             ns = tuple(bk[0] for bk in asm.structure.bs)
             bsz = tuple(2 * bw + 1 for bw in bws)
             maps = [jax.device_put(m, device)
                     for m in banded_gather_maps(asm.structure, bws)]
-            to_banded_pair = jax.jit(lambda d: tf.df_from_f64(
-                banded_from_compact_device(d, maps, bsz, ns)))
-            # CPU comparator: native f64 banded residuals (the pair
-            # arithmetic is a TPU workaround and miscompiles on this
-            # environment's CPU jit)
-            op_hi = RestrictedOperator(
-                BandedOperator(None, bws, ns) if on_cpu else
-                BandedOperatorPair(None, bws, ns), free, int(np.prod(ns)))
+            to_banded = jax.jit(
+                lambda d: banded_from_compact_device(d, maps, bsz, ns))
+            op_hi = RestrictedOperator(BandedOperator(None, bws, ns), free,
+                                       int(np.prod(ns)))
             op = MatrixFreeOperator(asm, free_dofs=free, dtype=np.float32)
             P = fastdiag_precond_weighted(asm, dirichlet=True,
                                           dtype=np.float32)
 
             def solve(data):
-                Dh, Dl = to_banded_pair(data)
-                if on_cpu:
-                    op_hi.operands['inner']['D'] = \
-                        Dh.astype(np.float64) + Dl.astype(np.float64)
-                else:
-                    op_hi.operands['inner']['Dh'] = Dh
-                    op_hi.operands['inner']['Dl'] = Dl
+                op_hi.operands['inner']['D'] = to_banded(data)
                 u, info = solvers.cg_ir(op_hi, op, b, tol=1e-8,
                                         precond_lo=P, inner_tol=3e-3,
                                         fetch_info=False)
                 return u, info
+        elif dtype == np.float32 and not on_cpu:
+            from pyiga_tpu.ops.banded import FlatBandedOperator
+            op32 = RestrictedOperator(
+                FlatBandedOperator(None, bws_f, ns_f), free,
+                int(np.prod(ns_f)))
+            P = fastdiag_precond_weighted(asm, dirichlet=True)
+
+            def solve(data):
+                op32.operands['inner']['D3'] = data
+                u, it = solvers.cg_jit(op32, b, tol=1e-8, maxiter=600,
+                                       precond=P)
+                return u, it
         else:
             op = MatrixFreeOperator(asm, free_dofs=free)
             P = fastdiag_precond_weighted(asm, dirichlet=True)
@@ -206,9 +301,13 @@ def run_on(device, dim, n, dtype, repeats=3, measure_split=True):
                 return sum(solvers.cg_ir_info(info)['inner_iters'])
             return int(info)
 
+        def _sync(data):
+            leaf = data[0] if isinstance(data, tuple) else data
+            return float(jnp.sum(leaf))
+
         # warmup / compile
         data = asm_fn(gi)
-        float(jnp.sum(data))
+        _sync(data)
         u, info = solve(data)
         float(jnp.linalg.norm(u))
         iters = count_iters(info)
@@ -220,7 +319,7 @@ def run_on(device, dim, n, dtype, repeats=3, measure_split=True):
             t0 = time.perf_counter()
             data = asm_fn(gi)
             u, _ = solve(data)
-            float(jnp.sum(data) + jnp.linalg.norm(u).astype(data.dtype))
+            float(jnp.linalg.norm(u))
             t_tot = min(t_tot, time.perf_counter() - t0)
 
         # phase split (each phase pays its own sync round-trip)
@@ -228,7 +327,7 @@ def run_on(device, dim, n, dtype, repeats=3, measure_split=True):
         for _ in range(repeats if measure_split else 0):
             t0 = time.perf_counter()
             data = asm_fn(gi)
-            float(jnp.sum(data))
+            _sync(data)
             t1 = time.perf_counter()
             u, _ = solve(data)
             float(jnp.linalg.norm(u))

@@ -135,143 +135,6 @@ def banded_matvec(D, x, bws, ns):
     return y.reshape(-1)
 
 
-################################################################################
-# Pallas kernel (TPU): stream D once, keep x and y resident in VMEM
-################################################################################
-
-def _ceil(x, m):
-    return -(-x // m) * m
-
-
-def banded_matvec_pallas(D_pad, xp, mus, ns, ns_pad, interpret=False):
-    """Pallas banded matvec (3D).
-
-    Args:
-        D_pad: banded data, shape ``(B, n1, n2p, n3p)`` — band-offset
-            combinations flattened into the leading (grid) axis, dof axes
-            zero-padded to TPU tile multiples.
-        xp: band-halo + tile padded input, shape
-            ``(n1 + 2b1, n2p + 2b2, n3p + 2b3)`` (zeros outside the domain).
-        mus: ``(B, 3)`` int32 table of band offsets (scalar-prefetched).
-        ns / ns_pad: logical and padded dof shapes.
-
-    One grid step per band-offset combination: the D block streams through
-    VMEM (DMA-pipelined by Pallas), the shifted window of the VMEM-resident
-    `xp` is multiplied in, and the output block (same block every step)
-    accumulates in VMEM — the data tensor is read exactly once."""
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    B = D_pad.shape[0]
-    n1p, n2p, n3p = ns_pad
-
-    xshape = xp.shape
-
-    def kernel(mus_ref, D_ref, xp_ref, y_ref):
-        step = pl.program_id(0)
-
-        @pl.when(step == 0)
-        def _():
-            y_ref[...] = jnp.zeros_like(y_ref)
-
-        # Mosaic vector loads must be tile-aligned in the (sublane, lane)
-        # dims: slice dynamically along the untiled axis 0, then extract the
-        # shifted window in dims 1/2 by dynamic in-register rotations and a
-        # static aligned prefix.
-        xw = xp_ref[pl.ds(mus_ref[step, 0], n1p), :, :]
-        for axis in (1, 2):
-            m = mus_ref[step, axis]
-            sz = xshape[axis]
-            shift = jax.lax.rem(jnp.int32(sz) - m, jnp.int32(sz))
-            xw = pltpu.roll(xw, shift, axis)
-        y_ref[...] += D_ref[0] * xw[:, :n2p, :n3p]
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, n1p, n2p, n3p), lambda s, mus: (s, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(xp.shape, lambda s, mus: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((n1p, n2p, n3p), lambda s, mus: (0, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )
-    y = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n1p, n2p, n3p), D_pad.dtype),
-        interpret=interpret,
-    )(mus, D_pad, xp)
-    return y[:ns[0], :ns[1], :ns[2]]
-
-
-class PallasBandedOperator:
-    """3D banded operator backed by the Pallas kernel.
-
-    Requires the padded input (``(n1+2b1) * pad8(n2p+2b2) * pad128(n3p+2b3)``
-    elements) to fit in VMEM; use :class:`BandedOperator` otherwise.
-
-    .. note::
-        The kernel extracts shifted input windows with dynamic in-register
-        rotations; the current Mosaic toolchain on this target rejects
-        dynamic sublane rotations ("unsupported unaligned shape"), so the
-        compiled TPU path is unavailable there and the kernel runs in
-        interpreter mode / serves as the reference implementation.  The
-        production solver path is :class:`~pyiga_tpu.ops.matfree.
-        MatrixFreeOperator` (pure MXU matmuls, faster than any assembled
-        matvec measured on hardware); :class:`BandedOperator` is the XLA
-        assembled-operator path."""
-
-    def __init__(self, D, bws, ns, interpret=None):
-        from .. import config
-        assert len(ns) == 3, 'Pallas banded matvec implemented for 3D'
-        self.bws = tuple(bws)
-        self.ns = tuple(ns)
-        bsz = tuple(2 * b + 1 for b in bws)
-        self.shape = (int(np.prod(ns)), int(np.prod(ns)))
-        if interpret is None:
-            interpret = config.pallas_interpret_mode()
-        self.interpret = interpret
-
-        # pad dof axes to tile multiples (sublane 8, lane 128)
-        n1, n2, n3 = ns
-        self.ns_pad = (n1, _ceil(n2, 8), _ceil(n3, 128))
-        Bflat = int(np.prod(bsz))
-        D = D.reshape((Bflat,) + tuple(ns))
-        pad = [(0, 0)] + [(0, p - n) for p, n in zip(self.ns_pad, ns)]
-        self.D_pad = jnp.pad(jnp.asarray(D), pad)
-        self.mus = jnp.asarray(
-            np.stack(np.unravel_index(np.arange(Bflat), bsz), axis=1)
-            .astype(np.int32))
-
-        self._xpad_shape = tuple(p + 2 * b
-                                 for p, b in zip(self.ns_pad, self.bws))
-
-        ns_t, ns_pad_t, bws_t = self.ns, self.ns_pad, self.bws
-        xshape = self._xpad_shape
-        intp = self.interpret
-
-        def apply_with_operands(operands, x):
-            X = x.reshape(ns_t)
-            xp = jnp.zeros(xshape, dtype=x.dtype)
-            xp = jax.lax.dynamic_update_slice(xp, X, bws_t)
-            y = banded_matvec_pallas(operands['D_pad'], xp, operands['mus'],
-                                     ns_t, ns_pad_t, interpret=intp)
-            return y.reshape(-1)
-
-        self.operands = {'D_pad': self.D_pad, 'mus': self.mus}
-        self.apply_with_operands = apply_with_operands
-        self._jit_apply = jax.jit(apply_with_operands)
-
-    def matvec(self, x):
-        return self._jit_apply(self.operands, x)
-
-    def __call__(self, x):
-        return self.matvec(x)
-
-
 class BandedOperator:
     """Device-resident banded operator with a fast matvec; built from an
     :class:`~pyiga_tpu.mlmatrix.MLMatrix` (or directly from banded data)."""
@@ -379,3 +242,370 @@ class BandedOperatorPair:
         return self.matvec(x)
 
 
+
+
+################################################################################
+# Flat-offset Pallas matvec: the whole d-D banded product as 1D static shifts
+################################################################################
+#
+# Key reduction: embed the banded data into the halo-padded dof grid
+# (zeros on the halo and outside the band clip).  Then for every band-offset
+# combination mu the contribution is an ELEMENTWISE product of the embedded
+# data with the input shifted by the single FLAT offset
+#
+#     off(mu) = sum_k (mu_k - b_k) * stride_k(padded grid),
+#
+# because the zero entries of the embedded data mask every row-wrap and
+# boundary artifact of flat shifting.  All offsets are static, so the kernel
+# unrolls them with static sublane/lane rolls — the dynamic sublane
+# rotations that Mosaic rejects never appear.
+# x and y stay VMEM-resident; the data streams from HBM exactly once via
+# double-buffered DMA.  This replaces the reference's compact matvec
+# (/root/reference/pyiga/mlmatrix_cy.pyx:295 ml_matvec_3d) as the assembled
+# fast matvec on TPU.
+
+
+def flat_banded_layout(bws, ns):
+    """Static layout info: padded grid shape, flat length F, row count R
+    (lanes of 128), per-combo flat shifts (relative, >= 0) and the lead
+    padding rows needed so every shift is nonnegative."""
+    d = len(ns)
+    bsz = tuple(2 * b + 1 for b in bws)
+    np_ = tuple(n + 2 * b for n, b in zip(ns, bws))
+    F = int(np.prod(np_))
+    strides = [int(np.prod(np_[k + 1:])) for k in range(d)]
+    offs = []
+    for mu in np.ndindex(*bsz):
+        offs.append(sum((m - b) * s for m, b, s in zip(mu, bws, strides)))
+    offs = np.asarray(offs, np.int64)
+    lead = int(-offs.min())             # zeros prepended to x
+    shifts = (offs + lead).astype(np.int64)
+    R = -(-F // 128)
+    # x rows: lead + F + max shift tail, in whole lanes
+    RX = -(-int(lead + F + offs.max() + 1) // 128) + 1
+    # grid decomposition: the kernel iterates the LEADING band dimension as
+    # its grid (the mu_1 part of the shift is absorbed into per-step
+    # pre-sliced copies of x), so only the prod(bsz[1:]) inner combos are
+    # statically unrolled in the body.  inner shift for (mu_2..mu_d) is
+    # sum mu_k * stride_k  (in [0, sum (bsz_k-1) stride_k]).
+    C1 = bsz[0]
+    C23 = int(np.prod(bsz[1:])) if d > 1 else 1
+    inner = []
+    for mu in np.ndindex(*bsz[1:]):
+        inner.append(int(sum(m * s for m, s in zip(mu, strides[1:]))))
+    max_inner = max(inner)
+    RXi = -(-int(F + max_inner + 1) // 128) + 1
+    return {'np_': np_, 'F': F, 'R': R, 'RX': RX, 'lead': lead,
+            'shifts': [int(s) for s in shifts], 'bsz': bsz,
+            'C1': C1, 'C23': C23, 'inner': inner, 'RXi': RXi,
+            'S1': strides[0]}
+
+
+def flat_banded_data(D, bws, ns):
+    """Embed banded data ``(b..., n...)`` into the flat halo-padded layout:
+    returns ``(C, R, 128)`` with zero halo/padding (any dtype)."""
+    lay = flat_banded_layout(bws, ns)
+    bsz, np_, F, R = lay['bsz'], lay['np_'], lay['F'], lay['R']
+    C = int(np.prod(bsz))
+    D = np.asarray(D).reshape((C,) + tuple(ns))
+    full = np.zeros((C,) + np_, dtype=D.dtype)
+    interior = tuple(slice(b, b + n) for b, n in zip(bws, ns))
+    full[(slice(None),) + interior] = D
+    flat = np.zeros((C, R * 128), dtype=D.dtype)
+    flat[:, :F] = full.reshape(C, F)
+    return flat.reshape(C, R, 128)
+
+
+def _flat_shift_tiles(X, off):
+    """w[r*128+l] = X[(r*128+l) + off] for a static off >= 0, X (RX, 128):
+    two static rolls + a lane-mask select (wrap reads land on halo rows
+    whose data factor is zero)."""
+    from jax.experimental.pallas import tpu as pltpu
+    sr, sl = off // 128, off % 128
+    RX = X.shape[0]
+
+    def roll(A, shift, axis):
+        # non-negative int32 shifts: pltpu.roll rejects negatives, and
+        # Python-int shifts lower to i64 under x64 (Mosaic wants i32)
+        return pltpu.roll(A, jnp.int32(shift), axis)
+
+    # a backward roll by s is a forward roll by dim - s
+    B = roll(X, (RX - sr) % RX, 0) if sr else X
+    if sl == 0:
+        return B
+    C1 = roll(B, 128 - sl, 1)
+    C2 = roll(C1, RX - 1, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, X.shape, 1)
+    return jnp.where(lane < 128 - sl, C1, C2)
+
+
+def _pick_dma_chunk(C23, R, n_pair, budget=9 * 2 ** 20):
+    """DMA chunk size (combos per transfer): large transfers amortize the
+    per-DMA issue cost; bounded by a VMEM budget for the double-buffered
+    (2 x n_pair x G) data blocks."""
+    block = R * 128 * 4
+    G = max(1, budget // (2 * n_pair * block))
+    return int(min(G, C23))
+
+
+def _make_flat_kernel(inner_shifts, C23, R, n_pair, G=1):
+    """Kernel body: grid iterates the leading band dimension (its shift is
+    pre-applied in the per-step x copy); the C23 inner combos are unrolled
+    with static rolls.  D (pair) streams from HBM with double-buffered DMA;
+    y (pair) accumulates in VMEM across grid steps."""
+    from jax.experimental.pallas import tpu as pltpu
+    import jax.experimental.pallas as pl
+    from . import twofloat as tf
+
+    n_chunks = -(-C23 // G)
+
+    if n_pair == 1:
+        def kernel(x_ref, d_hbm, y_ref, dbuf, sem):
+            m1 = pl.program_id(0)
+            base = jnp.int32(m1) * jnp.int32(C23)
+
+            def dma(slot, g):
+                # chunked copy: G combos per DMA (fewer, larger transfers)
+                sz = min(G, C23 - g * G)
+                return pltpu.make_async_copy(
+                    d_hbm.at[pl.ds(base + jnp.int32(g * G), sz)],
+                    dbuf.at[jnp.int32(slot), pl.ds(0, sz)],
+                    sem.at[jnp.int32(slot)])
+
+            dma(0, 0).start()
+
+            @pl.when(m1 == 0)
+            def _():
+                y_ref[...] = jnp.zeros_like(y_ref)
+
+            X = x_ref[0]
+            for g in range(n_chunks):
+                slot = g % 2
+                if g + 1 < n_chunks:
+                    dma(1 - slot, g + 1).start()
+                dma(slot, g).wait()
+                for ci in range(min(G, C23 - g * G)):
+                    c = g * G + ci
+                    w = _flat_shift_tiles(X, inner_shifts[c])
+                    y_ref[...] += dbuf[slot, ci] * w[:R, :]
+        return kernel
+
+    def kernel_pair(xh_ref, xl_ref, dh_hbm, dl_hbm, yh_ref, yl_ref,
+                    dbuf, sem):
+        m1 = pl.program_id(0)
+        base = jnp.int32(m1) * jnp.int32(C23)
+
+        def dma(slot, g, src, half):
+            sz = min(G, C23 - g * G)
+            return pltpu.make_async_copy(
+                src.at[pl.ds(base + jnp.int32(g * G), sz)],
+                dbuf.at[jnp.int32(slot), jnp.int32(half), pl.ds(0, sz)],
+                sem.at[jnp.int32(slot), jnp.int32(half)])
+
+        dma(0, 0, dh_hbm, 0).start()
+        dma(0, 0, dl_hbm, 1).start()
+
+        @pl.when(m1 == 0)
+        def _():
+            yh_ref[...] = jnp.zeros_like(yh_ref)
+            yl_ref[...] = jnp.zeros_like(yl_ref)
+
+        Xh = xh_ref[0]
+        Xl = xl_ref[0]
+        for g in range(n_chunks):
+            slot = g % 2
+            if g + 1 < n_chunks:
+                dma(1 - slot, g + 1, dh_hbm, 0).start()
+                dma(1 - slot, g + 1, dl_hbm, 1).start()
+            dma(slot, g, dh_hbm, 0).wait()
+            dma(slot, g, dl_hbm, 1).wait()
+            for ci in range(min(G, C23 - g * G)):
+                c = g * G + ci
+                wh = _flat_shift_tiles(Xh, inner_shifts[c])[:R, :]
+                wl = _flat_shift_tiles(Xl, inner_shifts[c])[:R, :]
+                ph, pl_ = tf.df_mul((dbuf[slot, 0, ci], dbuf[slot, 1, ci]),
+                                    (wh, wl))
+                sh, sl_ = tf.df_add((yh_ref[...], yl_ref[...]), (ph, pl_))
+                yh_ref[...] = sh
+                yl_ref[...] = sl_
+    return kernel_pair
+
+
+def _flat_call(lay, D3, x7, interpret=False):
+    """f32 flat matvec kernel: D3 (C, R, 128) combos leading-band-major,
+    x7 (C1, RXi, 128) per-leading-offset pre-sliced input copies."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    R, RXi, C1, C23 = lay['R'], lay['RXi'], lay['C1'], lay['C23']
+    G = _pick_dma_chunk(C23, R, n_pair=1)
+    kernel = _make_flat_kernel(tuple(lay['inner']), C23, R, 1, G=G)
+    return pl.pallas_call(
+        kernel,
+        grid=(C1,),
+        # index maps use s*0 for constant positions (mixed i64/i32 index
+        # tuples fail Mosaic legalization under jax_enable_x64)
+        in_specs=[pl.BlockSpec((1, RXi, 128), lambda s: (s, s * 0, s * 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((R, 128), lambda s: (s * 0, s * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, G, R, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+    )(x7, D3)
+
+
+def _flat_call_pair(lay, Dh3, Dl3, xh7, xl7, interpret=False):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    R, RXi, C1, C23 = lay['R'], lay['RXi'], lay['C1'], lay['C23']
+    G = _pick_dma_chunk(C23, R, n_pair=2)
+    kernel = _make_flat_kernel(tuple(lay['inner']), C23, R, 2, G=G)
+    return pl.pallas_call(
+        kernel,
+        grid=(C1,),
+        in_specs=[pl.BlockSpec((1, RXi, 128), lambda s: (s, s * 0, s * 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, RXi, 128), lambda s: (s, s * 0, s * 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[pl.BlockSpec((R, 128), lambda s: (s * 0, s * 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((R, 128), lambda s: (s * 0, s * 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((R, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((R, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((2, 2, G, R, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2, 2))],
+        interpret=interpret,
+    )(xh7, xl7, Dh3, Dl3)
+
+
+def _embed_x(lay, bws, ns, X):
+    """Embed the (ns) input grid into C1 leading-offset-shifted flat copies
+    of shape (C1, RXi, 128): copy m1 starts at flat position m1 * S1 of the
+    fully halo-padded input, so the kernel's inner shifts stay in
+    [0, max_inner]."""
+    np_, C1, S1, RXi = lay['np_'], lay['C1'], lay['S1'], lay['RXi']
+    lead, F = lay['lead'], lay['F']
+    xp = jnp.zeros(np_, dtype=X.dtype)
+    xp = jax.lax.dynamic_update_slice(xp, X, tuple(bws))
+    # prefix `lead` zeros: copy m1 = prefixed[m1*S1 : ...] then equals
+    # xp_flat[q + (m1 - b1)*S1 - lead_rest], so the kernel's inner combo
+    # shifts (sum_{k>=2} mu_k * stride_k) are all nonnegative
+    L = (C1 - 1) * S1 + RXi * 128
+    assert lead + F <= L
+    flat = jnp.zeros((L,), dtype=X.dtype)
+    flat = jax.lax.dynamic_update_slice(flat, xp.reshape(-1), (lead,))
+    copies = [jax.lax.dynamic_slice(flat, (m1 * S1,), (RXi * 128,))
+              for m1 in range(C1)]
+    return jnp.stack(copies).reshape(C1, RXi, 128)
+
+
+def _extract_y(lay, bws, ns, y2):
+    F, np_ = lay['F'], lay['np_']
+    yp = y2.reshape(-1)[:F].reshape(np_)
+    return jax.lax.dynamic_slice(yp, tuple(bws), tuple(ns)).reshape(-1)
+
+
+class FlatBandedOperator:
+    """f32 banded operator on the flat-offset Pallas kernel (any dimension;
+    the data tensor streams HBM exactly once per matvec, x/y stay in VMEM).
+    Requires ``(RX + 3R + small) * 512`` bytes of VMEM — fine up to ~1M dofs."""
+
+    def __init__(self, D, bws, ns, interpret=None):
+        from .. import config
+        self.bws, self.ns = tuple(bws), tuple(ns)
+        self.shape = (int(np.prod(ns)), int(np.prod(ns)))
+        self.lay = flat_banded_layout(self.bws, self.ns)
+        if interpret is None:
+            interpret = config.pallas_interpret_mode()
+        self._interpret = interpret
+        D3 = None
+        if D is not None:
+            D3 = jnp.asarray(flat_banded_data(np.asarray(D, np.float32),
+                                              self.bws, self.ns))
+        self.operands = {'D3': D3}
+        lay, bws_t, ns_t, intp = self.lay, self.bws, self.ns, interpret
+
+        def apply_with_operands(operands, x):
+            x2 = _embed_x(lay, bws_t, ns_t, x.reshape(ns_t))
+            y2 = _flat_call(lay, operands['D3'], x2, interpret=intp)
+            return _extract_y(lay, bws_t, ns_t, y2)
+
+        self.apply_with_operands = apply_with_operands
+        self._jit_apply = jax.jit(apply_with_operands)
+
+    def set_data_banded_device(self, D_banded):
+        """Traced/on-device update: scatter a ``(b..., n...)`` banded array
+        into the flat layout (for use inside a fused assemble+solve jit use
+        :func:`flat_banded_embed_device`)."""
+        self.operands['D3'] = flat_banded_embed_device(
+            D_banded, self.bws, self.ns, self.lay)
+
+    def matvec(self, x):
+        return self._jit_apply(self.operands, x)
+
+    def __call__(self, x):
+        return self.matvec(x)
+
+
+def flat_banded_embed_device(D_banded, bws, ns, lay=None):
+    """Traced: embed a banded ``(b..., n...)`` (or ``(C,) + ns``) device
+    array into the flat kernel layout ``(C, R, 128)`` with zero halo."""
+    if lay is None:
+        lay = flat_banded_layout(tuple(bws), tuple(ns))
+    C = int(np.prod(lay['bsz']))
+    D = D_banded.reshape((C,) + tuple(ns))
+    full = jnp.zeros((C,) + lay['np_'], dtype=D.dtype)
+    full = jax.lax.dynamic_update_slice(full, D, (0,) + tuple(bws))
+    flat = jnp.zeros((C, lay['R'] * 128), dtype=D.dtype)
+    flat = jax.lax.dynamic_update_slice(flat, full.reshape(C, -1), (0, 0))
+    return flat.reshape(C, lay['R'], 128)
+
+
+class FlatBandedOperatorPair:
+    """Two-float flat banded operator: f64-accurate matvecs (~2^-45) with
+    the pair data streamed once per call — the high-precision residual
+    operator for :func:`~pyiga_tpu.solvers.cg_ir` (replaces the fori-loop
+    :class:`BandedOperatorPair`, which re-reads HBM per offset)."""
+
+    def __init__(self, D_pair, bws, ns, interpret=None):
+        from .. import config
+        from . import twofloat as tf
+        self.bws, self.ns = tuple(bws), tuple(ns)
+        self.shape = (int(np.prod(ns)), int(np.prod(ns)))
+        self.lay = flat_banded_layout(self.bws, self.ns)
+        if interpret is None:
+            interpret = config.pallas_interpret_mode()
+        self._interpret = interpret
+        Dh3 = Dl3 = None
+        if D_pair is not None:
+            Dh3 = jnp.asarray(flat_banded_data(
+                np.asarray(D_pair[0], np.float32), self.bws, self.ns))
+            Dl3 = jnp.asarray(flat_banded_data(
+                np.asarray(D_pair[1], np.float32), self.bws, self.ns))
+        self.operands = {'Dh3': Dh3, 'Dl3': Dl3}
+        lay, bws_t, ns_t, intp = self.lay, self.bws, self.ns, interpret
+
+        def apply_with_operands(operands, x):
+            xh, xl = tf.df_from_f64(x.reshape(ns_t))
+            xh2 = _embed_x(lay, bws_t, ns_t, xh)
+            xl2 = _embed_x(lay, bws_t, ns_t, xl)
+            yh2, yl2 = _flat_call_pair(lay, operands['Dh3'],
+                                       operands['Dl3'], xh2, xl2,
+                                       interpret=intp)
+            yh = _extract_y(lay, bws_t, ns_t, yh2)
+            yl = _extract_y(lay, bws_t, ns_t, yl2)
+            return yh.astype(jnp.float64) + yl.astype(jnp.float64)
+
+        self.apply_with_operands = apply_with_operands
+        self._jit_apply = jax.jit(apply_with_operands)
+
+    def matvec(self, x):
+        return self._jit_apply(self.operands, x)
+
+    def __call__(self, x):
+        return self.matvec(x)

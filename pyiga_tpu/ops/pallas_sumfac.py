@@ -78,9 +78,7 @@ def _slice_pair_cols(hi, lo):
     return chunks, s
 
 
-def _stage_tile(xh, xl, tc_ref, ts_ref):
-    chunks, s_col = _slice_pair_cols(xh, xl)
-
+def _dots_from_chunks(chunks, s_col, tc_ref, ts_ref):
     acc = None
     for d in range(_L):
         diag = None
@@ -98,15 +96,44 @@ def _stage_tile(xh, xl, tc_ref, ts_ref):
     return acc[0] * scale, acc[1] * scale
 
 
-def _stage_kernel(xh_ref, xl_ref, tc_ref, ts_ref, oh_ref, ol_ref):
+def _stage_tile(xh, xl, tc_ref, ts_ref):
+    chunks, s_col = _slice_pair_cols(xh, xl)
+    return _dots_from_chunks(chunks, s_col, tc_ref, ts_ref)
+
+
+def _stage_tile_cached(xh_ref, xl_ref, tc_ref, ts_ref, ck_ref, sc_ref):
+    """Chunk-cached tile: the bf16 mantissa slicing of the field pair (the
+    dominant VPU cost) depends only on the (r-tile, K-block) — recompute it
+    once per r-tile (grid iterates M-tiles fastest when there is a single
+    K-block) and reuse from scratch for the remaining M-tiles."""
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        chunks, s_col = _slice_pair_cols(xh_ref[...], xl_ref[...])
+        for i in range(_L):
+            ck_ref[i] = chunks[i]
+        sc_ref[...] = s_col
+
+    chunks = [ck_ref[i] for i in range(_L)]
+    return _dots_from_chunks(chunks, sc_ref[...], tc_ref, ts_ref)
+
+
+def _stage_kernel(xh_ref, xl_ref, tc_ref, ts_ref, oh_ref, ol_ref,
+                  ck_ref=None, sc_ref=None):
     """Grid = (R-tiles, M-tiles, K-blocks); the K axis is innermost so the
     output pair block stays resident in VMEM and accumulates the per-block
     partial results with exact two-float adds (long contraction axes split
     into <= _K_MAX blocks; each block's Ozaki split is independently exact,
     so the K-split preserves the accuracy guarantee — same scheme as
-    sumfac._ozaki_contract_axis_pair's block path)."""
+    sumfac._ozaki_contract_axis_pair's block path).  With chunk scratch
+    (single-K-block grids) the bf16 slicing runs once per r-tile."""
     from jax.experimental import pallas as pl
-    hi, lo = _stage_tile(xh_ref[...], xl_ref[...], tc_ref, ts_ref)
+    if ck_ref is not None:
+        hi, lo = _stage_tile_cached(xh_ref, xl_ref, tc_ref, ts_ref,
+                                    ck_ref, sc_ref)
+    else:
+        hi, lo = _stage_tile(xh_ref[...], xl_ref[...], tc_ref, ts_ref)
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
@@ -122,13 +149,17 @@ def _stage_kernel(xh_ref, xl_ref, tc_ref, ts_ref, oh_ref, ol_ref):
 
 
 def _stage_kernel_acc(xh_ref, xl_ref, tc_ref, ts_ref, ah_ref, al_ref,
-                      oh_ref, ol_ref):
+                      oh_ref, ol_ref, ck_ref=None, sc_ref=None):
     """Accumulating variant: the running two-float sum rides in aliased
     input/output buffers, so summing the six chains needs no separate
     (HBM-bound) pair-add passes.  K-blocks > 0 accumulate onto the output
     block like :func:`_stage_kernel`."""
     from jax.experimental import pallas as pl
-    hi, lo = _stage_tile(xh_ref[...], xl_ref[...], tc_ref, ts_ref)
+    if ck_ref is not None:
+        hi, lo = _stage_tile_cached(xh_ref, xl_ref, tc_ref, ts_ref,
+                                    ck_ref, sc_ref)
+    else:
+        hi, lo = _stage_tile(xh_ref[...], xl_ref[...], tc_ref, ts_ref)
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
@@ -231,6 +262,14 @@ def _stage_call(xh, xl, t_chunks, t_scale, acc_h=None, acc_l=None,
         kernel, alias = _stage_kernel_acc, {4: 0, 5: 1}
     else:
         kernel, alias = _stage_kernel, {}
+    # chunk caching across M-tiles (measured on v5e: the when-guarded
+    # slicing serializes against Mosaic's pipeline and costs more than the
+    # recompute — disabled; kept for toolchains where it pays)
+    scratch = []
+    if False and grid[2] == 1 and grid[1] > 1:
+        from jax.experimental.pallas import tpu as pltpu
+        scratch = [pltpu.VMEM((_L, k_blk, r_blk), jnp.bfloat16),
+                   pltpu.VMEM((1, r_blk), jnp.float32)]
     oh, ol = pl.pallas_call(
         kernel,
         grid=grid,
@@ -238,6 +277,7 @@ def _stage_call(xh, xl, t_chunks, t_scale, acc_h=None, acc_l=None,
         out_specs=out_specs,
         out_shape=out_shape,
         input_output_aliases=alias,
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*operands)
     return oh, ol
@@ -423,3 +463,42 @@ def assemble_terms_folded_pallas(tables_prepped_per_term, field_pairs,
         sym = tf.df_add(sym, (hiT, loT))
         out = sym if out is None else tf.df_add(out, sym)
     return tf.df_to_f64(out)
+
+
+def assemble_banded_pair_pallas(tables_prepped_per_term, field_pairs,
+                                fold_plan, tperms_banded, bsz, ns,
+                                r_block=512, interpret=False):
+    """Folded pair chains over BANDED pair tables: returns the regular
+    banded data tensor ``(b_1..b_d, n_1..n_d)`` as an f32 two-float pair —
+    never materializing the f64 compact tensor or paying the separate
+    compact->banded gather conversion (the solver-facing f64 assembly path).
+
+    `tperms_banded`: per-axis transpose permutations of the PADDED
+    banded-flat axes (:func:`~pyiga_tpu.ops.sumfac.banded_transpose_perm`
+    extended with identity on the padding rows)."""
+    def chain_sum(idxs):
+        acc, dims = None, None
+        for t in idxs:
+            acc, dims = _chain_pair_padded(
+                tables_prepped_per_term[t], field_pairs[t], acc=acc,
+                r_block=r_block, interpret=interpret)
+        return acc, dims
+
+    direct = [t for t, m in fold_plan if not m]
+    mirrored = [t for t, m in fold_plan if m]
+    out = dims = None
+    if direct:
+        out, dims = chain_sum(direct)
+    if mirrored:
+        sym, dims = chain_sum(mirrored)
+        hiT, loT = sym
+        for k, p in enumerate(tperms_banded):
+            hiT = jnp.take(hiT, p, axis=k)
+            loT = jnp.take(loT, p, axis=k)
+        sym = tf.df_add(sym, (hiT, loT))
+        out = sym if out is None else tf.df_add(out, sym)
+    index = tuple(slice(0, b * n) for b, n in zip(bsz, ns))
+    from . import sumfac as sf
+    hi = sf.banded_reorder(out[0][index], bsz, ns)
+    lo = sf.banded_reorder(out[1][index], bsz, ns)
+    return hi, lo

@@ -80,16 +80,38 @@ def test_matfree_cg_solve():
     assert r < 1e-8 and int(it) < 2000
 
 
-def test_pallas_banded_matvec_interpret():
-    from pyiga_tpu.ops.banded import PallasBandedOperator
-    kvs, geo = _setup(p=2, n=5)
-    asm = StiffnessAssembler(kvs, geo)
-    K = asm.assemble()
-    op0 = asm.assemble_banded()
-    pop = PallasBandedOperator(op0.D, op0.bws, op0.ns, interpret=True)
-    x = np.random.rand(K.shape[1])
-    y = np.asarray(pop.matvec(jnp.asarray(x)))
-    assert np.allclose(y, K.asmatrix() @ x)
+def test_flat_banded_matvec_interpret():
+    # flat-offset Pallas banded matvec (runs compiled on TPU; interpret
+    # here): f32 single and two-float pair, 3D and 2D
+    from pyiga_tpu.ops import twofloat as tf
+    from pyiga_tpu.ops.banded import (FlatBandedOperator,
+                                      FlatBandedOperatorPair,
+                                      banded_gather_maps,
+                                      banded_from_compact_device)
+
+    for d, p, n in ((3, 1, 4), (2, 2, 6)):
+        kvs, geo = _setup(p=p, n=n, d=d)
+        asm = StiffnessAssembler(kvs, geo)
+        mlm = asm.assemble()
+        bws = band_info(asm.structure)
+        ns = tuple(b[0] for b in asm.structure.bs)
+        bsz = tuple(2 * b + 1 for b in bws)
+        maps = [jnp.asarray(m) for m in banded_gather_maps(asm.structure,
+                                                           bws)]
+        D64 = banded_from_compact_device(jnp.asarray(mlm.data), maps, bsz,
+                                         ns)
+        x = np.random.RandomState(0).rand(int(np.prod(ns)))
+        ref = mlm.asmatrix() @ x
+
+        op = FlatBandedOperator(np.asarray(D64), bws, ns, interpret=True)
+        y = np.asarray(op.matvec(jnp.asarray(x, jnp.float32)))
+        assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+
+        Dh, Dl = tf.df_from_f64(D64)
+        opp = FlatBandedOperatorPair((np.asarray(Dh), np.asarray(Dl)),
+                                     bws, ns, interpret=True)
+        y2 = np.asarray(opp.matvec(jnp.asarray(x)))
+        assert np.abs(y2 - ref).max() / np.abs(ref).max() < 1e-12
 
 
 def test_symmetric_fold():
@@ -479,3 +501,48 @@ def test_pallas_kblock_split_interpret():
     out = np.asarray(oh.astype(np.float64) + ol.astype(np.float64))[:, :M]
     ref = (T @ X).T
     assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-12
+
+
+@pytest.mark.slow
+def test_banded_pair_assembly_pallas_interpret():
+    # solver-layout assembly: pair chains over banded tables -> pair
+    # mirror/combine -> banded (b..., n...) pair, never materializing the
+    # f64 compact tensor (the bench f64 path; compiled on TPU, interpret
+    # here)
+    from pyiga_tpu.ops import pallas_sumfac as ps
+    from pyiga_tpu.ops import sumfac
+    from pyiga_tpu.ops import twofloat as tf
+    from pyiga_tpu.ops.banded import (band_info, banded_gather_maps,
+                                      banded_from_compact_device)
+
+    # smallest shape the stage kernel tiles: K = n*nqp = 128, rest >= 128
+    kvs, geo = _setup(p=3, n=32, d=2)
+    asm = StiffnessAssembler(kvs, geo)
+    bws = band_info(asm.structure)
+    ns = tuple(b[0] for b in asm.structure.bs)
+    bsz = tuple(2 * b + 1 for b in bws)
+    plan = tuple(asm._fold()[0])
+    btabs = asm.tables.banded_term_tables(asm.terms, bws)
+    prepped = [[ps.prepare_table(T) for T in tabs] for tabs in btabs]
+    tperms = []
+    for bw, n in zip(bws, ns):
+        pcore = sumfac.banded_transpose_perm(n, bw)
+        Mp = ps._pad_lanes(len(pcore))
+        full = np.arange(Mp)
+        full[:len(pcore)] = pcore
+        tperms.append(jnp.asarray(full))
+    gi = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(np.asarray(a, np.float64))
+        if np.issubdtype(np.asarray(a).dtype, np.floating)
+        else jnp.asarray(a), asm._geo_inputs)
+    from pyiga_tpu.assemblers import stiffness_fields_df_pair
+    F = stiffness_fields_df_pair(gi)
+    Dh, Dl = ps.assemble_banded_pair_pallas(prepped, F, plan, tperms,
+                                            bsz, ns, interpret=True)
+    got = np.asarray(Dh, np.float64) + np.asarray(Dl, np.float64)
+
+    mlm = asm.assemble(mode='exact')
+    maps = [jnp.asarray(m) for m in banded_gather_maps(asm.structure, bws)]
+    ref = np.asarray(banded_from_compact_device(jnp.asarray(mlm.data),
+                                                maps, bsz, ns))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-12
