@@ -92,31 +92,29 @@ def _f64_assembly_fns(asm, dev, use_pallas):
     if use_pallas:
         from pyiga_tpu.ops import pallas_sumfac as ps
         btabs = asm.tables.banded_term_tables(asm.terms, bws)
+        any_mirror = any(m for _t, m in plan)
+        if any_mirror:
+            # direct (self-mirrored) terms enter halved: the fused relayout
+            # evaluates direct + sym + sym^T as slice1 + sliceT
+            direct_set = {t for t, m in plan if not m}
+            btabs = [[0.5 * tabs[0]] + list(tabs[1:]) if t in direct_set
+                     else tabs for t, tabs in enumerate(btabs)]
         prepped = [[ps.prepare_table(T) for T in tabs] for tabs in btabs]
         parrs = [[(jax.device_put(c, dev), jax.device_put(s, dev))
                   for (c, s, _M) in tabs] for tabs in prepped]
         Ms = tuple(tuple(M for (_c, _s, M) in tabs) for tabs in prepped)
-        tperms = []
-        for bw, n in zip(bws, ns):
-            pcore = sumfac.banded_transpose_perm(n, bw)
-            Mp = ps._pad_lanes(len(pcore))
-            fullp = np.arange(Mp)
-            fullp[:len(pcore)] = pcore
-            tperms.append(jax.device_put(jnp.asarray(fullp), dev))
 
-        def full(gi, parrs, tperms):
+        def full(gi, parrs):
             F = ps.stiffness_fields_pallas(gi)
             tp = [[(c, s, M) for ((c, s), M) in zip(ta, Ma)]
                   for ta, Ma in zip(parrs, Ms)]
-            Dh, Dl = ps.assemble_banded_pair_pallas(tp, F, plan, tperms,
-                                                    bsz, ns)
-            return (flat_banded_embed_device(Dh, bws, ns, lay),
-                    flat_banded_embed_device(Dl, bws, ns, lay))
+            return ps.assemble_flat_banded_pair_pallas(tp, F, plan,
+                                                       bws, ns, lay)
 
         jfull = jax.jit(full)
 
         def asm_fn(gi):
-            return jfull(gi, parrs, tperms)
+            return jfull(gi, parrs)
         return asm_fn, lay, bws, ns
 
     # XLA fallback: compact pair chains + device conversion + split

@@ -609,3 +609,55 @@ class FlatBandedOperatorPair:
 
     def __call__(self, x):
         return self.matvec(x)
+
+
+def flat_banded_pair_from_padded_chain(Z_pair, bws, ns, lay=None,
+                                       add_transpose=True):
+    """Traced: produce the flat matvec layout ``(C, R, 128)`` pair directly
+    from the PADDED interleaved chain output, fusing the symmetric
+    mirror/combine, the banded reorder and the flat-layout embed into one
+    pass of static box slices.
+
+    ``Z_pair = (Zh, Zl)`` is the chain accumulator with axis-k position
+    ``mu_k * n_k + i_k`` (extent >= (2b_k+1) n_k; trailing padding rows
+    ignored).  For every band combo ``mu`` the direct part is the box
+    slice ``Z[mu, i]`` embedded at halo offset b, and the transpose part
+    is the shifted box ``Z[2b - mu, j = i + mu - b]`` — both static slices
+    (cheap XLA copies; a general gather here is ~30x slower on TPU).
+
+    With ``add_transpose`` the caller must chain ALL terms into one
+    accumulator with the direct (self-mirrored) terms' tables prescaled by
+    0.5: the two slices then evaluate direct + sym + sym^T exactly (each
+    direct term is bitwise symmetric, so half of it arrives from each
+    slice)."""
+    from . import twofloat as tf
+    d = len(ns)
+    if lay is None:
+        lay = flat_banded_layout(tuple(bws), tuple(ns))
+    np_, bsz, F, R = lay['np_'], lay['bsz'], lay['F'], lay['R']
+    Zh, Zl = Z_pair
+    outs_h, outs_l = [], []
+    for mu in np.ndindex(*bsz):
+        sl1 = tuple(slice(m * n, m * n + n) for m, n in zip(mu, ns))
+        pad1 = tuple((b, b) for b in bws)
+        h = jnp.pad(Zh[sl1], pad1)
+        l = jnp.pad(Zl[sl1], pad1)
+        if add_transpose:
+            slT, padT = [], []
+            for m, b, n in zip(mu, bws, ns):
+                s = m - b
+                start = (2 * b - m) * n + max(0, s)
+                ln = n - abs(s)
+                slT.append(slice(start, start + ln))
+                lo = b + max(0, -s)
+                padT.append((lo, n + 2 * b - lo - ln))
+            hT = jnp.pad(Zh[tuple(slT)], tuple(padT))
+            lT = jnp.pad(Zl[tuple(slT)], tuple(padT))
+            h, l = tf.df_add((h, l), (hT, lT))
+        outs_h.append(h.reshape(-1))
+        outs_l.append(l.reshape(-1))
+    C = len(outs_h)
+    padF = ((0, 0), (0, R * 128 - F))
+    H = jnp.pad(jnp.stack(outs_h), padF).reshape(C, R, 128)
+    L = jnp.pad(jnp.stack(outs_l), padF).reshape(C, R, 128)
+    return H, L

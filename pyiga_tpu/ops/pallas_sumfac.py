@@ -502,3 +502,26 @@ def assemble_banded_pair_pallas(tables_prepped_per_term, field_pairs,
     hi = sf.banded_reorder(out[0][index], bsz, ns)
     lo = sf.banded_reorder(out[1][index], bsz, ns)
     return hi, lo
+
+
+def assemble_flat_banded_pair_pallas(tables_prepped_per_term, field_pairs,
+                                     fold_plan, bws, ns, lay=None,
+                                     r_block=512, interpret=False):
+    """Fused solver-layout assembly: ALL terms chain into ONE accumulator
+    ``Z`` (with mirrored terms present the caller prescales the
+    direct/self-mirrored terms' tables by 0.5), then the flat matvec
+    layout falls out of two static box slices per band combo
+    (:func:`~pyiga_tpu.ops.banded.flat_banded_pair_from_padded_chain`),
+    fusing the symmetric mirror/combine, the banded reorder and the
+    flat-layout embed into one pass.  Exact because each direct term is
+    bitwise symmetric (equal banded table rows give bitwise-equal chain
+    outputs), so half of it arrives from each slice."""
+    from .banded import flat_banded_pair_from_padded_chain
+    acc = None
+    for t, _m in fold_plan:
+        acc, _ = _chain_pair_padded(tables_prepped_per_term[t],
+                                    field_pairs[t], acc=acc,
+                                    r_block=r_block, interpret=interpret)
+    any_mirror = any(m for _t, m in fold_plan)
+    return flat_banded_pair_from_padded_chain(
+        acc, bws, ns, lay=lay, add_transpose=any_mirror)

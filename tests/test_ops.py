@@ -546,3 +546,45 @@ def test_banded_pair_assembly_pallas_interpret():
     ref = np.asarray(banded_from_compact_device(jnp.asarray(mlm.data),
                                                 maps, bsz, ns))
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-12
+
+@pytest.mark.slow
+def test_flat_banded_pair_assembly_pallas_interpret():
+    # fully fused solver-layout assembly: ALL terms into ONE accumulator
+    # (direct tables prescaled by 0.5), then two static box slices per
+    # band combo produce the flat matvec layout directly (the bench f64
+    # headline path; compiled on TPU, interpret here)
+    from pyiga_tpu.ops import pallas_sumfac as ps
+    from pyiga_tpu.ops.banded import (band_info, flat_banded_data,
+                                      flat_banded_layout)
+
+    kvs, geo = _setup(p=3, n=32, d=2)
+    asm = StiffnessAssembler(kvs, geo)
+    bws = band_info(asm.structure)
+    ns = tuple(b[0] for b in asm.structure.bs)
+    lay = flat_banded_layout(tuple(bws), ns)
+    plan = tuple(asm._fold()[0])
+    btabs = asm.tables.banded_term_tables(asm.terms, bws)
+    direct_set = {t for t, m in plan if not m}
+    btabs = [[0.5 * tabs[0]] + list(tabs[1:]) if t in direct_set else tabs
+             for t, tabs in enumerate(btabs)]
+    prepped = [[ps.prepare_table(T) for T in tabs] for tabs in btabs]
+    gi = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(np.asarray(a, np.float64))
+        if np.issubdtype(np.asarray(a).dtype, np.floating)
+        else jnp.asarray(a), asm._geo_inputs)
+    from pyiga_tpu.assemblers import stiffness_fields_df_pair
+    F = stiffness_fields_df_pair(gi)
+    H, L = ps.assemble_flat_banded_pair_pallas(prepped, F, plan, bws, ns,
+                                               lay, interpret=True)
+    got = np.asarray(H, np.float64) + np.asarray(L, np.float64)
+
+    mlm = asm.assemble(mode='exact')
+    bsz = tuple(2 * b + 1 for b in bws)
+    D = np.zeros(bsz + ns)
+    from pyiga_tpu.ops.banded import (banded_gather_maps,
+                                      banded_from_compact_device)
+    maps = [jnp.asarray(m) for m in banded_gather_maps(asm.structure, bws)]
+    D = np.asarray(banded_from_compact_device(jnp.asarray(mlm.data), maps,
+                                              bsz, ns))
+    ref = flat_banded_data(D, bws, ns)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-12
