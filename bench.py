@@ -335,6 +335,52 @@ def run_on(device, dim, n, dtype, repeats=3, measure_split=True):
     return ndofs, t_asm, t_slv, t_tot, iters
 
 
+def run_aca(device, dim, n, p=3):
+    """BASELINE config 3: fast low-rank (ACA) assembly of the 3D stiffness
+    matrix over the reordered compact tensor (reference fastasm.cc:385).
+    The TPU-native design: the host pivot loop fetches whole fibers/slices
+    of the compact tensor, each as ONE sum-factorized device call through
+    the emulation-free two-float pipeline (compile.compact_slice), and the
+    approximation accumulates as crosses so the dense compact tensor is
+    only inflated once at the end."""
+    import jax
+    from pyiga_tpu import geometry, lowrank
+    from pyiga_tpu.bspline import make_knots
+    from pyiga_tpu.compile import compile_vform
+    from pyiga_tpu.vform import stiffness_vf
+
+    with jax.default_device(device):
+        kvs = dim * (make_knots(p, 0.0, 1.0, n),)
+        geo = geometry.twisted_box() if dim == 3 else \
+            geometry.quarter_annulus()
+        asm = compile_vform(stiffness_vf(dim))(kvs, geo=geo)
+        ndofs = int(np.prod([kv.numdofs for kv in kvs]))
+        S = asm.structure
+        count = [0, 0]
+
+        def counting_slice(fixed, _inner=asm.compact_slice):
+            out = _inner(fixed)
+            count[0] += int(np.asarray(out).size)
+            count[1] += 1
+            return out
+
+        gen = lowrank.TensorGenerator(tuple(len(bx) for bx in S.bidx),
+                                      slicefunc=counting_slice)
+        # warm the slice-pattern compile caches outside the timing
+        counting_slice({0: 0})
+        counting_slice({1: 0, 2: 0} if dim == 3 else {1: 0})
+        count[0] = count[1] = 0
+        t0 = time.perf_counter()
+        if dim == 3:
+            X = lowrank.aca_3d(gen, tol=1e-10, verbose=0)
+        else:
+            X = lowrank.aca(gen, tol=1e-10, verbose=0)
+        t = time.perf_counter() - t0
+        total = int(np.prod([len(bx) for bx in S.bidx]))
+        del X
+    return ndofs, t, count[1], count[0] / total
+
+
 def main():
     import pyiga_tpu
     import jax
@@ -386,6 +432,30 @@ def main():
         })
         lines.append(line)
         print(line, flush=True)
+
+    if not os.environ.get('PYIGA_BENCH_NO_ACA'):
+        # BASELINE config 3: low-rank fast assembling (stiffness_fast)
+        pyiga_tpu.set_dtype(np.float64)
+        n_aca = int(os.environ.get('PYIGA_BENCH_ACA_N', '48'))
+        ndofs, t, calls, frac = run_aca(dev, 3, n_aca)
+        vs = None
+        if cpu is not None and not os.environ.get('PYIGA_BENCH_NO_CPU'):
+            _, t_cpu, _, _ = run_aca(cpu, 3, n_aca)
+            vs = round(t_cpu / t, 3)
+        line = json.dumps({
+            'metric': '3d_p3_stiffness_fast_aca[float64,n=%d,'
+                      'device_calls=%d]' % (n_aca, calls),
+            'value': round(ndofs / t, 1),
+            'unit': 'dof/s',
+            'vs_baseline': vs,
+            't_ms': round(1e3 * t, 1),
+            'entry_frac': round(frac, 4),
+            'comparator': 'matched-size JAX-on-CPU (see bench.py '
+                          'docstring)',
+        })
+        lines.append(line)
+        print(line, flush=True)
+
     if len(lines) > 1:
         print(lines[0], flush=True)     # headline again as the last line
 

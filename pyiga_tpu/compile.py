@@ -1000,6 +1000,81 @@ class VFormAssembler:
             self._fields_cache = fn(inputs)
         return self._fields_cache
 
+    def _slice_mode(self):
+        """Slice-evaluation mode for ACA: 'pair' (two-float fields +
+        pair-chained Ozaki, zero emulated-f64 arithmetic, ~1e-13 relative —
+        well inside the 1e-9 ACA parity contract) on accelerator backends
+        when the form supports pair evaluation, else native 'exact' f64
+        (fast on CPU, emulated on TPU)."""
+        import jax
+        from . import config
+        if config.get_dtype() != np.float64:
+            return 'exact'
+        if jax.default_backend() != 'cpu' and self._supports_pair_eval():
+            return 'pair'
+        return 'exact'
+
+    def _device_pair_fields(self):
+        """Compute (once) the per-combo two-float coefficient fields on
+        device and keep them resident; used by the pair slice evaluator."""
+        if getattr(self, '_pair_fields_cache', None) is None:
+            import jax
+            import jax.numpy as jnp
+            inputs = jax.tree_util.tree_map(jnp.asarray,
+                                            self._device_inputs_pair())
+            fn = jax.jit(
+                lambda inp: self._eval_combo_fields_pair(inp, self.combos))
+            self._pair_fields_cache = fn(inputs)
+        return self._pair_fields_cache
+
+    def _make_slice_fn(self, fixed_axes, mode):
+        """Build the traced slice evaluator for a pinned-axes pattern.
+
+        Both modes contract the PINNED axes first: a pinned (1, Q) table
+        collapses its grid axis immediately, so the expensive free-axis
+        stages run on a fiber-thin intermediate instead of the full
+        quadrature grid (~40x per-slice on the 3D headline shapes)."""
+        import jax
+        import jax.numpy as jnp
+        from .ops import twofloat as tf
+        d = self.dim
+        order = list(fixed_axes) + [k for k in range(d)
+                                    if k not in fixed_axes]
+
+        def pin(tabs, idx):
+            tabs = list(tabs)
+            for pos, ax in enumerate(fixed_axes):
+                tabs[ax] = jax.lax.dynamic_slice(
+                    tabs[ax], (idx[pos], 0), (1, tabs[ax].shape[1]))
+            return tabs
+
+        if mode == 'pair':
+            def slice_fn(fields, term_tables, idx):
+                out = None
+                for P, tabs in zip(fields, term_tables):
+                    tabs = pin(tabs, idx)
+                    X = (P.hi, P.lo) if isinstance(P, tf.DF) else P
+                    for k in order:
+                        X = sumfac._ozaki_contract_axis_pair(X, k, tabs[k])
+                    out = X if out is None else tf.df_add(out, X)
+                Y = out[0].astype(jnp.float64) + out[1].astype(jnp.float64)
+                return Y.reshape([Y.shape[k] for k in range(d)
+                                  if k not in fixed_axes])
+            return jax.jit(slice_fn)
+
+        def slice_fn(fields, term_tables, idx):
+            out = None
+            for C, tabs in zip(fields, term_tables):
+                tabs = pin(tabs, idx)
+                X = C
+                for k in order:
+                    X = jnp.moveaxis(
+                        jnp.tensordot(X, tabs[k], axes=(k, 1)), -1, k)
+                out = X if out is None else out + X
+            return out.reshape([out.shape[k] for k in range(d)
+                                if k not in fixed_axes])
+        return jax.jit(slice_fn)
+
     def compact_slice(self, fixed):
         """Evaluate a slice of the compact data tensor with the axes in the
         dict `fixed` (axis -> pair index s_k) pinned; returns the dense array
@@ -1008,43 +1083,34 @@ class VFormAssembler:
         This is the TPU-native ACA entry callback: instead of per-entry
         evaluations through a C function pointer (reference fastasm.cc:538),
         whole rows/slices of the reordered matrix are computed by the
-        sum-factorization chain with rank-1-restricted pair tables."""
+        sum-factorization chain with rank-1-restricted pair tables.  On
+        accelerators the evaluation runs the emulation-free two-float /
+        Ozaki pipeline (see :meth:`_slice_mode`)."""
         import jax
-        import jax.numpy as jnp
         from . import config
 
         assert not self.vf.vec and self.arity == 2
+        mode = self._slice_mode()
         fixed_axes = tuple(sorted(fixed.keys()))
         fn_cache = getattr(self, '_slice_fns', None)
         if fn_cache is None:
             fn_cache = self._slice_fns = {}
-        fn = fn_cache.get(fixed_axes)
+        fn = fn_cache.get((fixed_axes, mode))
         if fn is None:
-            d = self.dim
-
-            def slice_fn(fields, term_tables, idx):
-                out = None
-                for C, tabs in zip(fields, term_tables):
-                    tabs = list(tabs)
-                    for pos, ax in enumerate(fixed_axes):
-                        tabs[ax] = jax.lax.dynamic_slice(
-                            tabs[ax], (idx[pos], 0), (1, tabs[ax].shape[1]))
-                    Y = sumfac.contract_chain(tabs, C)
-                    out = Y if out is None else out + Y
-                return out.reshape([out.shape[k] for k in range(d)
-                                    if k not in fixed_axes])
-
-            fn = jax.jit(slice_fn)
-            fn_cache[fixed_axes] = fn
+            fn = self._make_slice_fn(fixed_axes, mode)
+            fn_cache[(fixed_axes, mode)] = fn
 
         dtype = config.get_dtype()
         if getattr(self, '_tables_cache', None) is None:
             import jax.numpy as jnp
             self._tables_cache = jax.tree_util.tree_map(
-                lambda x: jnp.asarray(x, dtype=dtype),
+                lambda x: jnp.asarray(x, dtype=np.float64
+                                      if mode == 'pair' else dtype),
                 self._term_tables_for(self.combos))
+        fields = (self._device_pair_fields() if mode == 'pair'
+                  else self._device_fields())
         idx = np.array([fixed[ax] for ax in fixed_axes], dtype=np.int64)
-        return np.asarray(fn(self._device_fields(), self._tables_cache, idx),
+        return np.asarray(fn(fields, self._tables_cache, idx),
                           dtype=np.float64)
 
     def num_components(self):

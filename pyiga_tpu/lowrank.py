@@ -289,23 +289,57 @@ def aca_lr(A, tol=1e-10, maxiter=100, verbose=2):
 
 
 def aca_3d(A, tol=1e-10, maxiter=100, skipcount=3, tolcount=3, verbose=2,
-           lr=False):
-    """Nested 3D ACA: outer pivoting over fibers, each pivot slice
-    approximated by an inner 2D ACA warm-started from the current
-    approximation (reference lowrank.py:192 / fastasm.cc:385)."""
+           lr=False, slices='auto'):
+    """Nested 3D ACA: outer pivoting over fibers, each pivot slice either
+    evaluated exactly in one slice call or approximated by an inner 2D ACA
+    warm-started from the current approximation (reference lowrank.py:192 /
+    fastasm.cc:385).
+
+    ``slices='materialize'`` fetches each outer pivot slice with a single
+    ``slicefunc`` call instead of running the inner 2D ACA.  For the
+    TPU-backed compact generator a whole 2D slice costs one sum-factorized
+    device call — barely more than the single column the inner ACA would
+    fetch per iteration, so ~25 sequential dispatches per outer step
+    collapse into one (the reference's per-entry callback makes the
+    opposite trade, fastasm.cc:469).  'auto' materializes whenever the
+    generator has a slice function; 'aca' forces the reference algorithm."""
     if not isinstance(A, TensorGenerator):
         A = TensorGenerator.from_array(np.asarray(A))
     assert A.ndim == 3
+    assert slices in ('auto', 'materialize', 'aca')
+    if slices == 'auto':
+        slices = 'materialize' if A.slicefunc is not None else 'aca'
 
-    X = np.zeros(A.shape)
-    if lr:
-        X_lr = tensor.TensorSum(tensor.CanonicalTensor.zeros(A.shape))
+    # The approximation is held as crosses (cols[r], mats[r]) with
+    # X = sum_r cols[r] (x) mats[r]; residual fibers/slices are evaluated
+    # from the crosses in O(R n) / O(R n^2), so the dense n^3 tensor is
+    # touched only once, at the final inflation (in 'aca' mode the inner
+    # 2D ACA needs the running slice anyway, so there the classic dense
+    # accumulation costs nothing extra).
+    cols, mats = [], []
+
+    def X_fiber(i1, i2):
+        out = np.zeros(A.shape[0])
+        for c, M in zip(cols, mats):
+            out += M[i1, i2] * c
+        return out
+
+    def X_slice(i0):
+        out = np.zeros(A.shape[1:])
+        for c, M in zip(cols, mats):
+            out += c[i0] * M
+        return out
+
+    dense = (slices == 'aca') and not lr
+    if dense:
+        X = np.zeros(A.shape)
 
     ctl = _PivotControl(tol, maxiter, skipcount, tolcount, verbose,
                         what='outer it.')
     I = [m // 2 for m in A.shape]
     while True:
-        E_col = A[:, I[1], I[2]] - X[:, I[1], I[2]]
+        E_col = A[:, I[1], I[2]] - (X[:, I[1], I[2]] if dense
+                                    else X_fiber(I[1], I[2]))
         i0 = abs(E_col).argmax()
         verdict = ctl.classify(abs(E_col[i0]), I)
         if verdict == 'stop':
@@ -320,22 +354,32 @@ def aca_3d(A, tol=1e-10, maxiter=100, skipcount=3, tolcount=3, verbose=2,
         if verbose >= 2:
             print(I, '\t', abs(E_col[i0]))
 
-        A_mat = aca(A.matrix_at(I, axes=(1, 2)), startval=X[i0, :, :],
-                    tol=tol, maxiter=maxiter, skipcount=skipcount,
-                    tolcount=tolcount, verbose=min(verbose, 1))
-        E_mat = A_mat - X[i0, :, :]
+        X_i0 = X[i0, :, :] if dense else X_slice(i0)
+        if slices == 'materialize':
+            A_mat = np.asarray(A[i0, :, :])
+        else:
+            A_mat = aca(A.matrix_at(I, axes=(1, 2)), startval=X_i0,
+                        tol=tol, maxiter=maxiter, skipcount=skipcount,
+                        tolcount=tolcount, verbose=min(verbose, 1))
+        E_mat = A_mat - X_i0
 
-        aca3d_update(X, 1.0 / E_col[i0], E_col, E_mat)
-        if lr:
-            X_lr += tensor.TensorProd(E_col / E_col[i0], E_mat.copy())
+        cols.append(E_col / E_col[i0])
+        mats.append(E_mat.copy())
+        if dense:
+            aca3d_update(X, 1.0 / E_col[i0], E_col, E_mat)
 
         E_mat[tuple(I[1:])] = 0
         I[1:] = np.unravel_index(abs(E_mat).argmax(), E_mat.shape)
         if not ctl.advance():
             break
     if lr:
-        return tensor.TensorSum(*X_lr.Xs[1:])
-    return X
+        return tensor.TensorSum(*(tensor.TensorProd(c, M)
+                                  for c, M in zip(cols, mats)))
+    if dense:
+        return X
+    if not cols:
+        return np.zeros(A.shape)
+    return np.einsum('ri,rjk->ijk', np.stack(cols), np.stack(mats))
 
 
 ################################################################################
