@@ -497,7 +497,7 @@ _MG_SWEEPS = {
 
 
 def local_mg_step(hs, A, f, Ps, lv_inds, smoother='symmetric_gs',
-                  smooth_steps=2):
+                  smooth_steps=2, relax_backend='auto'):
     """One V-cycle of the local multigrid method on the virtual hierarchy
     of the HB/THB space `hs`; smoothing is restricted to the per-level
     index sets `lv_inds`.  Returns a function ``step(x)``.
@@ -506,7 +506,13 @@ def local_mg_step(hs, A, f, Ps, lv_inds, smoother='symmetric_gs',
     coarse matrices; the operation order (pre-smooth, restrict, coarse
     solve, prolongate, post-smooth, with strictly sequential Gauss-Seidel
     sweeps) reproduces the reference's iteration counts exactly
-    (behavioral contract: reference solvers.py:174, test_localmg)."""
+    (behavioral contract: reference solvers.py:174, test_localmg).
+
+    `relax_backend` selects the smoother kernel: 'host' runs the
+    sequential CSR sweep (native C++), 'device' the order-exact
+    dependency-wavefront kernel (ops/relax.py) that executes each
+    smoothing application as one jitted device dispatch; 'auto' picks
+    'device' on accelerator backends, 'host' on CPU."""
     if smoother not in _MG_SWEEPS:
         raise ValueError('Invalid smoother')
     pre_sweep, post_sweep = _MG_SWEEPS[smoother]
@@ -522,10 +528,28 @@ def local_mg_step(hs, A, f, Ps, lv_inds, smoother='symmetric_gs',
     direct = {lv: make_solver(As[lv][lv_inds[lv]][:, lv_inds[lv]], spd=True)
               for lv in exact_on}
 
-    def relax(lv, x, rhs, sweep):
-        if sweep is not None:
-            gauss_seidel(As[lv], x, rhs, indices=lv_inds[lv],
-                         iterations=smooth_steps, sweep=sweep)
+    if relax_backend == 'auto':
+        import jax
+        relax_backend = ('device' if jax.default_backend() != 'cpu'
+                         else 'host')
+    assert relax_backend in ('host', 'device')
+
+    if relax_backend == 'device' and smoother != 'exact':
+        from .ops.relax import DeviceIndexedGS
+        dev_gs = {(lv, sweep): DeviceIndexedGS(As[lv], lv_inds[lv],
+                                               sweep=sweep,
+                                               iterations=smooth_steps)
+                  for lv in range(1, L)
+                  for sweep in {pre_sweep, post_sweep}}
+
+        def relax(lv, x, rhs, sweep):
+            if sweep is not None:
+                dev_gs[(lv, sweep)].apply(x, rhs)
+    else:
+        def relax(lv, x, rhs, sweep):
+            if sweep is not None:
+                gauss_seidel(As[lv], x, rhs, indices=lv_inds[lv],
+                             iterations=smooth_steps, sweep=sweep)
 
     def vcycle(x, rhs):
         # descend: smooth and collect restricted residuals per level
@@ -575,16 +599,19 @@ def iterative_solve(step, A, f, x0=None, active_dofs=None, tol=1e-8,
 
 
 def solve_hmultigrid(hs, A, f, strategy='cell_supp', smoother='gs',
-                     smooth_steps=2, tol=1e-8, maxiter=5000):
+                     smooth_steps=2, tol=1e-8, maxiter=5000,
+                     relax_backend='auto'):
     """Solve a scalar problem on an HB-/THB-spline space by local multigrid.
 
     `strategy` selects the smoothing index sets ('new', 'trunc',
     'func_supp', 'cell_supp'); `smoother` one of 'gs', 'forward_gs',
-    'backward_gs', 'symmetric_gs', 'exact'.  Returns ``(x, iterations)``."""
+    'backward_gs', 'symmetric_gs', 'exact'; `relax_backend` as in
+    :func:`local_mg_step`.  Returns ``(x, iterations)``."""
     Ps = hs.virtual_hierarchy_prolongators()
     non_dir_dofs = hs.non_dirichlet_dofs()
     mg_step = local_mg_step(hs, A, f, Ps, hs.indices_to_smooth(strategy),
-                            smoother, smooth_steps)
+                            smoother, smooth_steps,
+                            relax_backend=relax_backend)
     return iterative_solve(mg_step, A, f, active_dofs=non_dir_dofs, tol=tol,
                            maxiter=maxiter)
 

@@ -23,7 +23,7 @@ def num_iterations(step, sol, tol=1e-8):
 
 
 def run_local_multigrid(p, dim, n0, disparity, smoother, smooth_steps,
-                        strategy, tol):
+                        strategy, tol, relax_backend='host'):
     hs = create_example_hspace(p, dim, n0, disparity, num_levels=3)
     dir_dofs = hs.dirichlet_dofs()
     params = {'geo': geometry.unit_square(), 'f': lambda *x: 1.0}
@@ -40,7 +40,8 @@ def run_local_multigrid(p, dim, n0, disparity, smoother, smooth_steps,
         u0 = LS.complete(scipy.sparse.linalg.spsolve(LS.A.tocsc(), LS.b))
         inds = hs.indices_to_smooth(strategy)
         iters.append(num_iterations(
-            solvers.local_mg_step(hs, A, f, P, inds, smoother, smooth_steps),
+            solvers.local_mg_step(hs, A, f, P, inds, smoother, smooth_steps,
+                                  relax_backend=relax_backend),
             u0, tol=tol))
     return tuple(iters)
 
@@ -80,3 +81,17 @@ def test_solve_hmultigrid():
         u0 = LS.complete(scipy.sparse.linalg.spsolve(LS.A.tocsc(), LS.b))
         u_mg, iters = solvers.solve_hmultigrid(hs, A, f, tol=1e-8)
         assert np.allclose(u0, u_mg)
+
+
+@pytest.mark.slow
+def test_localmg_device_smoother():
+    # the device wavefront smoother (ops/relax.py) must reproduce the
+    # reference's exact iteration counts (VERDICT/SURVEY checklist #6:
+    # order-preserving device-resident Gauss-Seidel)
+    tol, dim, n0, p = 1e-8, 2, 6, 3
+    results = [
+        run_local_multigrid(p, dim, n0, np.inf, 'symmetric_gs', 1,
+                            strategy, tol, relax_backend='device')
+        for strategy in ('new', 'trunc', 'func_supp', 'cell_supp')]
+    assert np.array_equal(results,
+                          [(107, 118), (49, 19), (49, 15), (41, 15)])

@@ -1,0 +1,54 @@
+# Order-exact device Gauss-Seidel (ops/relax.py): the dependency-wavefront
+# kernel must reproduce the strictly sequential host sweep.
+
+import numpy as np
+import scipy.sparse
+
+from pyiga_tpu import solvers
+from pyiga_tpu.ops.relax import DeviceIndexedGS, level_schedule
+
+
+def _spd(n, rng, density=0.08):
+    A = scipy.sparse.random(n, n, density=density, random_state=rng)
+    return (A + A.T + 10 * scipy.sparse.eye(n)).tocsr()
+
+
+def test_device_gs_matches_host():
+    rng = np.random.RandomState(0)
+    A = _spd(80, rng)
+    b = rng.rand(80)
+    for sweep in ('forward', 'backward', 'symmetric'):
+        for subset in (rng.permutation(80)[:37], np.arange(80)):
+            x0 = rng.rand(80)
+            xh = x0.copy()
+            solvers.gauss_seidel(A, xh, b, iterations=3, indices=subset,
+                                 sweep=sweep)
+            xd = x0.copy()
+            DeviceIndexedGS(A, subset, sweep=sweep, iterations=3).apply(xd, b)
+            assert np.abs(xh - xd).max() < 1e-13
+
+
+def test_level_schedule_respects_dependencies():
+    # every row must come strictly after each earlier-in-sweep row whose
+    # value it reads (A[t, s] != 0)
+    rng = np.random.RandomState(1)
+    A = _spd(60, rng, density=0.12)
+    subset = rng.permutation(60)[:40]
+    for reverse in (False, True):
+        order, level = level_schedule(A, subset, reverse=reverse)
+        rank = {i: r for r, i in enumerate(order)}
+        Ac = A.tocsr()
+        for r, i in enumerate(order):
+            for j in Ac.indices[Ac.indptr[i]:Ac.indptr[i + 1]]:
+                if j in rank and rank[j] < r:
+                    assert level[rank[j]] < level[r]
+
+
+def test_empty_subset():
+    rng = np.random.RandomState(2)
+    A = _spd(20, rng)
+    b = rng.rand(20)
+    x = rng.rand(20)
+    x0 = x.copy()
+    DeviceIndexedGS(A, np.array([], dtype=np.int64)).apply(x, b)
+    assert np.array_equal(x, x0)
