@@ -305,6 +305,35 @@ def tp_apply_df(tables, coeffs, lead=0, max_unroll=8):
     return X
 
 
+def geo_jac_stage12_df(tables, coeffs, sdim):
+    """Partial geometry-Jacobian contraction over the LEADING ``sdim - 1``
+    grid axes in two-float arithmetic, leaving the last coefficient axis
+    uncontracted — the cheap part of the Jacobian evaluation (the arrays
+    stay ``n_last``/``Q_last`` times smaller than the grid).  The expensive
+    final-axis contraction is fused into the Pallas fields kernel
+    (:func:`~pyiga_tpu.ops.pallas_sumfac.stiffness_fields_pallas`), which
+    consumes the returned stack.
+
+    Returns ``(Ys, shape12)``: ``Ys[t]`` for ``t < sdim - 1`` is the
+    stage-12 result with the derivative table on axis `t` (feeding
+    ``jac[.][t]``), ``Ys[sdim - 1]`` the all-values result (feeding both
+    ``jac[.][sdim - 1]`` and the value field); each is a two-float pair of
+    shape ``(C, Q12, n_last)`` with ``Q12 = prod(shape12)``."""
+    val_tabs = [t[0] for t in tables]
+    der_tabs = [t[1] for t in tables]
+    C = coeffs.shape[0]
+    n_last = coeffs.shape[sdim]
+    shape12 = tuple(t.shape[0] for t in val_tabs[:sdim - 1])
+    Q12 = int(np.prod(shape12)) if shape12 else 1
+    Ys = []
+    for t in range(sdim):
+        ops = [der_tabs[j] if j == t else val_tabs[j]
+               for j in range(sdim - 1)]
+        hi, lo = tp_apply_df(ops, coeffs, lead=1)
+        Ys.append((hi.reshape(C, Q12, n_last), lo.reshape(C, Q12, n_last)))
+    return Ys, shape12
+
+
 def geo_jacobian_field_df(tables, coeffs, is_nurbs, sdim):
     """Two-float analog of :func:`geo_jacobian_field`: returns
     ``(val, jac)`` with `val` a list of per-component pairs and `jac` a

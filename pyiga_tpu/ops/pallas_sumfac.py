@@ -341,24 +341,165 @@ def chain_pair(tables_prepped, field_pair, r_block=512, interpret=False):
     return hi[index], lo[index]
 
 
+def _stiff_fields_body(j, gw, out_ref):
+    """Shared elementwise tail of the stiffness fields kernels: two-float
+    det/inverse of the Jacobian tile `j`, weight ``W = gw |det|`` and the
+    symmetric field outputs ``B_ab = W (J^-1 J^-T)_ab``."""
+    from . import geom
+    d = len(j)
+    det, inv = geom.det_and_inv_df_pairs(j)
+    W = tf.df_mul(gw, tf.df_abs(det))
+    k = 0
+    for a in range(d):
+        for b in range(a, d):
+            Bab = tf.df_sum([tf.df_mul(inv[a][m], inv[b][m])
+                             for m in range(d)])
+            hi, lo = tf.df_mul(W, Bab)
+            out_ref[2 * k] = hi
+            out_ref[2 * k + 1] = lo
+            k += 1
+
+
 def _make_stiff_fields_kernel(d):
     def kernel(jac_ref, gw_ref, out_ref):
-        from . import geom
         j = [[(jac_ref[2 * (a * d + b)], jac_ref[2 * (a * d + b) + 1])
               for b in range(d)] for a in range(d)]
-        det, inv = geom.det_and_inv_df_pairs(j)
-        gw = (gw_ref[0], gw_ref[1])
-        W = tf.df_mul(gw, tf.df_abs(det))
-        k = 0
-        for a in range(d):
-            for b in range(a, d):
-                Bab = tf.df_sum([tf.df_mul(inv[a][m], inv[b][m])
-                                 for m in range(d)])
-                hi, lo = tf.df_mul(W, Bab)
-                out_ref[2 * k] = hi
-                out_ref[2 * k + 1] = lo
-                k += 1
+        _stiff_fields_body(j, (gw_ref[0], gw_ref[1]), out_ref)
     return kernel
+
+
+def _make_stiff_fields_fused_kernel(d, C, n_last, nurbs):
+    """Fields kernel that also performs the LAST-axis geometry-Jacobian
+    contraction in-VMEM (the leading-axes stages arrive precomputed from
+    :func:`~pyiga_tpu.ops.geom.geo_jac_stage12_df`).
+
+    Tile layout: sublanes = flattened leading grid axes (q12), lanes =
+    last grid axis (padded).  The per-sublane stage-12 values enter
+    through a ``(NY, r_rows, n_last)`` block whose tiny trailing dim puts
+    q12 in SUBLANES — reading lane column ``j3`` yields the per-row
+    scalars natively, so the contraction is a broadcast (r,1)x(1,L)
+    product with no in-kernel transpose.
+
+    Y stack rows: ``(t * C + c) * 2 + half`` for stage combo ``t``
+    (deriv axis t; t = d-1 = all-values) and component c, then the
+    flattened leading-axes Gauss weight pair in lane 0 of the last two
+    rows.  T stack rows: value table pair (0, 1), derivative pair (2, 3),
+    last-axis Gauss weight pair (4, 5)."""
+    def kernel(y_ref, t_ref, out_ref):
+        def contract_last(t, c, deriv):
+            # same unroll order and operand order as geom.tp_apply_df's
+            # final stage: bitwise-equal to the XLA pair pipeline
+            acc = None
+            for j3 in range(n_last):
+                th = t_ref[2 * deriv, j3, :][None, :]
+                tl = t_ref[2 * deriv + 1, j3, :][None, :]
+                yh = y_ref[(t * C + c) * 2, :, j3][:, None]
+                yl = y_ref[(t * C + c) * 2 + 1, :, j3][:, None]
+                term = tf.df_mul((th, tl), (yh, yl))
+                acc = term if acc is None else tf.df_add(acc, term)
+            return acc
+
+        jac = [[contract_last(k if k < d - 1 else d - 1, c,
+                              1 if k == d - 1 else 0)
+                for k in range(d)] for c in range(C)]
+        gw12 = (y_ref[d * C * 2, :, 0][:, None],
+                y_ref[d * C * 2 + 1, :, 0][:, None])
+        gwL = (t_ref[4, 0, :][None, :], t_ref[5, 0, :][None, :])
+        gw = tf.df_mul(gw12, gwL)
+
+        if nurbs:
+            val = [contract_last(d - 1, c, 0) for c in range(C)]
+            W = val[-1]
+            WW = tf.df_mul(W, W)
+            jac = [[tf.df_div(tf.df_sub(tf.df_mul(jac[c][k], W),
+                                        tf.df_mul(val[c], jac[-1][k])),
+                              WW)
+                    for k in range(d)] for c in range(C - 1)]
+        _stiff_fields_body(jac, gw, out_ref)
+    return kernel
+
+
+def _stiffness_fields_fused(geo_inputs, interpret=False, r_rows=256):
+    """Whole stiffness-fields pipeline — geometry Jacobian last-stage
+    contraction, det/inv, weights, B products — in ONE Pallas kernel (the
+    XLA two-float Jacobian contraction materializes every pair op:
+    measured ~30 ms of the 3D headline assembly; fused it rides the tile
+    already in VMEM)."""
+    from jax.experimental import pallas as pl
+    from . import geom
+
+    is_nurbs = 'geo_tables_nurbs' in geo_inputs
+    tables = geo_inputs['geo_tables_nurbs' if is_nurbs else 'geo_tables_bsp']
+    coeffs = geo_inputs['geo_coeffs']
+    d = len(tables)
+    C = coeffs.shape[0]
+    n_last = coeffs.shape[d]
+    Q_last = tables[d - 1].shape[1]
+    Lp = _pad_lanes(Q_last)
+
+    Ys, shape12 = geom.geo_jac_stage12_df(tables, coeffs, d)
+    Q12 = int(np.prod(shape12)) if shape12 else 1
+
+    # stage-12 stack, q12 in sublanes (see kernel docstring)
+    w12 = geom.gauss_weight_field(geo_inputs['weights'][:d - 1]).reshape(-1)
+    gw12 = tf.df_from_f64(w12)
+    rows = []
+    for t in range(d):
+        hi, lo = Ys[t]
+        for c in range(C):
+            rows += [hi[c], lo[c]]
+    gw_row = [jnp.zeros((Q12, n_last), jnp.float32)
+              .at[:, 0].set(h) for h in gw12]
+    Ystack = jnp.stack(rows + gw_row)
+
+    # last-axis table stack, padded to (6, max(8, n_last), Lp)
+    NT_rows = max(8, n_last)
+    Tv = tables[d - 1][0].T      # (n_last, Q_last) f64
+    Td = tables[d - 1][1].T
+    wL = jnp.asarray(geo_inputs['weights'][d - 1])
+    T = jnp.zeros((6, NT_rows, Lp))
+    T = T.at[0:4, :n_last, :Q_last].set(
+        jnp.stack([t for p in (Tv, Td) for t in tf.df_from_f64(p)])
+        .reshape(4, n_last, Q_last))
+    T = T.at[4:6, 0, :Q_last].set(jnp.stack(tf.df_from_f64(wL)))
+    T = T.astype(jnp.float32)
+
+    sdim = C - 1 if is_nurbs else C
+    n_out = sdim * (sdim + 1)
+    NY = Ystack.shape[0]
+    while Q12 % r_rows:
+        r_rows //= 2
+    # VMEM: Y tile lane-padded to 128 + the (n_out, r, Lp) output tile;
+    # double buffering and scratch inflate the estimate ~4x (measured:
+    # a 5.7 MB estimate compiled to a 23.4 MB scoped allocation), so
+    # budget ~3.5 MB of estimated buffers against the 16 MB scoped limit
+    while r_rows > 8 and (NY * r_rows * 128 + n_out * r_rows * Lp) * 4 \
+            > 3500 * 2 ** 10:
+        r_rows //= 2
+
+    out = pl.pallas_call(
+        _make_stiff_fields_fused_kernel(d, C, n_last, is_nurbs),
+        grid=(Q12 // r_rows,),
+        in_specs=[
+            pl.BlockSpec((NY, r_rows, n_last), lambda j: (j * 0, j, j * 0)),
+            pl.BlockSpec((6, NT_rows, Lp), lambda j: (j * 0, j * 0, j * 0)),
+        ],
+        out_specs=pl.BlockSpec((n_out, r_rows, Lp),
+                               lambda j: (j * 0, j, j * 0)),
+        out_shape=jax.ShapeDtypeStruct((n_out, Q12, Lp), jnp.float32),
+        interpret=interpret,
+    )(Ystack, T)
+
+    grid_shape = tuple(shape12) + (Q_last,)
+    uniq = {}
+    k = 0
+    for a in range(sdim):
+        for b in range(a, sdim):
+            uniq[(a, b)] = (out[2 * k, :, :Q_last].reshape(grid_shape),
+                            out[2 * k + 1, :, :Q_last].reshape(grid_shape))
+            k += 1
+    return [uniq[tuple(sorted((a, b)))]
+            for a in range(sdim) for b in range(sdim)]
 
 
 def stiffness_fields_pallas(geo_inputs, interpret=False, r_rows=256):
@@ -373,6 +514,12 @@ def stiffness_fields_pallas(geo_inputs, interpret=False, r_rows=256):
     from jax.experimental import pallas as pl
     from .. import assemblers
     from . import geom
+
+    if 'geo_tables_bsp' in geo_inputs or 'geo_tables_nurbs' in geo_inputs:
+        # spline/NURBS geometry: fuse the last-axis Jacobian contraction
+        # into the kernel as well (the XLA pair contraction materializes
+        # every op: ~30 ms on the 3D headline grid, ~1 ms fused)
+        return _stiffness_fields_fused(geo_inputs, interpret=interpret)
 
     jp = assemblers._geo_jac_pairs(geo_inputs)
     d = len(jp)

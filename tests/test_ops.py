@@ -588,3 +588,34 @@ def test_flat_banded_pair_assembly_pallas_interpret():
                                               bsz, ns))
     ref = flat_banded_data(D, bws, ns)
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-12
+
+@pytest.mark.slow
+def test_stiffness_fields_fused_interpret():
+    # fused-geometry fields kernel (in-kernel last-axis Jacobian
+    # contraction): B-spline 3D and NURBS 2D vs the XLA pair fields.
+    # Tolerance note: on the REAL TPU this path measures 8e-15 relative;
+    # the loose bound here covers the local XLA:CPU pipeline, which
+    # miscompiles large fused two-float programs (documented ~1e-7, see
+    # sumfac.run_matrix_assembly_pair) under the interpret-mode jit.
+    from pyiga_tpu.ops import pallas_sumfac as ps
+    from pyiga_tpu.assemblers import stiffness_fields_df_pair
+
+    for d, n in ((3, 6), (2, 16)):
+        kvs, geo = _setup(p=3, n=n, d=d)
+        asm = StiffnessAssembler(kvs, geo)
+        gi = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(np.asarray(a, np.float64))
+            if np.issubdtype(np.asarray(a).dtype, np.floating)
+            else jnp.asarray(a), asm._geo_inputs)
+        assert 'geo_tables_bsp' in gi or 'geo_tables_nurbs' in gi
+        ref = stiffness_fields_df_pair(gi)
+        got = ps._stiffness_fields_fused(gi, interpret=True)
+        # global scale: structurally-zero off-diagonal fields carry only
+        # rounding noise (~1e-18) and have no meaningful per-field scale
+        sc = max(np.abs(np.asarray(rh, np.float64)
+                        + np.asarray(rl, np.float64)).max()
+                 for rh, rl in ref)
+        for (gh, gl), (rh, rl) in zip(got, ref):
+            G = np.asarray(gh, np.float64) + np.asarray(gl, np.float64)
+            R = np.asarray(rh, np.float64) + np.asarray(rl, np.float64)
+            assert np.abs(G - R).max() / sc < 1e-5
