@@ -182,6 +182,9 @@ class BaseGaussAssembler:
 
     # two-float f32 field pipeline for the f64 fast path (set by subclasses)
     pair_field_fn = None
+    # fused Pallas variant of pair_field_fn (TPU elementwise fusion;
+    # optional, used by run_matrix_assembly_pair on accelerators)
+    pallas_field_fn = None
 
     @staticmethod
     def _default_mode():
@@ -207,7 +210,7 @@ class BaseGaussAssembler:
         if mode == 'ozaki' and self.pair_field_fn is not None:
             data = sumfac.run_matrix_assembly_pair(
                 self.pair_field_fn, self._geo_inputs, term_tables,
-                fold_plan, tperms)
+                fold_plan, tperms, pallas_field_fn=self.pallas_field_fn)
         else:
             data = sumfac.run_matrix_assembly(self.field_fn,
                                               self._geo_inputs,
@@ -278,6 +281,11 @@ class StiffnessAssembler(BaseGaussAssembler):
     field_fn = staticmethod(stiffness_fields)
     pair_field_fn = staticmethod(stiffness_fields_df_pair)
     symmetric_fields = True      # B = W J^-1 J^-T is symmetric
+
+    @property
+    def pallas_field_fn(self):
+        from .ops import pallas_sumfac as ps
+        return ps.stiffness_fields_pallas
 
     def __init__(self, kvs, geo, nqp=None):
         super().__init__(kvs, geo, nqp)

@@ -669,7 +669,8 @@ def run_matrix_assembly(field_fn, geo_inputs, term_tables, fold_plan=None,
 
 
 def run_matrix_assembly_pair(pair_field_fn, geo_inputs, term_tables,
-                             fold_plan=None, tperms=None, L=6):
+                             fold_plan=None, tperms=None, L=6,
+                             pallas_field_fn=None):
     """f64 assembly with zero emulated-f64 arithmetic: the coefficient
     fields come from `pair_field_fn` as two-float f32 pairs and every
     contraction stage is a pair-chained Ozaki split (bf16 chunk tiles with
@@ -701,18 +702,26 @@ def run_matrix_assembly_pair(pair_field_fn, geo_inputs, term_tables,
         from . import pallas_sumfac as ps
         gshape = tuple(len(np.asarray(w)) for w in geo_inputs['weights'])
         if ps.supported(term_tables, gshape):
+            # fused Pallas field kernel when available for these inputs
+            # (table geometries, or flat grids the jac-input kernel tiles)
+            field_fn = pair_field_fn
+            if pallas_field_fn is not None and (
+                    'geo_tables_bsp' in geo_inputs
+                    or 'geo_tables_nurbs' in geo_inputs
+                    or int(np.prod(gshape)) % 128 == 0):
+                field_fn = pallas_field_fn
             prepped = [[ps.prepare_table(T) for T in tabs]
                        for tabs in term_tables]
             parrs = [[(c, s) for (c, s, _M) in tabs] for tabs in prepped]
             Ms = tuple(tuple(M for (_c, _s, M) in tabs) for tabs in prepped)
-            key = (pair_field_fn, plan, 'pallas', L, Ms)
+            key = (field_fn, plan, 'pallas', L, Ms)
             fn = _KERNEL_CACHE.get(key)
             if fn is None:
                 def kernel(geo_inputs, parrs, tperms):
                     tp = [[(c, s, M) for ((c, s), M) in zip(ta, Ma)]
                           for ta, Ma in zip(parrs, Ms)]
                     return ps.assemble_terms_folded_pallas(
-                        tp, pair_field_fn(geo_inputs), plan, tperms)
+                        tp, field_fn(geo_inputs), plan, tperms)
                 fn = jax.jit(kernel)
                 _KERNEL_CACHE[key] = fn
             return np.asarray(fn(geo_inputs, parrs, tperms))
