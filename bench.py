@@ -381,6 +381,46 @@ def run_aca(device, dim, n, p=3):
     return ndofs, t, count[1], count[0] / total
 
 
+def run_vform(device, n=128, p=3):
+    """BASELINE config 2: a generic string-compiled form (convection-
+    diffusion + reaction on the exact-NURBS quarter annulus) through the
+    vform -> contraction-plan pipeline with the emulation-free f64 pair
+    path (compile.VFormAssembler, mode='ozaki').  Times the device
+    assembly dispatch (one jit; the host pull of the compact tensor is
+    excluded — it is tunnel-bound in this environment)."""
+    import jax
+    import jax.numpy as jnp
+    from pyiga_tpu import geometry
+    from pyiga_tpu.assemble import instantiate_assembler
+    from pyiga_tpu.bspline import make_knots
+
+    with jax.default_device(device):
+        kvs = 2 * (make_knots(p, 0.0, 1.0, n),)
+        geo = geometry.quarter_annulus()
+        form = '(inner(grad(u), grad(v)) + dot(b, grad(u)) * v + u * v) * dx'
+        asm = instantiate_assembler(form, kvs, {'geo': geo,
+                                                'b': np.array([3.0, -2.0])},
+                                    None, None)
+        ndofs = int(np.prod([kv.numdofs for kv in kvs]))
+
+        # accelerator: emulation-free pair path; CPU comparator: native
+        # exact f64 (what a CPU run would actually use)
+        mode = 'exact' if device.platform == 'cpu' else 'ozaki'
+
+        def run():
+            blocks = asm.run_device(mode)
+            leaf = jax.tree_util.tree_leaves(blocks)[0]
+            return float(jnp.asarray(leaf).reshape(-1)[0])   # device sync
+
+        run()     # warm/compile
+        t_best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run()
+            t_best = min(t_best, time.perf_counter() - t0)
+    return ndofs, t_best
+
+
 def main():
     import pyiga_tpu
     import jax
@@ -450,6 +490,27 @@ def main():
             'vs_baseline': vs,
             't_ms': round(1e3 * t, 1),
             'entry_frac': round(frac, 4),
+            'comparator': 'matched-size JAX-on-CPU (see bench.py '
+                          'docstring)',
+        })
+        lines.append(line)
+        print(line, flush=True)
+
+    if not os.environ.get('PYIGA_BENCH_NO_VFORM'):
+        # BASELINE config 2: generic string-compiled form, pair f64 path
+        pyiga_tpu.set_dtype(np.float64)
+        n_vf = int(os.environ.get('PYIGA_BENCH_VFORM_N', '128'))
+        ndofs, t = run_vform(dev, n_vf)
+        vs = None
+        if cpu is not None and not os.environ.get('PYIGA_BENCH_NO_CPU'):
+            _, t_cpu = run_vform(cpu, n_vf)
+            vs = round(t_cpu / t, 3)
+        line = json.dumps({
+            'metric': '2d_p3_convdiff_vform_assembly[float64,n=%d]' % n_vf,
+            'value': round(ndofs / t, 1),
+            'unit': 'dof/s',
+            'vs_baseline': vs,
+            't_ms': round(1e3 * t, 1),
             'comparator': 'matched-size JAX-on-CPU (see bench.py '
                           'docstring)',
         })

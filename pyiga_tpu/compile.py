@@ -897,6 +897,31 @@ class VFormAssembler:
 
     _JIT_CACHE = {}
 
+    def _device_operands(self, mode):
+        """Device-ready (inputs, term_tables, tperms) for the cached
+        assembly jit of the given (resolved) mode."""
+        import jax
+        import jax.numpy as jnp
+        from . import config
+        dtype = config.get_dtype()
+        fold = getattr(self, '_fold_plan', None)
+        if mode == 'pair':
+            # pre-split f32 pairs stay f32; geometry tables/coeffs stay f64
+            inputs = jax.tree_util.tree_map(jnp.asarray,
+                                            self._device_inputs_pair())
+        else:
+            inputs = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, dtype=dtype)
+                if np.issubdtype(np.asarray(x).dtype, np.floating)
+                else jnp.asarray(x),
+                self._device_inputs())
+        term_tables = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, dtype=dtype),
+            self._term_tables_for(self.combos))
+        tperms = ([jnp.asarray(p) for p in self._fold_tperms]
+                  if fold is not None else None)
+        return inputs, term_tables, tperms
+
     def _run(self, mode='exact'):
         import jax
         import jax.numpy as jnp
@@ -926,24 +951,90 @@ class VFormAssembler:
                 fn = jax.jit(fn)
             VFormAssembler._JIT_CACHE[key] = fn
 
-        dtype = config.get_dtype()
-        if mode == 'pair':
-            # pre-split f32 pairs stay f32; geometry tables/coeffs stay f64
-            inputs = jax.tree_util.tree_map(jnp.asarray,
-                                            self._device_inputs_pair())
-        else:
-            inputs = jax.tree_util.tree_map(
-                lambda x: jnp.asarray(x, dtype=dtype)
-                if np.issubdtype(np.asarray(x).dtype, np.floating)
-                else jnp.asarray(x),
-                self._device_inputs())
-        term_tables = jax.tree_util.tree_map(
-            lambda x: jnp.asarray(x, dtype=dtype),
-            self._term_tables_for(self.combos))
-        tperms = ([jnp.asarray(p) for p in self._fold_tperms]
-                  if fold is not None else None)
+        inputs, term_tables, tperms = self._device_operands(mode)
         blocks = fn(inputs, term_tables, tperms)
         return {k: np.asarray(v, dtype=np.float64) for k, v in blocks.items()}
+
+    def run_device(self, mode='exact'):
+        """Like :meth:`_run` but returns the device-resident block arrays
+        (no host transfer) — for device-side pipelines and benchmarks."""
+        import jax
+
+        fold = getattr(self, '_fold_plan', None)
+        if mode == 'ozaki' and self.arity == 2 and self._supports_pair_eval():
+            mode = 'pair'
+        eager = (mode == 'pair' and jax.default_backend() == 'cpu')
+        if mode == 'pair' and not eager:
+            out = self._run_pallas_pair()
+            if out is not None:
+                return out
+        key = (self.vf.hash(), tuple(map(repr, self.combos)),
+               tuple(fold) if fold is not None else None,
+               self._geo_tables is None,
+               getattr(self, '_geo_is_nurbs', None),
+               self._needs_geo_hessian(), mode, eager)
+        fn = VFormAssembler._JIT_CACHE.get(key)
+        if fn is None:
+            fn = self._assembly_fn(mode)
+            if not eager:
+                fn = jax.jit(fn)
+            VFormAssembler._JIT_CACHE[key] = fn
+        inputs, term_tables, tperms = self._device_operands(mode)
+        return fn(inputs, term_tables, tperms)
+
+    def _run_pallas_pair(self):
+        """Fused-Pallas variant of the pair fast path for scalar bilinear
+        forms: the combos' pair chains run through the stage kernels
+        (bf16 MXU dots, in-kernel accumulation across combos) instead of
+        the XLA pair chains (~10x on the 2D convection-diffusion bench).
+        Returns the device block dict, or None when the shapes/form are
+        not supported (vector forms, untileable chains)."""
+        import jax
+        from .ops import pallas_sumfac as ps
+
+        if self.vf.vec or self.arity != 2:
+            return None
+        combos = self.combos
+        prepped = getattr(self, '_prepped_tables', None)
+        if prepped is None:
+            tt_np = self._term_tables_for(combos)
+            gshape = tuple(len(g) for g in self.grid)
+            if not ps.supported(tt_np, gshape):
+                self._prepped_tables = False
+                return None
+            prepped = self._prepped_tables = [
+                [ps.prepare_table(T) for T in tabs] for tabs in tt_np]
+        elif prepped is False:
+            return None
+        parrs = [[(c, s) for (c, s, _M) in tabs] for tabs in prepped]
+        Ms = tuple(tuple(M for (_c, _s, M) in tabs) for tabs in prepped)
+        fold = getattr(self, '_fold_plan', None)
+        plan = (tuple(fold) if fold is not None
+                else tuple((t, False) for t in range(len(combos))))
+        key = (self.vf.hash(), tuple(map(repr, combos)), plan,
+               self._geo_tables is None,
+               getattr(self, '_geo_is_nurbs', None), 'pallas_pair', Ms)
+        fn = VFormAssembler._JIT_CACHE.get(key)
+        if fn is None:
+            def fn_(inputs, parrs, tperms):
+                pairs = self._eval_combo_fields_pair(inputs, combos)
+                tp = [[(c, s, M) for ((c, s), M) in zip(ta, Ma)]
+                      for ta, Ma in zip(parrs, Ms)]
+                Y = ps.assemble_terms_folded_pallas(tp, pairs, plan,
+                                                    tperms or [])
+                return {(None, None): Y}
+            fn = jax.jit(fn_)
+            VFormAssembler._JIT_CACHE[key] = fn
+        import jax.numpy as jnp
+        # inputs only — the raw f64 term tables are NOT needed here (the
+        # prepped chunk arrays replace them); building them would ship
+        # ~tens of MB host->device per call
+        inputs = jax.tree_util.tree_map(jnp.asarray,
+                                        self._device_inputs_pair())
+        fold = getattr(self, '_fold_plan', None)
+        tperms = ([jnp.asarray(p) for p in self._fold_tperms]
+                  if fold is not None else None)
+        return fn(inputs, parrs, tperms)
 
     def assemble(self, mode=None):
         """Assemble and return the matrix as an MLMatrix (scalar forms) or a

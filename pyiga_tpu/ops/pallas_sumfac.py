@@ -88,7 +88,7 @@ def _dots_from_chunks(chunks, s_col, tc_ref, ts_ref):
                 (((0,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             diag = y if diag is None else diag + y
-        acc = tf.df(diag) if acc is None else tf.df_add(acc, tf.df(diag))
+        acc = tf.df(diag) if acc is None else tf.df_add_f32(acc, diag)
 
     # exact power-of-two scales: s_col (1, r) column scale of the field,
     # ts (1, M) row scale of the table chunks

@@ -91,6 +91,15 @@ def df_add(a, b):
     return quick_two_sum(s1, s2)
 
 
+def df_add_f32(a, b):
+    """Add a plain f32 value to a two-float pair (error-free to pair
+    precision; the b.lo == 0 specialization of :func:`df_add` — half the
+    VPU ops, used by the hot kernel combines)."""
+    s1, s2 = two_sum(a[0], b)
+    s2 = s2 + a[1]
+    return quick_two_sum(s1, s2)
+
+
 def df_sub(a, b):
     return df_add(a, df_neg(b))
 
