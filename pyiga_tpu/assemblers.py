@@ -268,6 +268,11 @@ class MassAssembler(BaseGaussAssembler):
     field_fn = staticmethod(mass_fields)
     pair_field_fn = staticmethod(mass_fields_df_pair)
 
+    @property
+    def pallas_field_fn(self):
+        from .ops import pallas_sumfac as ps
+        return ps.mass_fields_pallas
+
     def __init__(self, kvs, geo, nqp=None):
         super().__init__(kvs, geo, nqp)
         zero = self.dim * (0,)

@@ -1101,7 +1101,14 @@ class VFormAssembler:
         from . import config
         if config.get_dtype() != np.float64:
             return 'exact'
-        if jax.default_backend() != 'cpu' and self._supports_pair_eval():
+        # honor an explicit jax.default_device pin (e.g. the bench's CPU
+        # comparator runs with the TPU still registered as the default
+        # backend): pair mode is for accelerators only — on CPU it is
+        # slower AND the pinned-CPU jit miscompiles two-float arithmetic
+        pin = jax.config.jax_default_device
+        platform = (pin.platform if pin is not None
+                    else jax.default_backend())
+        if platform != 'cpu' and self._supports_pair_eval():
             return 'pair'
         return 'exact'
 

@@ -59,7 +59,13 @@ def default_assembly_mode():
     import jax
     if get_dtype() != np.float64:
         return "exact"
-    return "exact" if jax.default_backend() == "cpu" else "ozaki"
+    # honor an explicit jax.default_device pin: with the TPU registered
+    # as the default backend but computation pinned to CPU, the pair/
+    # Ozaki path would be slower AND the pinned-CPU jit miscompiles the
+    # two-float transforms (see CLAUDE.md)
+    pin = jax.config.jax_default_device
+    platform = pin.platform if pin is not None else jax.default_backend()
+    return "exact" if platform == "cpu" else "ozaki"
 
 
 def get_backend():

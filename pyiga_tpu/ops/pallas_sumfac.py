@@ -368,7 +368,8 @@ def _make_stiff_fields_kernel(d):
     return kernel
 
 
-def _make_stiff_fields_fused_kernel(d, C, n_last, nurbs):
+def _make_stiff_fields_fused_kernel(d, C, n_last, nurbs,
+                                    kind='stiffness'):
     """Fields kernel that also performs the LAST-axis geometry-Jacobian
     contraction in-VMEM (the leading-axes stages arrive precomputed from
     :func:`~pyiga_tpu.ops.geom.geo_jac_stage12_df`).
@@ -415,11 +416,19 @@ def _make_stiff_fields_fused_kernel(d, C, n_last, nurbs):
                                         tf.df_mul(val[c], jac[-1][k])),
                               WW)
                     for k in range(d)] for c in range(C - 1)]
-        _stiff_fields_body(jac, gw, out_ref)
+        if kind == 'mass':
+            from . import geom
+            det = geom.det_df_pairs(jac)
+            hi, lo = tf.df_mul(gw, tf.df_abs(det))
+            out_ref[0] = hi
+            out_ref[1] = lo
+        else:
+            _stiff_fields_body(jac, gw, out_ref)
     return kernel
 
 
-def _stiffness_fields_fused(geo_inputs, interpret=False, r_rows=256):
+def _fields_fused(geo_inputs, kind='stiffness', interpret=False,
+                  r_rows=256):
     """Whole stiffness-fields pipeline — geometry Jacobian last-stage
     contraction, det/inv, weights, B products — in ONE Pallas kernel (the
     XLA two-float Jacobian contraction materializes every pair op:
@@ -465,7 +474,7 @@ def _stiffness_fields_fused(geo_inputs, interpret=False, r_rows=256):
     T = T.astype(jnp.float32)
 
     sdim = C - 1 if is_nurbs else C
-    n_out = sdim * (sdim + 1)
+    n_out = 2 if kind == 'mass' else sdim * (sdim + 1)
     NY = Ystack.shape[0]
     while Q12 % r_rows:
         r_rows //= 2
@@ -478,7 +487,8 @@ def _stiffness_fields_fused(geo_inputs, interpret=False, r_rows=256):
         r_rows //= 2
 
     out = pl.pallas_call(
-        _make_stiff_fields_fused_kernel(d, C, n_last, is_nurbs),
+        _make_stiff_fields_fused_kernel(d, C, n_last, is_nurbs,
+                                        kind=kind),
         grid=(Q12 // r_rows,),
         in_specs=[
             pl.BlockSpec((NY, r_rows, n_last), lambda j: (j * 0, j, j * 0)),
@@ -491,6 +501,9 @@ def _stiffness_fields_fused(geo_inputs, interpret=False, r_rows=256):
     )(Ystack, T)
 
     grid_shape = tuple(shape12) + (Q_last,)
+    if kind == 'mass':
+        return [(out[0, :, :Q_last].reshape(grid_shape),
+                 out[1, :, :Q_last].reshape(grid_shape))]
     uniq = {}
     k = 0
     for a in range(sdim):
@@ -519,7 +532,7 @@ def stiffness_fields_pallas(geo_inputs, interpret=False, r_rows=256):
         # spline/NURBS geometry: fuse the last-axis Jacobian contraction
         # into the kernel as well (the XLA pair contraction materializes
         # every op: ~30 ms on the 3D headline grid, ~1 ms fused)
-        return _stiffness_fields_fused(geo_inputs, interpret=interpret)
+        return _fields_fused(geo_inputs, 'stiffness', interpret=interpret)
 
     jp = assemblers._geo_jac_pairs(geo_inputs)
     d = len(jp)
@@ -672,3 +685,13 @@ def assemble_flat_banded_pair_pallas(tables_prepped_per_term, field_pairs,
     any_mirror = any(m for _t, m in fold_plan)
     return flat_banded_pair_from_padded_chain(
         acc, bws, ns, lay=lay, add_transpose=any_mirror)
+
+
+def mass_fields_pallas(geo_inputs, interpret=False):
+    """Mass coefficient field ``W = gauss_weight * |det J|`` as a
+    two-float pair via the fused-geometry kernel (falls back to the XLA
+    pair pipeline for host-jacobian inputs)."""
+    if 'geo_tables_bsp' in geo_inputs or 'geo_tables_nurbs' in geo_inputs:
+        return _fields_fused(geo_inputs, 'mass', interpret=interpret)
+    from .. import assemblers
+    return assemblers.mass_fields_df_pair(geo_inputs)

@@ -609,7 +609,7 @@ def test_stiffness_fields_fused_interpret():
             else jnp.asarray(a), asm._geo_inputs)
         assert 'geo_tables_bsp' in gi or 'geo_tables_nurbs' in gi
         ref = stiffness_fields_df_pair(gi)
-        got = ps._stiffness_fields_fused(gi, interpret=True)
+        got = ps._fields_fused(gi, 'stiffness', interpret=True)
         # global scale: structurally-zero off-diagonal fields carry only
         # rounding noise (~1e-18) and have no meaningful per-field scale
         sc = max(np.abs(np.asarray(rh, np.float64)
@@ -619,3 +619,11 @@ def test_stiffness_fields_fused_interpret():
             G = np.asarray(gh, np.float64) + np.asarray(gl, np.float64)
             R = np.asarray(rh, np.float64) + np.asarray(rl, np.float64)
             assert np.abs(G - R).max() / sc < 1e-5
+
+        # mass variant: W = gw |det J| through the same fused kernel
+        from pyiga_tpu.assemblers import mass_fields_df_pair
+        (rh, rl), = mass_fields_df_pair(gi)
+        (gh, gl), = ps._fields_fused(gi, 'mass', interpret=True)
+        R = np.asarray(rh, np.float64) + np.asarray(rl, np.float64)
+        G = np.asarray(gh, np.float64) + np.asarray(gl, np.float64)
+        assert np.abs(G - R).max() / np.abs(R).max() < 1e-5
