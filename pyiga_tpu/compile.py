@@ -605,10 +605,14 @@ class VFormAssembler:
         """Traced: coefficient field for every (seed_u, seed_v) combo."""
         import jax.numpy as jnp
         grid_shape = tuple(np.shape(w)[0] for w in inputs['weights'])
-        # shared geometry arrays across combos (computed once, CSE'd anyway)
+        # share the FIELD-scope cache across combos: every ctx.field key is
+        # seed-independent (geometry/inputs/params), so det/inv/measures
+        # are computed once instead of once per combo
+        shared_cache = {}
         fields = []
         for su, sv in combos:
             ctx = self._make_context(inputs, su, sv)
+            ctx._cache = shared_cache
             C = 0.0
             for e in self.vf.exprs:
                 C = C + e.eval(ctx)
@@ -678,9 +682,14 @@ class VFormAssembler:
         import jax.numpy as jnp
         from .ops import twofloat as tf
         grid_shape = tuple(np.shape(w[0])[0] for w in inputs['weights'])
+        # shared FIELD-scope cache (see _eval_combo_fields): the pair
+        # det/inv pipeline is division-heavy — computing it once instead
+        # of once per combo is a large part of the field cost
+        shared_cache = {}
         fields = []
         for su, sv in combos:
             ctx = self._make_pair_context(inputs, su, sv)
+            ctx._cache = shared_cache
             C = 0.0
             for e in self.vf.exprs:
                 C = C + e.eval(ctx)
