@@ -1022,16 +1022,31 @@ class VFormAssembler:
                 else tuple((t, False) for t in range(len(combos))))
         key = (self.vf.hash(), tuple(map(repr, combos)), plan,
                self._geo_tables is None,
-               getattr(self, '_geo_is_nurbs', None), 'pallas_pair', Ms)
+               getattr(self, '_geo_is_nurbs', None), 'pallas_pair', Ms,
+               tuple(t.shape for t in (self._geo_tables or ())))
+        fuse_geo = (self._geo_tables is not None and
+                    ps.geo_jac_fields_supported(self._geo_tables, None))
         fn = VFormAssembler._JIT_CACHE.get(key)
         if fn is None:
             def fn_(inputs, parrs, tperms):
-                pairs = self._eval_combo_fields_pair(inputs, combos)
+                arrays = dict(inputs)
+                if fuse_geo:
+                    # fused-geometry kernel replaces the materialized XLA
+                    # pair contraction for values + Jacobian
+                    ones = [jnp.ones((t.shape[1],))
+                            for t in arrays['geo_tables']]
+                    val, jac = ps.geo_jac_fields_pallas(
+                        arrays['geo_tables'], arrays['geo_coeffs'], ones,
+                        self._geo_is_nurbs)
+                    arrays['geo_val_pair'] = val
+                    arrays['geo_jac_pair'] = jac
+                pairs = self._eval_combo_fields_pair(arrays, combos)
                 tp = [[(c, s, M) for ((c, s), M) in zip(ta, Ma)]
                       for ta, Ma in zip(parrs, Ms)]
                 Y = ps.assemble_terms_folded_pallas(tp, pairs, plan,
                                                     tperms or [])
                 return {(None, None): Y}
+            import jax.numpy as jnp
             fn = jax.jit(fn_)
             VFormAssembler._JIT_CACHE[key] = fn
         import jax.numpy as jnp

@@ -408,15 +408,32 @@ def _make_stiff_fields_fused_kernel(d, C, n_last, nurbs,
         gwL = (t_ref[4, 0, :][None, :], t_ref[5, 0, :][None, :])
         gw = tf.df_mul(gw12, gwL)
 
-        if nurbs:
+        val = None
+        if nurbs or kind == 'jac':
             val = [contract_last(d - 1, c, 0) for c in range(C)]
+        if nurbs:
             W = val[-1]
             WW = tf.df_mul(W, W)
             jac = [[tf.df_div(tf.df_sub(tf.df_mul(jac[c][k], W),
                                         tf.df_mul(val[c], jac[-1][k])),
                               WW)
                     for k in range(d)] for c in range(C - 1)]
-        if kind == 'mass':
+            if kind == 'jac':
+                val = [tf.df_div(v, W) for v in val[:-1]]
+        if kind == 'jac':
+            # physical values then jac row-major, hi/lo interleaved
+            # (matches geom.geo_jacobian_field_df's (val, jac) content)
+            k = 0
+            for v in val:
+                out_ref[2 * k] = v[0]
+                out_ref[2 * k + 1] = v[1]
+                k += 1
+            for c in range(len(jac)):
+                for kk in range(d):
+                    out_ref[2 * k] = jac[c][kk][0]
+                    out_ref[2 * k + 1] = jac[c][kk][1]
+                    k += 1
+        elif kind == 'mass':
             from . import geom
             det = geom.det_df_pairs(jac)
             hi, lo = tf.df_mul(gw, tf.df_abs(det))
@@ -474,7 +491,9 @@ def _fields_fused(geo_inputs, kind='stiffness', interpret=False,
     T = T.astype(jnp.float32)
 
     sdim = C - 1 if is_nurbs else C
-    n_out = 2 if kind == 'mass' else sdim * (sdim + 1)
+    n_out = (2 if kind == 'mass'
+             else 2 * sdim * (d + 1) if kind == 'jac'
+             else sdim * (sdim + 1))
     NY = Ystack.shape[0]
     while Q12 % r_rows:
         r_rows //= 2
@@ -501,6 +520,14 @@ def _fields_fused(geo_inputs, kind='stiffness', interpret=False,
     )(Ystack, T)
 
     grid_shape = tuple(shape12) + (Q_last,)
+    if kind == 'jac':
+        def pair(k):
+            return (out[2 * k, :, :Q_last].reshape(grid_shape),
+                    out[2 * k + 1, :, :Q_last].reshape(grid_shape))
+        val = [pair(c) for c in range(sdim)]
+        jac = [[pair(sdim + c * d + kk) for kk in range(d)]
+               for c in range(sdim)]
+        return val, jac
     if kind == 'mass':
         return [(out[0, :, :Q_last].reshape(grid_shape),
                  out[1, :, :Q_last].reshape(grid_shape))]
@@ -695,3 +722,24 @@ def mass_fields_pallas(geo_inputs, interpret=False):
         return _fields_fused(geo_inputs, 'mass', interpret=interpret)
     from .. import assemblers
     return assemblers.mass_fields_df_pair(geo_inputs)
+
+
+def geo_jac_fields_pallas(tables, coeffs, weights, is_nurbs,
+                          interpret=False):
+    """Physical geometry values + Jacobian as two-float pairs via the
+    fused kernel (drop-in for geom.geo_jacobian_field_df's return; inject
+    as ``geo_val_pair``/``geo_jac_pair`` into a PairAsmContext so generic
+    vform fields skip the materialized XLA pair contraction)."""
+    key = 'geo_tables_nurbs' if is_nurbs else 'geo_tables_bsp'
+    gi = {key: list(tables), 'geo_coeffs': coeffs,
+          'weights': [jnp.asarray(w) for w in weights]}
+    return _fields_fused(gi, 'jac', interpret=interpret)
+
+
+def geo_jac_fields_supported(tables, coeffs):
+    """Static tiling check for :func:`geo_jac_fields_pallas`."""
+    d = len(tables)
+    if d < 2:
+        return False
+    Q12 = int(np.prod([t.shape[1] for t in tables[:d - 1]]))
+    return Q12 % 8 == 0
