@@ -56,25 +56,38 @@ def _pow2_at_least(a):
     return jnp.where(a > p, 2.0 * p, p)
 
 
-def _slice_pair_cols(hi, lo):
+def _slice_pair_cols(hi, lo, interpret=False):
     """Split a two-float (K, r) tile into six bf16 chunks with per-column
-    power-of-two scales (mirrors sumfac._ozaki_slice_pair)."""
+    power-of-two scales (same decomposition contract as
+    sumfac._ozaki_slice_pair, cheaper extraction).
+
+    Each chunk is extracted by the magic-constant rounding EFT
+    ``q = (r + C) - C`` with ``C = 1.5 * 2^(23 - 8(i+1))``: the add forces
+    round-to-nearest onto the chunk's ``2^-8(i+1)`` grid and the remainder
+    ``r - q`` is exact — 2 ops replace the mul/trunc/mul of the truncating
+    form, and division by the power-of-two column scale becomes one exact
+    reciprocal multiply.  Nearest-rounded chunks are signed ints of
+    magnitude <= 129 (vs 255 truncating), so the exact-f32 MXU
+    accumulation bound is kept with margin; the final remainder halves."""
     a = jnp.max(jnp.abs(hi), axis=0, keepdims=True)
     s = _pow2_at_least(jnp.where(a > 0, a, 1.0))
-    r = hi / s
+    rs = 1.0 / s                    # exact: s is a power of two
+    r = hi * rs
     chunks = []
-    for i in range(_NH):
-        scale = jnp.float32(2.0 ** (_W * (i + 1)))
-        q = jnp.trunc(r * scale) / scale
+    for i in range(_L):
+        if i == _NH:
+            # fold in the low word once the hi mantissa is consumed
+            r = r + lo * rs
+        C = jnp.float32(1.5 * 2.0 ** (23 - _W * (i + 1)))
+        t = r + C
+        if interpret:
+            # XLA (the interpret-mode executor) folds (r + C) - C to r;
+            # the barrier blocks that.  Mosaic neither folds nor lowers
+            # optimization_barrier, so the plain form runs on TPU.
+            t = jax.lax.optimization_barrier(t)
+        q = t - C
         chunks.append(q.astype(jnp.bfloat16))
         r = r - q
-    r32 = (r + lo / s) * jnp.float32(2.0 ** (_W * _NH))
-    for i in range(_NH, _L):
-        scale = jnp.float32(2.0 ** (_W * (i + 1 - _NH)))
-        q = jnp.trunc(r32 * scale) / scale
-        chunks.append((q * jnp.float32(2.0 ** (-_W * _NH)))
-                      .astype(jnp.bfloat16))
-        r32 = r32 - q
     return chunks, s
 
 
@@ -96,12 +109,13 @@ def _dots_from_chunks(chunks, s_col, tc_ref, ts_ref):
     return acc[0] * scale, acc[1] * scale
 
 
-def _stage_tile(xh, xl, tc_ref, ts_ref):
-    chunks, s_col = _slice_pair_cols(xh, xl)
+def _stage_tile(xh, xl, tc_ref, ts_ref, interpret=False):
+    chunks, s_col = _slice_pair_cols(xh, xl, interpret=interpret)
     return _dots_from_chunks(chunks, s_col, tc_ref, ts_ref)
 
 
-def _stage_tile_cached(xh_ref, xl_ref, tc_ref, ts_ref, ck_ref, sc_ref):
+def _stage_tile_cached(xh_ref, xl_ref, tc_ref, ts_ref, ck_ref, sc_ref,
+                       interpret=False):
     """Chunk-cached tile: the bf16 mantissa slicing of the field pair (the
     dominant VPU cost) depends only on the (r-tile, K-block) — recompute it
     once per r-tile (grid iterates M-tiles fastest when there is a single
@@ -110,7 +124,8 @@ def _stage_tile_cached(xh_ref, xl_ref, tc_ref, ts_ref, ck_ref, sc_ref):
 
     @pl.when(pl.program_id(1) == 0)
     def _():
-        chunks, s_col = _slice_pair_cols(xh_ref[...], xl_ref[...])
+        chunks, s_col = _slice_pair_cols(xh_ref[...], xl_ref[...],
+                                         interpret=interpret)
         for i in range(_L):
             ck_ref[i] = chunks[i]
         sc_ref[...] = s_col
@@ -120,7 +135,7 @@ def _stage_tile_cached(xh_ref, xl_ref, tc_ref, ts_ref, ck_ref, sc_ref):
 
 
 def _stage_kernel(xh_ref, xl_ref, tc_ref, ts_ref, oh_ref, ol_ref,
-                  ck_ref=None, sc_ref=None):
+                  ck_ref=None, sc_ref=None, interpret=False):
     """Grid = (R-tiles, M-tiles, K-blocks); the K axis is innermost so the
     output pair block stays resident in VMEM and accumulates the per-block
     partial results with exact two-float adds (long contraction axes split
@@ -131,9 +146,10 @@ def _stage_kernel(xh_ref, xl_ref, tc_ref, ts_ref, oh_ref, ol_ref,
     from jax.experimental import pallas as pl
     if ck_ref is not None:
         hi, lo = _stage_tile_cached(xh_ref, xl_ref, tc_ref, ts_ref,
-                                    ck_ref, sc_ref)
+                                    ck_ref, sc_ref, interpret=interpret)
     else:
-        hi, lo = _stage_tile(xh_ref[...], xl_ref[...], tc_ref, ts_ref)
+        hi, lo = _stage_tile(xh_ref[...], xl_ref[...], tc_ref, ts_ref,
+                             interpret=interpret)
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
@@ -149,7 +165,8 @@ def _stage_kernel(xh_ref, xl_ref, tc_ref, ts_ref, oh_ref, ol_ref,
 
 
 def _stage_kernel_acc(xh_ref, xl_ref, tc_ref, ts_ref, ah_ref, al_ref,
-                      oh_ref, ol_ref, ck_ref=None, sc_ref=None):
+                      oh_ref, ol_ref, ck_ref=None, sc_ref=None,
+                      interpret=False):
     """Accumulating variant: the running two-float sum rides in aliased
     input/output buffers, so summing the six chains needs no separate
     (HBM-bound) pair-add passes.  K-blocks > 0 accumulate onto the output
@@ -157,9 +174,10 @@ def _stage_kernel_acc(xh_ref, xl_ref, tc_ref, ts_ref, ah_ref, al_ref,
     from jax.experimental import pallas as pl
     if ck_ref is not None:
         hi, lo = _stage_tile_cached(xh_ref, xl_ref, tc_ref, ts_ref,
-                                    ck_ref, sc_ref)
+                                    ck_ref, sc_ref, interpret=interpret)
     else:
-        hi, lo = _stage_tile(xh_ref[...], xl_ref[...], tc_ref, ts_ref)
+        hi, lo = _stage_tile(xh_ref[...], xl_ref[...], tc_ref, ts_ref,
+                             interpret=interpret)
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
@@ -262,6 +280,7 @@ def _stage_call(xh, xl, t_chunks, t_scale, acc_h=None, acc_l=None,
         kernel, alias = _stage_kernel_acc, {4: 0, 5: 1}
     else:
         kernel, alias = _stage_kernel, {}
+    kernel = functools.partial(kernel, interpret=interpret)
     # chunk caching across M-tiles (measured on v5e: the when-guarded
     # slicing serializes against Mosaic's pipeline and costs more than the
     # recompute — disabled; kept for toolchains where it pays)
@@ -339,6 +358,85 @@ def chain_pair(tables_prepped, field_pair, r_block=512, interpret=False):
                                         r_block=r_block, interpret=interpret)
     index = tuple(slice(0, M) for M, _ in dims)
     return hi[index], lo[index]
+
+
+def _prep_table_traced(T):
+    """Traced variant of :func:`prepare_table` for tables that are jit
+    operands: split an f64 ``(Q, K)`` table (`K` a multiple of 8) into bf16
+    chunks with Q padded to a lane multiple.  Returns
+    ``(chunks (L, Qp, K), scale (1, Qp), Q)``."""
+    Q, K = T.shape
+    Qp = _pad_lanes(Q)
+    padded = jnp.pad(T, ((0, Qp - Q), (0, 0)))
+    chunks, s = sumfac._ozaki_slice(padded, 1, _L)
+    return jnp.stack(list(chunks)), jnp.asarray(s, jnp.float32).reshape(1, Qp), Q
+
+
+def geo_stage12_mxu(tables, coeffs, d, interpret=False, r_block=512):
+    """Stage-1/2 geometry-Jacobian contraction on the MXU (drop-in for
+    :func:`~pyiga_tpu.ops.geom.geo_jac_stage12_df`).
+
+    The two-float fallback there (``tp_apply_df``) runs *emulated-f64
+    tensordots* whenever a coefficient axis exceeds its unroll limit —
+    which is always at production sizes, and emulated-f64 dots cost ~2 ns
+    per output element on TPU (measured ~9 ms of the 3D n=48 headline
+    assembly).  Here the same contractions run as pair-chained Ozaki bf16
+    chunk products through the fused stage kernel (~1 ms): axes are
+    zero-padded to the kernel's tiling (contraction axes to multiples of
+    8, the carried ``(C, n_last)`` rest axis to a lane multiple — zero
+    rows/columns contribute exactly zero, so padding is exact).
+
+    Returns ``(Ys, shape12)`` with the same contract as
+    ``geo_jac_stage12_df``: ``Ys[t]`` is the two-float pair of shape
+    ``(C, Q12, n_last)`` with the derivative table on axis ``t``
+    (``t = d - 1``: all-values)."""
+    from . import twofloat as tf
+    val_tabs = [t[0] for t in tables]       # (Q_k, n_k) f64
+    der_tabs = [t[1] for t in tables]
+    C = coeffs.shape[0]
+    n_last = coeffs.shape[d]
+    shape12 = tuple(t.shape[0] for t in val_tabs[:d - 1])
+    Q12 = int(np.prod(shape12)) if shape12 else 1
+
+    # X: contraction axes leading, flattened (C, n_last) trailing, padded
+    # to a lane multiple so every stage's rest extent divides by 128
+    P = _pad_lanes(C * n_last)
+    X = jnp.moveaxis(jnp.asarray(coeffs), 0, d - 1)
+    X = X.reshape(tuple(X.shape[:d - 1]) + (C * n_last,))
+    X = jnp.pad(X, [(0, 0)] * (d - 1) + [(0, P - C * n_last)])
+    hi0, lo0 = tf.df_from_f64(X)
+
+    prepped = {}
+    for k in range(d - 1):
+        nk = val_tabs[k].shape[1]
+        nkp = -(-nk // 8) * 8
+        for kind, tabs in (('v', val_tabs), ('d', der_tabs)):
+            T = jnp.pad(jnp.asarray(tabs[k]), ((0, 0), (0, nkp - nk)))
+            prepped[(kind, k)] = _prep_table_traced(T) + (nkp,)
+
+    Ys = []
+    for t in range(d):
+        hi, lo = hi0, lo0
+        for k in range(d - 1):
+            tc, tscale, _Q, nkp = prepped[('d' if k == t else 'v', k)]
+            pad0 = [(0, nkp - hi.shape[0])] + [(0, 0)] * (hi.ndim - 1)
+            hi, lo = jnp.pad(hi, pad0), jnp.pad(lo, pad0)
+            K = hi.shape[0]
+            R = int(np.prod(hi.shape[1:]))
+            oh, ol = _stage_call(hi.reshape(K, R), lo.reshape(K, R),
+                                 tc, tscale, r_block=r_block,
+                                 interpret=interpret)
+            new_shape = hi.shape[1:] + (oh.shape[1],)
+            hi, lo = oh.reshape(new_shape), ol.reshape(new_shape)
+        # (P, Q_1p, .., Q_{d-1}p) -> (C, Q12, n_last)
+        sl = (slice(0, C * n_last),) + tuple(slice(0, q) for q in shape12)
+        out = []
+        for A in (hi, lo):
+            A = A[sl].reshape((C, n_last) + shape12)
+            A = jnp.moveaxis(A, 1, -1).reshape(C, Q12, n_last)
+            out.append(A)
+        Ys.append((out[0], out[1]))
+    return Ys, shape12
 
 
 def _stiff_fields_body(j, gw, out_ref):
@@ -463,7 +561,11 @@ def _fields_fused(geo_inputs, kind='stiffness', interpret=False,
     Q_last = tables[d - 1].shape[1]
     Lp = _pad_lanes(Q_last)
 
-    Ys, shape12 = geom.geo_jac_stage12_df(tables, coeffs, d)
+    if all(-(-int(t[0].shape[1]) // 8) * 8 <= _K_MAX for t in tables[:d - 1]):
+        Ys, shape12 = geo_stage12_mxu(tables, coeffs, d, interpret=interpret)
+    else:
+        # very large geometry coefficient axes: keep the two-float XLA path
+        Ys, shape12 = geom.geo_jac_stage12_df(tables, coeffs, d)
     Q12 = int(np.prod(shape12)) if shape12 else 1
 
     # stage-12 stack, q12 in sublanes (see kernel docstring)
