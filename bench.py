@@ -103,13 +103,18 @@ def _f64_assembly_fns(asm, dev, use_pallas):
         parrs = [[(jax.device_put(c, dev), jax.device_put(s, dev))
                   for (c, s, _M) in tabs] for tabs in prepped]
         Ms = tuple(tuple(M for (_c, _s, M) in tabs) for tabs in prepped)
+        # term -> distinct-last-table slot, resolved on the concrete host
+        # arrays (inside the jit the operands are indistinguishable
+        # tracers); lets the folded final stage keep one table per kind
+        last_idx = tuple(id(prepped[t][-1][0]) for t, _m in plan)
 
         def full(gi, parrs):
             F = ps.stiffness_fields_pallas(gi)
             tp = [[(c, s, M) for ((c, s), M) in zip(ta, Ma)]
                   for ta, Ma in zip(parrs, Ms)]
             return ps.assemble_flat_banded_pair_pallas(tp, F, plan,
-                                                       bws, ns, lay)
+                                                       bws, ns, lay,
+                                                       last_idx=last_idx)
 
         jfull = jax.jit(full)
 

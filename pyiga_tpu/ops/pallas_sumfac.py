@@ -91,65 +91,48 @@ def _slice_pair_cols(hi, lo, interpret=False):
     return chunks, s
 
 
-def _dots_from_chunks(chunks, s_col, tc_ref, ts_ref):
+def _dots_from_chunks(chunks, s_col, tcat, ts):
+    """Six diagonal dots over concatenated chunk stacks.
+
+    ``diag_d = sum_a chunk_a . T_{d-a}`` is ONE MXU dot of the first
+    ``(d+1)K`` rows of the chunk concat against the matching stacked-table
+    rows (``tcat`` rows ``K d(d+1)/2 .. K (d+1)(d+2)/2`` hold
+    ``T_d, T_{d-1}, .., T_0``).  Twenty-one short dots with twenty serial
+    VPU adds between them ran at ~55% MXU; the six concatenated dots
+    (contractions up to ``6K``) measure at the MXU roofline."""
+    K = tcat.shape[0] // 21
+    bcat = jnp.concatenate(chunks, axis=0)        # (6K, r) bf16
     acc = None
     for d in range(_L):
-        diag = None
-        for i in range(d + 1):
-            y = jax.lax.dot_general(
-                chunks[d - i], tc_ref[i],
-                (((0,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            diag = y if diag is None else diag + y
-        acc = tf.df(diag) if acc is None else tf.df_add_f32(acc, diag)
+        off = K * (d * (d + 1) // 2)
+        y = jax.lax.dot_general(
+            bcat[:(d + 1) * K], tcat[off:off + (d + 1) * K],
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = tf.df(y) if acc is None else tf.df_add_f32(acc, y)
 
     # exact power-of-two scales: s_col (1, r) column scale of the field,
     # ts (1, M) row scale of the table chunks
-    scale = s_col.T * ts_ref[...]
+    scale = s_col.T * ts
     return acc[0] * scale, acc[1] * scale
 
 
-def _stage_tile(xh, xl, tc_ref, ts_ref, interpret=False):
+def _stage_tile(xh, xl, tcat, ts, interpret=False):
     chunks, s_col = _slice_pair_cols(xh, xl, interpret=interpret)
-    return _dots_from_chunks(chunks, s_col, tc_ref, ts_ref)
-
-
-def _stage_tile_cached(xh_ref, xl_ref, tc_ref, ts_ref, ck_ref, sc_ref,
-                       interpret=False):
-    """Chunk-cached tile: the bf16 mantissa slicing of the field pair (the
-    dominant VPU cost) depends only on the (r-tile, K-block) — recompute it
-    once per r-tile (grid iterates M-tiles fastest when there is a single
-    K-block) and reuse from scratch for the remaining M-tiles."""
-    from jax.experimental import pallas as pl
-
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        chunks, s_col = _slice_pair_cols(xh_ref[...], xl_ref[...],
-                                         interpret=interpret)
-        for i in range(_L):
-            ck_ref[i] = chunks[i]
-        sc_ref[...] = s_col
-
-    chunks = [ck_ref[i] for i in range(_L)]
-    return _dots_from_chunks(chunks, sc_ref[...], tc_ref, ts_ref)
+    return _dots_from_chunks(chunks, s_col, tcat, ts)
 
 
 def _stage_kernel(xh_ref, xl_ref, tc_ref, ts_ref, oh_ref, ol_ref,
-                  ck_ref=None, sc_ref=None, interpret=False):
+                  interpret=False):
     """Grid = (R-tiles, M-tiles, K-blocks); the K axis is innermost so the
     output pair block stays resident in VMEM and accumulates the per-block
     partial results with exact two-float adds (long contraction axes split
     into <= _K_MAX blocks; each block's Ozaki split is independently exact,
     so the K-split preserves the accuracy guarantee — same scheme as
-    sumfac._ozaki_contract_axis_pair's block path).  With chunk scratch
-    (single-K-block grids) the bf16 slicing runs once per r-tile."""
+    sumfac._ozaki_contract_axis_pair's block path)."""
     from jax.experimental import pallas as pl
-    if ck_ref is not None:
-        hi, lo = _stage_tile_cached(xh_ref, xl_ref, tc_ref, ts_ref,
-                                    ck_ref, sc_ref, interpret=interpret)
-    else:
-        hi, lo = _stage_tile(xh_ref[...], xl_ref[...], tc_ref, ts_ref,
-                             interpret=interpret)
+    hi, lo = _stage_tile(xh_ref[...], xl_ref[...], tc_ref[...], ts_ref[...],
+                         interpret=interpret)
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
@@ -165,19 +148,14 @@ def _stage_kernel(xh_ref, xl_ref, tc_ref, ts_ref, oh_ref, ol_ref,
 
 
 def _stage_kernel_acc(xh_ref, xl_ref, tc_ref, ts_ref, ah_ref, al_ref,
-                      oh_ref, ol_ref, ck_ref=None, sc_ref=None,
-                      interpret=False):
+                      oh_ref, ol_ref, interpret=False):
     """Accumulating variant: the running two-float sum rides in aliased
     input/output buffers, so summing the six chains needs no separate
     (HBM-bound) pair-add passes.  K-blocks > 0 accumulate onto the output
     block like :func:`_stage_kernel`."""
     from jax.experimental import pallas as pl
-    if ck_ref is not None:
-        hi, lo = _stage_tile_cached(xh_ref, xl_ref, tc_ref, ts_ref,
-                                    ck_ref, sc_ref, interpret=interpret)
-    else:
-        hi, lo = _stage_tile(xh_ref[...], xl_ref[...], tc_ref, ts_ref,
-                             interpret=interpret)
+    hi, lo = _stage_tile(xh_ref[...], xl_ref[...], tc_ref[...], ts_ref[...],
+                         interpret=interpret)
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
@@ -201,11 +179,11 @@ _VMEM_BUDGET = 6 * 2 ** 20
 
 def _vmem_bytes(K, r, m):
     x_pair = 2 * K * r * 4
-    chunks = _L * K * r * 2
-    table = _L * m * K * 2 + 4 * m
-    diags = _L * r * m * 4
+    chunks = _L * K * r * 2                 # the (6K, r) bf16 concat
+    table = 21 * m * K * 2 + 4 * m          # diag-stacked tcat block
+    acc = 3 * r * m * 4                     # running df pair + current diag
     out = 2 * r * m * 4
-    return x_pair + chunks + table + diags + out
+    return x_pair + chunks + table + acc + out
 
 
 # largest contraction block per kernel invocation; longer K axes (large 2D
@@ -246,6 +224,25 @@ def _pick_blocks(K, R, M, r_block):
     return None
 
 
+# chunk-level pairing of the 6 diagonal dots: diag d contracts chunk_a
+# against table chunk d-a, so the stacked-table row block for (d, a) holds
+# T_{d-a} (see _dots_from_chunks)
+_DIAG_LEVELS = [d - a for d in range(_L) for a in range(d + 1)]
+
+
+def _stack_tcat(t_chunks, k_blk):
+    """Arrange table chunks ``(L, Mp, K)`` into the diag-stacked layout
+    ``(21 K, Mp)``: per K-block, 21 contiguous row blocks holding the
+    transposed table chunks in diag order.  Pure relayout of a ~1 MB
+    array, traced into the surrounding jit (tables are jit operands — the
+    stacking cost is noise next to the field streams)."""
+    L, Mp, K = t_chunks.shape
+    tsel = t_chunks[jnp.asarray(_DIAG_LEVELS)]        # (21, Mp, K)
+    tsel = tsel.reshape(21, Mp, K // k_blk, k_blk)
+    tsel = jnp.transpose(tsel, (2, 0, 3, 1))          # (nkb, 21, k_blk, Mp)
+    return tsel.reshape(21 * K, Mp)
+
+
 @functools.partial(jax.jit, static_argnames=('r_block', 'interpret'))
 def _stage_call(xh, xl, t_chunks, t_scale, acc_h=None, acc_l=None,
                 r_block=512, interpret=False):
@@ -257,6 +254,7 @@ def _stage_call(xh, xl, t_chunks, t_scale, acc_h=None, acc_l=None,
     K, R = xh.shape
     L, M, _ = t_chunks.shape
     r_blk, m_blk, k_blk = _pick_blocks(K, R, M, r_block)
+    tcat = _stack_tcat(t_chunks, k_blk)
     # K innermost: the output pair block stays VMEM-resident across the
     # K-block accumulation (see _stage_kernel)
     grid = (R // r_blk, M // m_blk, K // k_blk)
@@ -268,12 +266,12 @@ def _stage_call(xh, xl, t_chunks, t_scale, acc_h=None, acc_l=None,
     in_specs = [
         pl.BlockSpec((k_blk, r_blk), lambda j, s, kb: (kb, j)),
         pl.BlockSpec((k_blk, r_blk), lambda j, s, kb: (kb, j)),
-        pl.BlockSpec((L, m_blk, k_blk), lambda j, s, kb: (j * 0, s, kb)),
+        pl.BlockSpec((21 * k_blk, m_blk), lambda j, s, kb: (kb, s)),
         pl.BlockSpec((1, m_blk), lambda j, s, kb: (j * 0, s)),
     ]
     out_specs = [pl.BlockSpec((r_blk, m_blk), lambda j, s, kb: (j, s)),
                  pl.BlockSpec((r_blk, m_blk), lambda j, s, kb: (j, s))]
-    operands = [xh, xl, t_chunks, t_scale]
+    operands = [xh, xl, tcat, t_scale]
     if acc_h is not None:
         operands += [acc_h, acc_l]
         in_specs = in_specs + out_specs
@@ -281,14 +279,6 @@ def _stage_call(xh, xl, t_chunks, t_scale, acc_h=None, acc_l=None,
     else:
         kernel, alias = _stage_kernel, {}
     kernel = functools.partial(kernel, interpret=interpret)
-    # chunk caching across M-tiles (measured on v5e: the when-guarded
-    # slicing serializes against Mosaic's pipeline and costs more than the
-    # recompute — disabled; kept for toolchains where it pays)
-    scratch = []
-    if False and grid[2] == 1 and grid[1] > 1:
-        from jax.experimental.pallas import tpu as pltpu
-        scratch = [pltpu.VMEM((_L, k_blk, r_blk), jnp.bfloat16),
-                   pltpu.VMEM((1, r_blk), jnp.float32)]
     oh, ol = pl.pallas_call(
         kernel,
         grid=grid,
@@ -296,7 +286,6 @@ def _stage_call(xh, xl, t_chunks, t_scale, acc_h=None, acc_l=None,
         out_specs=out_specs,
         out_shape=out_shape,
         input_output_aliases=alias,
-        scratch_shapes=scratch,
         interpret=interpret,
     )(*operands)
     return oh, ol
@@ -306,11 +295,23 @@ def _pad_lanes(m):
     return -(-m // 128) * 128
 
 
+_PREP_CACHE = {}
+
+
 def prepare_table(table):
     """Host-side: split a float64 ``(M, K)`` pair table into bf16 chunks
     (row-scaled, M zero-padded to a lane multiple).  Returns
-    ``(chunks (L, Mp, K) bf16, scale (1, Mp) f32, M)``."""
+    ``(chunks (L, Mp, K) bf16, scale (1, Mp) f32, M)``.
+
+    Results are cached by table content, so terms sharing a pair table
+    (e.g. the value*value table of every off-diagonal stiffness term)
+    share one prepped array — the folded final stage dedups its in-VMEM
+    table stacks by object identity."""
     table = np.asarray(table, dtype=np.float64)
+    key = (table.shape, hash(table.tobytes()))
+    hit = _PREP_CACHE.get(key)
+    if hit is not None:
+        return hit
     M, K = table.shape
     Mp = _pad_lanes(M)
     padded = np.zeros((Mp, K))
@@ -319,7 +320,116 @@ def prepare_table(table):
         jnp.asarray(padded))
     chunks = jnp.stack([c for c in chunks])
     scale = jnp.asarray(s, jnp.float32).reshape(1, Mp)
+    if len(_PREP_CACHE) > 256:
+        _PREP_CACHE.clear()
+    _PREP_CACHE[key] = (chunks, scale, M)
     return chunks, scale, M
+
+
+def _fold_kernel(*refs, n_terms, term_idx, interpret=False):
+    """Final folded stage over all terms: every term's last contraction
+    lands in ONE in-VMEM two-float accumulator, written once.  HBM write
+    bandwidth is the scarce resource on this part (~150 GB/s vs ~900 read,
+    measured), so replacing T aliased accumulator passes (T reads + T
+    writes of the full compact pair) with a single write is worth ~6x the
+    final-stage traffic at T=6.
+
+    Ref layout: ``xh_0, xl_0, .., xh_{T-1}, xl_{T-1}, tc_0.., ts_0..,
+    oh, ol`` with ``term_idx[t]`` selecting the (deduplicated) stacked
+    table for term t."""
+    from jax.experimental import pallas as pl
+    n_tabs = (len(refs) - 2 * n_terms - 2) // 2
+    tc_refs = refs[2 * n_terms:2 * n_terms + n_tabs]
+    ts_refs = refs[2 * n_terms + n_tabs:2 * n_terms + 2 * n_tabs]
+    oh_ref, ol_ref = refs[-2], refs[-1]
+    acc = None
+    for t in range(n_terms):
+        hi, lo = _stage_tile(refs[2 * t][...], refs[2 * t + 1][...],
+                             tc_refs[term_idx[t]][...],
+                             ts_refs[term_idx[t]][...], interpret=interpret)
+        acc = (hi, lo) if acc is None else tf.df_add(acc, (hi, lo))
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        oh_ref[...] = acc[0]
+        ol_ref[...] = acc[1]
+
+    @pl.when(kb > 0)
+    def _():
+        sh, sl = tf.df_add((oh_ref[...], ol_ref[...]), acc)
+        oh_ref[...] = sh
+        ol_ref[...] = sl
+
+
+def _vmem_bytes_fold(K, r, m, n_terms, n_tabs):
+    x_pairs = n_terms * 2 * K * r * 4
+    chunks = _L * K * r * 2                 # per-term transient concat
+    tables = n_tabs * (21 * m * K * 2 + 4 * m)
+    acc = 3 * r * m * 4
+    out = 2 * r * m * 4
+    return x_pairs + chunks + tables + acc + out
+
+
+# the fold kernel budgets a bit above the stage kernels: its per-buffer
+# tiles are smaller (r shrinks with the term count), leaving headroom in
+# the measured ~4x estimate->scoped-allocation inflation
+_VMEM_BUDGET_FOLD = 7 * 2 ** 20
+
+
+def _pick_blocks_fold(K, R, M, r_block, n_terms, n_tabs):
+    kb = _pick_kblock(K)
+    if kb is None:
+        return None
+    r = min(r_block, R)
+    while R % r:
+        r //= 2
+    m_candidates = [m for m in range(M, 127, -128)
+                    if m % 128 == 0 and M % m == 0]
+    # r is the lane dim of the field blocks: 128 minimum
+    while r >= 128:
+        for m in m_candidates:
+            if _vmem_bytes_fold(kb, r, m, n_terms, n_tabs) \
+                    <= _VMEM_BUDGET_FOLD:
+                return r, m, kb
+        r //= 2
+    return None
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('term_idx', 'r_block', 'interpret'))
+def _stage_call_fold(x_pairs, tc_list, ts_list, term_idx, r_block=512,
+                     interpret=False):
+    """Folded final stage: ``sum_t contract(x_pairs[t], tables[idx[t]])``
+    -> one ``(R, M)`` pair, written once (see :func:`_fold_kernel`)."""
+    from jax.experimental import pallas as pl
+
+    K, R = x_pairs[0][0].shape
+    M = tc_list[0].shape[1]
+    T, ntab = len(x_pairs), len(tc_list)
+    blocks = _pick_blocks_fold(K, R, M, r_block, T, ntab)
+    if blocks is None:
+        return None
+    r_blk, m_blk, k_blk = blocks
+    tcats = [_stack_tcat(tc, k_blk) for tc in tc_list]
+    grid = (R // r_blk, M // m_blk, K // k_blk)
+    x_spec = pl.BlockSpec((k_blk, r_blk), lambda j, s, kb: (kb, j))
+    in_specs = [x_spec] * (2 * T) + \
+        [pl.BlockSpec((21 * k_blk, m_blk), lambda j, s, kb: (kb, s))] * ntab + \
+        [pl.BlockSpec((1, m_blk), lambda j, s, kb: (j * 0, s))] * ntab
+    out_specs = [pl.BlockSpec((r_blk, m_blk), lambda j, s, kb: (j, s))] * 2
+    operands = [a for pair in x_pairs for a in pair] + tcats + list(ts_list)
+    kernel = functools.partial(_fold_kernel, n_terms=T, term_idx=term_idx,
+                               interpret=interpret)
+    oh, ol = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[jax.ShapeDtypeStruct((R, M), jnp.float32)] * 2,
+        interpret=interpret,
+    )(*operands)
+    return oh, ol
 
 
 def _chain_pair_padded(tables_prepped, field_pair, acc=None, r_block=512,
@@ -409,7 +519,9 @@ def geo_stage12_mxu(tables, coeffs, d, interpret=False, r_block=512):
     prepped = {}
     for k in range(d - 1):
         nk = val_tabs[k].shape[1]
-        nkp = -(-nk // 8) * 8
+        # 16: bf16 sublane tile — the in-kernel chunk concat offsets are
+        # multiples of the contraction extent
+        nkp = -(-nk // 16) * 16
         for kind, tabs in (('v', val_tabs), ('d', der_tabs)):
             T = jnp.pad(jnp.asarray(tabs[k]), ((0, 0), (0, nkp - nk)))
             prepped[(kind, k)] = _prep_table_traced(T) + (nkp,)
@@ -561,7 +673,8 @@ def _fields_fused(geo_inputs, kind='stiffness', interpret=False,
     Q_last = tables[d - 1].shape[1]
     Lp = _pad_lanes(Q_last)
 
-    if all(-(-int(t[0].shape[1]) // 8) * 8 <= _K_MAX for t in tables[:d - 1]):
+    if all(-(-int(t[0].shape[1]) // 16) * 16 <= _K_MAX
+           for t in tables[:d - 1]):
         Ys, shape12 = geo_stage12_mxu(tables, coeffs, d, interpret=interpret)
     else:
         # very large geometry coefficient axes: keep the two-float XLA path
@@ -795,7 +908,8 @@ def assemble_banded_pair_pallas(tables_prepped_per_term, field_pairs,
 
 def assemble_flat_banded_pair_pallas(tables_prepped_per_term, field_pairs,
                                      fold_plan, bws, ns, lay=None,
-                                     r_block=512, interpret=False):
+                                     r_block=512, interpret=False,
+                                     last_idx=None):
     """Fused solver-layout assembly: ALL terms chain into ONE accumulator
     ``Z`` (with mirrored terms present the caller prescales the
     direct/self-mirrored terms' tables by 0.5), then the flat matvec
@@ -804,14 +918,57 @@ def assemble_flat_banded_pair_pallas(tables_prepped_per_term, field_pairs,
     fusing the symmetric mirror/combine, the banded reorder and the
     flat-layout embed into one pass.  Exact because each direct term is
     bitwise symmetric (equal banded table rows give bitwise-equal chain
-    outputs), so half of it arrives from each slice."""
+    outputs), so half of it arrives from each slice.
+
+    The terms' final contractions are FOLDED into one kernel
+    (:func:`_fold_kernel`) whenever its tiling fits: the compact pair —
+    by far the largest array — is then written once instead of being
+    read+written per term, which matters because HBM writes are ~6x
+    slower than reads on this part."""
     from .banded import flat_banded_pair_from_padded_chain
-    acc = None
-    for t, _m in fold_plan:
-        acc, _ = _chain_pair_padded(tables_prepped_per_term[t],
-                                    field_pairs[t], acc=acc,
-                                    r_block=r_block, interpret=interpret)
+    terms = [t for t, _m in fold_plan]
     any_mirror = any(m for _t, m in fold_plan)
+
+    # dedup final-axis prepped tables: by `last_idx` (term -> distinct
+    # table slot, computed by the caller OUTSIDE any jit — operand arrays
+    # trace to distinct tracers, so id() cannot see sharing there), else
+    # by object identity (prepare_table caches by content, so shared
+    # tables are shared objects when closed over)
+    tc_list, ts_list, term_idx, seen = [], [], [], {}
+    for pos, t in enumerate(terms):
+        tc, ts, _M = tables_prepped_per_term[t][-1]
+        k = last_idx[pos] if last_idx is not None else id(tc)
+        if k not in seen:
+            seen[k] = len(tc_list)
+            tc_list.append(tc)
+            ts_list.append(ts)
+        term_idx.append(seen[k])
+
+    flats = []
+    shape_mid = None
+    for t in terms:
+        (hi, lo), _dims = _chain_pair_padded(
+            tables_prepped_per_term[t][:-1], field_pairs[t],
+            r_block=r_block, interpret=interpret)
+        K_last = hi.shape[0]
+        shape_mid = hi.shape[1:]
+        R_rest = int(np.prod(shape_mid)) if shape_mid else 1
+        flats.append((hi.reshape(K_last, R_rest), lo.reshape(K_last, R_rest)))
+
+    folded = _stage_call_fold(flats, tc_list, ts_list, tuple(term_idx),
+                              r_block=r_block, interpret=interpret)
+    if folded is not None:
+        oh, ol = folded
+        acc = (oh.reshape(shape_mid + (oh.shape[1],)),
+               ol.reshape(shape_mid + (ol.shape[1],)))
+    else:
+        # per-term aliased accumulation (tiling fallback)
+        acc = None
+        for i, t in enumerate(terms):
+            acc, _ = _chain_pair_padded(
+                [tables_prepped_per_term[t][-1]], flats[i], acc=acc,
+                r_block=r_block, interpret=interpret)
+        acc = tuple(a.reshape(shape_mid + (a.shape[-1],)) for a in acc)
     return flat_banded_pair_from_padded_chain(
         acc, bws, ns, lay=lay, add_transpose=any_mirror)
 
