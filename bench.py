@@ -120,6 +120,8 @@ def _f64_assembly_fns(asm, dev, use_pallas):
 
         def asm_fn(gi):
             return jfull(gi, parrs)
+        asm_fn.raw = lambda gi, ops: full(gi, ops[0])
+        asm_fn.ops = (parrs,)
         return asm_fn, lay, bws, ns
 
     # XLA fallback: compact pair chains + device conversion + split
@@ -145,6 +147,8 @@ def _f64_assembly_fns(asm, dev, use_pallas):
 
     def asm_fn(gi):
         return jfull(gi, tt, ctperms)
+    asm_fn.raw = lambda gi, ops: full_xla(gi, *ops)
+    asm_fn.ops = (tt, ctperms)
     return asm_fn, lay, bws, ns
 
 
@@ -171,6 +175,7 @@ def run_on(device, dim, n, dtype, repeats=3, measure_split=True):
             asm._geo_inputs)
 
         flat_lay = None
+        fused_fn = None
         if dtype == np.float64 and not on_cpu:
             # two-float pipeline; fused Pallas stage kernels when the
             # chain shapes tile, else the XLA pair chains.  Both produce
@@ -253,6 +258,23 @@ def run_on(device, dim, n, dtype, repeats=3, measure_split=True):
                                         precond_lo=P, inner_tol=3e-3,
                                         fetch_info=False)
                 return u, info
+
+            # headline: assembly + refinement solve as ONE dispatch (each
+            # dispatch/sync pays a ~30ms round-trip through the tunnel)
+            run_ir, hi_ops0, lo_ops0, pc_ops0 = solvers.cg_ir_traceable(
+                op_hi, op_lo, tol=1e-8, precond_lo=P, inner_tol=3e-3)
+
+            def _fused(gi, ops, b, hi_ops, lo_ops, pc_ops):
+                Dh3, Dl3 = asm_fn.raw(gi, ops)
+                hi_ops = dict(hi_ops,
+                              inner=dict(hi_ops['inner'], Dh3=Dh3, Dl3=Dl3))
+                lo_ops = dict(lo_ops, inner=dict(lo_ops['inner'], D3=Dh3))
+                u, info = run_ir(b, hi_ops, lo_ops, pc_ops)
+                return jnp.linalg.norm(u), info
+
+            jfused = jax.jit(_fused)
+            fused_fn = lambda gi: jfused(gi, asm_fn.ops, b,
+                                         hi_ops0, lo_ops0, pc_ops0)
         elif dtype == np.float64:
             # CPU comparator: native f64 exact assembly + banded residuals
             # (the pair arithmetic is a TPU workaround and miscompiles on
@@ -281,13 +303,27 @@ def run_on(device, dim, n, dtype, repeats=3, measure_split=True):
             op32 = RestrictedOperator(
                 FlatBandedOperator(None, bws_f, ns_f), free,
                 int(np.prod(ns_f)))
-            P = fastdiag_precond_weighted(asm, dirichlet=True)
+            P = fastdiag_precond_weighted(asm, dirichlet=True,
+                                          dtype=np.float32)
 
             def solve(data):
                 op32.operands['inner']['D3'] = data
                 u, it = solvers.cg_jit(op32, b, tol=1e-8, maxiter=600,
                                        precond=P)
                 return u, it
+
+            run32, mv_ops0, pc_ops0 = solvers.cg_jit_traceable(
+                op32, tol=1e-8, maxiter=600, precond=P)
+
+            def _fused32(gi, tt, tp, b, mv_ops, pc_ops):
+                data = full32(gi, tt, tp)
+                mv_ops = dict(mv_ops, inner=dict(mv_ops['inner'], D3=data))
+                u, it = run32(b, jnp.zeros_like(b), mv_ops, pc_ops)
+                return jnp.linalg.norm(u), it
+
+            jfused32 = jax.jit(_fused32)
+            fused_fn = lambda gi: jfused32(gi, tt, tperms_d, b,
+                                           mv_ops0, pc_ops0)
         else:
             op = MatrixFreeOperator(asm, free_dofs=free)
             P = fastdiag_precond_weighted(asm, dirichlet=True)
@@ -314,15 +350,23 @@ def run_on(device, dim, n, dtype, repeats=3, measure_split=True):
         u, info = solve(data)
         float(jnp.linalg.norm(u))
         iters = count_iters(info)
+        if fused_fn is not None:
+            nrm, _info = fused_fn(gi)
+            float(nrm)
 
-        # headline: both phases back-to-back, ONE host sync (each scalar
-        # fetch costs a ~28ms round-trip on the tunneled backend)
+        # headline: both phases in ONE dispatch where available (each
+        # dispatch/sync costs a ~30ms round-trip on the tunneled backend),
+        # else back-to-back with one sync
         t_tot = np.inf
         for _ in range(repeats):
             t0 = time.perf_counter()
-            data = asm_fn(gi)
-            u, _ = solve(data)
-            float(jnp.linalg.norm(u))
+            if fused_fn is not None:
+                nrm, _info = fused_fn(gi)
+                float(nrm)
+            else:
+                data = asm_fn(gi)
+                u, _ = solve(data)
+                float(jnp.linalg.norm(u))
             t_tot = min(t_tot, time.perf_counter() - t0)
 
         # phase split (each phase pays its own sync round-trip)

@@ -78,6 +78,47 @@ def _op_key(op):
     return getattr(op, 'apply_with_operands', op)
 
 
+def cg_jit_traceable(matvec, tol=1e-8, maxiter=1000, precond=None):
+    """The pure CG program behind :func:`cg_jit`, for composition into a
+    larger jit (e.g. one fused assembly+solve dispatch).  Returns
+    ``(run, mv_ops, pc_ops)`` with ``run(b, x0, mv_ops, pc_ops) ->
+    (x, iterations)`` traceable."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    mv_ops, mv_fn = _as_operand_fn(matvec)
+    if precond is None:
+        pc_ops, pc_fn = None, (lambda operands, r: r)
+    else:
+        pc_ops, pc_fn = _as_operand_fn(precond)
+
+    def run(b, x0, mv_ops, pc_ops):
+        r0 = b - mv_fn(mv_ops, x0)
+        norm0 = jnp.linalg.norm(r0)
+
+        def body(state):
+            x, r, z, p, rz, it = state
+            Ap = mv_fn(mv_ops, p)
+            alpha = rz / jnp.vdot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = pc_fn(pc_ops, r)
+            rz_new = jnp.vdot(r, z)
+            p = z + (rz_new / rz) * p
+            return (x, r, z, p, rz_new, it + 1)
+
+        def cond(state):
+            _, r, _, _, _, it = state
+            return (jnp.linalg.norm(r) > tol * norm0) & (it < maxiter)
+
+        z0 = pc_fn(pc_ops, r0)
+        state = (x0, r0, z0, z0, jnp.vdot(r0, z0), jnp.array(0))
+        x, r, _, _, _, it = lax.while_loop(cond, body, state)
+        return x, it
+
+    return run, mv_ops, pc_ops
+
+
 def cg_jit(matvec, b, x0=None, tol=1e-8, maxiter=1000, precond=None):
     """Conjugate gradients on device: `matvec` (and optional `precond`) are
     callables on raveled vectors — either plain traced closures or operators
@@ -97,12 +138,6 @@ def cg_jit(matvec, b, x0=None, tol=1e-8, maxiter=1000, precond=None):
     if x0 is None:
         x0 = jnp.zeros_like(b)
 
-    mv_ops, mv_fn = _as_operand_fn(matvec)
-    if precond is None:
-        pc_ops, pc_fn = None, (lambda operands, r: r)
-    else:
-        pc_ops, pc_fn = _as_operand_fn(precond)
-
     try:
         per_op = _CG_CACHE.setdefault(matvec, {})
     except TypeError:           # unhashable/non-weakref-able callable
@@ -112,14 +147,47 @@ def cg_jit(matvec, b, x0=None, tol=1e-8, maxiter=1000, precond=None):
     run = per_op.get(key)
 
     if run is None:
-        @jax.jit
-        def run(b, x0, mv_ops, pc_ops):
-            r0 = b - mv_fn(mv_ops, x0)
+        body, _mv, _pc = cg_jit_traceable(matvec, tol=tol, maxiter=maxiter,
+                                          precond=precond)
+        run = jax.jit(body)
+        per_op[key] = run
+    mv_ops, _ = _as_operand_fn(matvec)
+    pc_ops = None if precond is None else _as_operand_fn(precond)[0]
+    return run(b, x0, mv_ops, pc_ops)
+
+
+def cg_ir_traceable(op_hi, op_lo, tol=1e-8, maxiter_inner=200, max_outer=10,
+                    precond_lo=None, inner_tol=1e-3):
+    """The pure refinement program behind :func:`cg_ir`, for composition
+    into a larger jit (e.g. one fused assembly+solve dispatch — each
+    dispatch pays a full host round-trip on tunneled backends).
+
+    Returns ``(run, hi_ops, lo_ops, pc_ops)`` where
+    ``run(b, hi_ops, lo_ops, pc_ops) -> (x, packed_info)`` is traceable;
+    callers may substitute freshly computed arrays into the operand
+    pytrees (functional updates) before invoking `run` inside their jit.
+    Decode the packed info with :func:`cg_ir_info`."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    hi_ops, hi_fn = _as_operand_fn(op_hi)
+    lo_ops, lo_fn = _as_operand_fn(op_lo)
+    if precond_lo is None:
+        pc_ops, pc_fn = None, (lambda operands, r: r)
+    else:
+        pc_ops, pc_fn = _as_operand_fn(precond_lo)
+
+    def run(b, hi_ops, lo_ops, pc_ops):
+        norm_b = jnp.linalg.norm(b)
+
+        def inner_cg(r64):
+            b32 = jnp.asarray(r64, jnp.float32)
+            r0 = b32
             norm0 = jnp.linalg.norm(r0)
 
             def body(state):
                 x, r, z, p, rz, it = state
-                Ap = mv_fn(mv_ops, p)
+                Ap = lo_fn(lo_ops, p)
                 alpha = rz / jnp.vdot(p, Ap)
                 x = x + alpha * p
                 r = r - alpha * Ap
@@ -130,15 +198,41 @@ def cg_jit(matvec, b, x0=None, tol=1e-8, maxiter=1000, precond=None):
 
             def cond(state):
                 _, r, _, _, _, it = state
-                return (jnp.linalg.norm(r) > tol * norm0) & (it < maxiter)
+                return ((jnp.linalg.norm(r) > inner_tol * norm0)
+                        & (it < maxiter_inner))
 
             z0 = pc_fn(pc_ops, r0)
+            x0 = jnp.zeros_like(b32)
             state = (x0, r0, z0, z0, jnp.vdot(r0, z0), jnp.array(0))
-            x, r, _, _, _, it = lax.while_loop(cond, body, state)
+            x, _, _, _, _, it = lax.while_loop(cond, body, state)
             return x, it
 
-        per_op[key] = run
-    return run(b, x0, mv_ops, pc_ops)
+        def outer_body(state):
+            x, r, res, outer, iters = state
+            d, it = inner_cg(r)
+            x = x + jnp.asarray(d, jnp.float64)
+            r = b - hi_fn(hi_ops, x)
+            res = jnp.linalg.norm(r)
+            iters = iters.at[outer].set(it)
+            return (x, r, res, outer + 1, iters)
+
+        def outer_cond(state):
+            _, _, res, outer, _ = state
+            return (res > tol * norm_b) & (outer < max_outer)
+
+        x0 = jnp.zeros_like(b)
+        iters0 = jnp.zeros((max_outer,), dtype=jnp.int32)
+        state = (x0, b, norm_b, jnp.array(0), iters0)
+        x, _, res, outer, iters = lax.while_loop(outer_cond, outer_body,
+                                                 state)
+        # pack the info scalars into one array: each host fetch costs a
+        # full round-trip on tunneled backends
+        info = jnp.concatenate([
+            (res / norm_b)[None], outer[None].astype(jnp.float64),
+            iters.astype(jnp.float64)])
+        return x, info
+
+    return run, hi_ops, lo_ops, pc_ops
 
 
 def cg_ir(op_hi, op_lo, b, tol=1e-8, maxiter_inner=200, max_outer=10,
@@ -172,15 +266,8 @@ def cg_ir(op_hi, op_lo, b, tol=1e-8, maxiter_inner=200, max_outer=10,
     """
     import jax
     import jax.numpy as jnp
-    from jax import lax
 
     b = jnp.asarray(b, dtype=jnp.float64)
-    hi_ops, hi_fn = _as_operand_fn(op_hi)
-    lo_ops, lo_fn = _as_operand_fn(op_lo)
-    if precond_lo is None:
-        pc_ops, pc_fn = None, (lambda operands, r: r)
-    else:
-        pc_ops, pc_fn = _as_operand_fn(precond_lo)
 
     try:
         per_op = _CG_CACHE.setdefault(op_hi, {})
@@ -189,66 +276,19 @@ def cg_ir(op_hi, op_lo, b, tol=1e-8, maxiter_inner=200, max_outer=10,
     # strong-reference keys instead of id() — see _op_key
     key = ('ir', _op_key(op_lo), _op_key(precond_lo) if precond_lo is not None
            else None, tol, maxiter_inner, max_outer, inner_tol, b.shape)
-    run = per_op.get(key)
+    cached = per_op.get(key)
 
-    if run is None:
-        @jax.jit
-        def run(b, hi_ops, lo_ops, pc_ops):
-            norm_b = jnp.linalg.norm(b)
-
-            def inner_cg(r64):
-                b32 = jnp.asarray(r64, jnp.float32)
-                r0 = b32
-                norm0 = jnp.linalg.norm(r0)
-
-                def body(state):
-                    x, r, z, p, rz, it = state
-                    Ap = lo_fn(lo_ops, p)
-                    alpha = rz / jnp.vdot(p, Ap)
-                    x = x + alpha * p
-                    r = r - alpha * Ap
-                    z = pc_fn(pc_ops, r)
-                    rz_new = jnp.vdot(r, z)
-                    p = z + (rz_new / rz) * p
-                    return (x, r, z, p, rz_new, it + 1)
-
-                def cond(state):
-                    _, r, _, _, _, it = state
-                    return ((jnp.linalg.norm(r) > inner_tol * norm0)
-                            & (it < maxiter_inner))
-
-                z0 = pc_fn(pc_ops, r0)
-                x0 = jnp.zeros_like(b32)
-                state = (x0, r0, z0, z0, jnp.vdot(r0, z0), jnp.array(0))
-                x, _, _, _, _, it = lax.while_loop(cond, body, state)
-                return x, it
-
-            def outer_body(state):
-                x, r, res, outer, iters = state
-                d, it = inner_cg(r)
-                x = x + jnp.asarray(d, jnp.float64)
-                r = b - hi_fn(hi_ops, x)
-                res = jnp.linalg.norm(r)
-                iters = iters.at[outer].set(it)
-                return (x, r, res, outer + 1, iters)
-
-            def outer_cond(state):
-                _, _, res, outer, _ = state
-                return (res > tol * norm_b) & (outer < max_outer)
-
-            x0 = jnp.zeros_like(b)
-            iters0 = jnp.zeros((max_outer,), dtype=jnp.int32)
-            state = (x0, b, norm_b, jnp.array(0), iters0)
-            x, _, res, outer, iters = lax.while_loop(outer_cond, outer_body,
-                                                     state)
-            # pack the info scalars into one array: each host fetch costs a
-            # full round-trip on tunneled backends
-            info = jnp.concatenate([
-                (res / norm_b)[None], outer[None].astype(jnp.float64),
-                iters.astype(jnp.float64)])
-            return x, info
-
-        per_op[key] = run
+    if cached is None:
+        body, _hi, _lo, _pc = cg_ir_traceable(
+            op_hi, op_lo, tol=tol, maxiter_inner=maxiter_inner,
+            max_outer=max_outer, precond_lo=precond_lo, inner_tol=inner_tol)
+        cached = jax.jit(body)
+        per_op[key] = cached
+    run = cached
+    hi_ops, _ = _as_operand_fn(op_hi)
+    lo_ops, _ = _as_operand_fn(op_lo)
+    pc_ops = (None if precond_lo is None
+              else _as_operand_fn(precond_lo)[0])
 
     x, info = run(b, hi_ops, lo_ops, pc_ops)
     if not fetch_info:
