@@ -354,19 +354,21 @@ def run_on(device, dim, n, dtype, repeats=3, measure_split=True):
             nrm, _info = fused_fn(gi)
             float(nrm)
 
-        # headline: both phases in ONE dispatch where available (each
-        # dispatch/sync costs a ~30ms round-trip on the tunneled backend),
-        # else back-to-back with one sync
+        # headline: min over the fused single-dispatch program (wins when
+        # compute dominates the ~30ms tunnel round-trip) and the
+        # back-to-back two-program form with one sync (wins for tiny
+        # latency-dominated configs where its enqueues overlap)
         t_tot = np.inf
         for _ in range(repeats):
-            t0 = time.perf_counter()
             if fused_fn is not None:
+                t0 = time.perf_counter()
                 nrm, _info = fused_fn(gi)
                 float(nrm)
-            else:
-                data = asm_fn(gi)
-                u, _ = solve(data)
-                float(jnp.linalg.norm(u))
+                t_tot = min(t_tot, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            data = asm_fn(gi)
+            u, _ = solve(data)
+            float(jnp.linalg.norm(u))
             t_tot = min(t_tot, time.perf_counter() - t0)
 
         # phase split (each phase pays its own sync round-trip)

@@ -836,20 +836,65 @@ def supported(term_tables, grid_shape, r_block=512):
     return True
 
 
+def _chain_group_folded(tables_prepped_per_term, field_pairs, idxs,
+                        r_block=512, interpret=False, last_idx=None):
+    """Sum of full pair chains over the term group `idxs`, with every
+    term's FINAL contraction folded into one kernel (one write of the
+    group accumulator instead of one read+write per term — HBM writes
+    are the scarce resource, see :func:`_fold_kernel`).  Falls back to
+    the aliased per-term accumulation when the fold tiling does not fit.
+    Returns ``(padded pair, dims)`` like :func:`_chain_pair_padded`."""
+    flats, shape_mid, dims_mid = [], None, None
+    for t in idxs:
+        (hi, lo), dims_mid = _chain_pair_padded(
+            tables_prepped_per_term[t][:-1], field_pairs[t],
+            r_block=r_block, interpret=interpret)
+        K_last = hi.shape[0]
+        shape_mid = hi.shape[1:]
+        R_rest = int(np.prod(shape_mid)) if shape_mid else 1
+        flats.append((hi.reshape(K_last, R_rest),
+                      lo.reshape(K_last, R_rest)))
+
+    tc_list, ts_list, term_idx, seen = [], [], [], {}
+    for pos, t in enumerate(idxs):
+        tc, ts, _M = tables_prepped_per_term[t][-1]
+        k = last_idx[pos] if last_idx is not None else id(tc)
+        if k not in seen:
+            seen[k] = len(tc_list)
+            tc_list.append(tc)
+            ts_list.append(ts)
+        term_idx.append(seen[k])
+
+    M_last = tables_prepped_per_term[idxs[0]][-1][2]
+    folded = _stage_call_fold(flats, tc_list, ts_list, tuple(term_idx),
+                              r_block=r_block, interpret=interpret)
+    if folded is not None:
+        oh, ol = folded
+        acc = (oh.reshape(shape_mid + (oh.shape[1],)),
+               ol.reshape(shape_mid + (ol.shape[1],)))
+        dims = list(dims_mid) + [(M_last, oh.shape[1])]
+    else:
+        acc = None
+        for i, t in enumerate(idxs):
+            acc, d_last = _chain_pair_padded(
+                [tables_prepped_per_term[t][-1]], flats[i], acc=acc,
+                r_block=r_block, interpret=interpret)
+        acc = tuple(a.reshape(shape_mid + (a.shape[-1],)) for a in acc)
+        dims = list(dims_mid) + list(d_last)
+    return acc, dims
+
+
 def assemble_terms_folded_pallas(tables_prepped_per_term, field_pairs,
                                  fold_plan, tperms, r_block=512,
                                  interpret=False):
     """Folded sum of fused-Pallas pair chains (drop-in for
-    :func:`~pyiga_tpu.ops.sumfac.assemble_terms_folded_pair`).  Chains of
-    a group sum in-kernel through aliased accumulator buffers — the
-    two-float adds ride the final contraction stage instead of costing
-    separate HBM passes."""
+    :func:`~pyiga_tpu.ops.sumfac.assemble_terms_folded_pair`).  Each
+    group's final contractions fold into one kernel writing the group
+    accumulator once (:func:`_chain_group_folded`)."""
     def chain_sum(idxs):
-        acc, dims = None, None
-        for t in idxs:
-            acc, dims = _chain_pair_padded(
-                tables_prepped_per_term[t], field_pairs[t], acc=acc,
-                r_block=r_block, interpret=interpret)
+        acc, dims = _chain_group_folded(
+            tables_prepped_per_term, field_pairs, idxs,
+            r_block=r_block, interpret=interpret)
         index = tuple(slice(0, M) for M, _ in dims)
         return acc[0][index], acc[1][index]
 
@@ -879,12 +924,9 @@ def assemble_banded_pair_pallas(tables_prepped_per_term, field_pairs,
     banded-flat axes (:func:`~pyiga_tpu.ops.sumfac.banded_transpose_perm`
     extended with identity on the padding rows)."""
     def chain_sum(idxs):
-        acc, dims = None, None
-        for t in idxs:
-            acc, dims = _chain_pair_padded(
-                tables_prepped_per_term[t], field_pairs[t], acc=acc,
-                r_block=r_block, interpret=interpret)
-        return acc, dims
+        return _chain_group_folded(tables_prepped_per_term, field_pairs,
+                                   idxs, r_block=r_block,
+                                   interpret=interpret)
 
     direct = [t for t, m in fold_plan if not m]
     mirrored = [t for t, m in fold_plan if m]
@@ -928,47 +970,9 @@ def assemble_flat_banded_pair_pallas(tables_prepped_per_term, field_pairs,
     from .banded import flat_banded_pair_from_padded_chain
     terms = [t for t, _m in fold_plan]
     any_mirror = any(m for _t, m in fold_plan)
-
-    # dedup final-axis prepped tables: by `last_idx` (term -> distinct
-    # table slot, computed by the caller OUTSIDE any jit — operand arrays
-    # trace to distinct tracers, so id() cannot see sharing there), else
-    # by object identity (prepare_table caches by content, so shared
-    # tables are shared objects when closed over)
-    tc_list, ts_list, term_idx, seen = [], [], [], {}
-    for pos, t in enumerate(terms):
-        tc, ts, _M = tables_prepped_per_term[t][-1]
-        k = last_idx[pos] if last_idx is not None else id(tc)
-        if k not in seen:
-            seen[k] = len(tc_list)
-            tc_list.append(tc)
-            ts_list.append(ts)
-        term_idx.append(seen[k])
-
-    flats = []
-    shape_mid = None
-    for t in terms:
-        (hi, lo), _dims = _chain_pair_padded(
-            tables_prepped_per_term[t][:-1], field_pairs[t],
-            r_block=r_block, interpret=interpret)
-        K_last = hi.shape[0]
-        shape_mid = hi.shape[1:]
-        R_rest = int(np.prod(shape_mid)) if shape_mid else 1
-        flats.append((hi.reshape(K_last, R_rest), lo.reshape(K_last, R_rest)))
-
-    folded = _stage_call_fold(flats, tc_list, ts_list, tuple(term_idx),
-                              r_block=r_block, interpret=interpret)
-    if folded is not None:
-        oh, ol = folded
-        acc = (oh.reshape(shape_mid + (oh.shape[1],)),
-               ol.reshape(shape_mid + (ol.shape[1],)))
-    else:
-        # per-term aliased accumulation (tiling fallback)
-        acc = None
-        for i, t in enumerate(terms):
-            acc, _ = _chain_pair_padded(
-                [tables_prepped_per_term[t][-1]], flats[i], acc=acc,
-                r_block=r_block, interpret=interpret)
-        acc = tuple(a.reshape(shape_mid + (a.shape[-1],)) for a in acc)
+    acc, _dims = _chain_group_folded(tables_prepped_per_term, field_pairs,
+                                     terms, r_block=r_block,
+                                     interpret=interpret, last_idx=last_idx)
     return flat_banded_pair_from_padded_chain(
         acc, bws, ns, lay=lay, add_transpose=any_mirror)
 
