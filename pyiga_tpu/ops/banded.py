@@ -266,12 +266,20 @@ class BandedOperatorPair:
 
 
 def flat_banded_layout(bws, ns):
-    """Static layout info: padded grid shape, flat length F, row count R
+    """Static layout info: COMPACT grid shape, flat length F, row count R
     (lanes of 128), per-combo flat shifts (relative, >= 0) and the lead
-    padding rows needed so every shift is nonnegative."""
+    padding rows needed so every shift is nonnegative.
+
+    The data grid is the UNPADDED dof grid: shifted reads that cross an
+    axis boundary land on a wrong-but-valid dof, and are multiplied by
+    the banded data's zero entry for that (dof, offset) — the band tables
+    store zeros exactly where the band leaves the matrix, so no halo is
+    needed.  Dropping the former ``n + 2b`` halo grid cuts the streamed
+    data bytes ~40% at the bench sizes; the matvec is read-bandwidth
+    bound (~350 GB/s measured), so the bytes are the time."""
     d = len(ns)
     bsz = tuple(2 * b + 1 for b in bws)
-    np_ = tuple(n + 2 * b for n, b in zip(ns, bws))
+    np_ = tuple(ns)
     F = int(np.prod(np_))
     strides = [int(np.prod(np_[k + 1:])) for k in range(d)]
     offs = []
@@ -280,9 +288,15 @@ def flat_banded_layout(bws, ns):
     offs = np.asarray(offs, np.int64)
     lead = int(-offs.min())             # zeros prepended to x
     shifts = (offs + lead).astype(np.int64)
-    R = -(-F // 128)
+
+    def _rows8(rows):
+        # sublane-aligned row counts: 8-row-aligned DMAs are measurably
+        # faster than odd row extents
+        return -(-rows // 8) * 8
+
+    R = _rows8(-(-F // 128))
     # x rows: lead + F + max shift tail, in whole lanes
-    RX = -(-int(lead + F + offs.max() + 1) // 128) + 1
+    RX = _rows8(-(-int(lead + F + offs.max() + 1) // 128) + 1)
     # grid decomposition: the kernel iterates the LEADING band dimension as
     # its grid (the mu_1 part of the shift is absorbed into per-step
     # pre-sliced copies of x), so only the prod(bsz[1:]) inner combos are
@@ -294,7 +308,7 @@ def flat_banded_layout(bws, ns):
     for mu in np.ndindex(*bsz[1:]):
         inner.append(int(sum(m * s for m, s in zip(mu, strides[1:]))))
     max_inner = max(inner)
-    RXi = -(-int(F + max_inner + 1) // 128) + 1
+    RXi = _rows8(-(-int(F + max_inner + 1) // 128) + 1)
     return {'np_': np_, 'F': F, 'R': R, 'RX': RX, 'lead': lead,
             'shifts': [int(s) for s in shifts], 'bsz': bsz,
             'C1': C1, 'C23': C23, 'inner': inner, 'RXi': RXi,
@@ -305,14 +319,11 @@ def flat_banded_data(D, bws, ns):
     """Embed banded data ``(b..., n...)`` into the flat halo-padded layout:
     returns ``(C, R, 128)`` with zero halo/padding (any dtype)."""
     lay = flat_banded_layout(bws, ns)
-    bsz, np_, F, R = lay['bsz'], lay['np_'], lay['F'], lay['R']
+    bsz, F, R = lay['bsz'], lay['F'], lay['R']
     C = int(np.prod(bsz))
     D = np.asarray(D).reshape((C,) + tuple(ns))
-    full = np.zeros((C,) + np_, dtype=D.dtype)
-    interior = tuple(slice(b, b + n) for b, n in zip(bws, ns))
-    full[(slice(None),) + interior] = D
     flat = np.zeros((C, R * 128), dtype=D.dtype)
-    flat[:, :F] = full.reshape(C, F)
+    flat[:, :F] = D.reshape(C, F)
     return flat.reshape(C, R, 128)
 
 
@@ -339,10 +350,11 @@ def _flat_shift_tiles(X, off):
     return jnp.where(lane < 128 - sl, C1, C2)
 
 
-def _pick_dma_chunk(C23, R, n_pair, budget=9 * 2 ** 20):
+def _pick_dma_chunk(C23, R, n_pair, budget=11 * 2 ** 20):
     """DMA chunk size (combos per transfer): large transfers amortize the
-    per-DMA issue cost; bounded by a VMEM budget for the double-buffered
-    (2 x n_pair x G) data blocks."""
+    per-DMA issue cost (measured ~13us/DMA on the tunneled v5e — chunk
+    size, not engine bandwidth, sets the throughput); bounded by a VMEM
+    budget for the double-buffered (2 x n_pair x G) data blocks."""
     block = R * 128 * 4
     G = max(1, budget // (2 * n_pair * block))
     return int(min(G, C23))
@@ -488,10 +500,9 @@ def _embed_x(lay, bws, ns, X):
     of shape (C1, RXi, 128): copy m1 starts at flat position m1 * S1 of the
     fully halo-padded input, so the kernel's inner shifts stay in
     [0, max_inner]."""
-    np_, C1, S1, RXi = lay['np_'], lay['C1'], lay['S1'], lay['RXi']
+    C1, S1, RXi = lay['C1'], lay['S1'], lay['RXi']
     lead, F = lay['lead'], lay['F']
-    xp = jnp.zeros(np_, dtype=X.dtype)
-    xp = jax.lax.dynamic_update_slice(xp, X, tuple(bws))
+    xp = X
     # prefix `lead` zeros: copy m1 = prefixed[m1*S1 : ...] then equals
     # xp_flat[q + (m1 - b1)*S1 - lead_rest], so the kernel's inner combo
     # shifts (sum_{k>=2} mu_k * stride_k) are all nonnegative
@@ -505,9 +516,7 @@ def _embed_x(lay, bws, ns, X):
 
 
 def _extract_y(lay, bws, ns, y2):
-    F, np_ = lay['F'], lay['np_']
-    yp = y2.reshape(-1)[:F].reshape(np_)
-    return jax.lax.dynamic_slice(yp, tuple(bws), tuple(ns)).reshape(-1)
+    return y2.reshape(-1)[:lay['F']]
 
 
 class FlatBandedOperator:
@@ -558,11 +567,9 @@ def flat_banded_embed_device(D_banded, bws, ns, lay=None):
     if lay is None:
         lay = flat_banded_layout(tuple(bws), tuple(ns))
     C = int(np.prod(lay['bsz']))
-    D = D_banded.reshape((C,) + tuple(ns))
-    full = jnp.zeros((C,) + lay['np_'], dtype=D.dtype)
-    full = jax.lax.dynamic_update_slice(full, D, (0,) + tuple(bws))
+    D = D_banded.reshape((C, -1))
     flat = jnp.zeros((C, lay['R'] * 128), dtype=D.dtype)
-    flat = jax.lax.dynamic_update_slice(flat, full.reshape(C, -1), (0, 0))
+    flat = jax.lax.dynamic_update_slice(flat, D, (0, 0))
     return flat.reshape(C, lay['R'], 128)
 
 
@@ -634,14 +641,13 @@ def flat_banded_pair_from_padded_chain(Z_pair, bws, ns, lay=None,
     d = len(ns)
     if lay is None:
         lay = flat_banded_layout(tuple(bws), tuple(ns))
-    np_, bsz, F, R = lay['np_'], lay['bsz'], lay['F'], lay['R']
+    bsz, F, R = lay['bsz'], lay['F'], lay['R']
     Zh, Zl = Z_pair
     outs_h, outs_l = [], []
     for mu in np.ndindex(*bsz):
         sl1 = tuple(slice(m * n, m * n + n) for m, n in zip(mu, ns))
-        pad1 = tuple((b, b) for b in bws)
-        h = jnp.pad(Zh[sl1], pad1)
-        l = jnp.pad(Zl[sl1], pad1)
+        h = Zh[sl1]
+        l = Zl[sl1]
         if add_transpose:
             slT, padT = [], []
             for m, b, n in zip(mu, bws, ns):
@@ -649,8 +655,8 @@ def flat_banded_pair_from_padded_chain(Z_pair, bws, ns, lay=None,
                 start = (2 * b - m) * n + max(0, s)
                 ln = n - abs(s)
                 slT.append(slice(start, start + ln))
-                lo = b + max(0, -s)
-                padT.append((lo, n + 2 * b - lo - ln))
+                lo = max(0, -s)
+                padT.append((lo, n - lo - ln))
             hT = jnp.pad(Zh[tuple(slT)], tuple(padT))
             lT = jnp.pad(Zl[tuple(slT)], tuple(padT))
             h, l = tf.df_add((h, l), (hT, lT))
