@@ -205,9 +205,25 @@ def _pick_kblock(K):
     return None
 
 
-def _pick_blocks(K, R, M, r_block):
+def _pick_blocks(K, R, M, r_block, vmem_bytes=None, budget=None):
     """Largest (r, m, kb) tile sizes dividing (R, M, K) that fit the VMEM
-    budget (m in lane multiples, kb in multiples of 8)."""
+    budget (m in lane multiples, kb in multiples of 8).
+
+    The priority order — full K block first, then the largest r, then the
+    largest m — is empirically load-bearing (swept on the 3D n=48
+    headline fold): the 21-diagonal MXU dots collapse with short
+    contraction blocks (kb=48 doubled the fold time, kb=8 was 6x), so kb
+    stays at ``_pick_kblock``'s maximum even though splitting K would
+    free VMEM for wider (better-streaming) x/output blocks.  At full K
+    the VMEM budget then forces r=m=128 on the production fold: its x
+    blocks stream as 512-byte row segments and are refetched once per
+    M-block, which is measured DMA cost (~17 ms composed) but still the
+    best point available — the kernel is boxed in by MXU contraction
+    length x VMEM x DMA-burst tradeoffs."""
+    if vmem_bytes is None:
+        vmem_bytes = _vmem_bytes
+    if budget is None:
+        budget = _VMEM_BUDGET
     kb = _pick_kblock(K)
     if kb is None:
         return None
@@ -218,7 +234,7 @@ def _pick_blocks(K, R, M, r_block):
                     if m % 128 == 0 and M % m == 0]
     while r >= 128:
         for m in m_candidates:
-            if _vmem_bytes(kb, r, m) <= _VMEM_BUDGET:
+            if vmem_bytes(kb, r, m) <= budget:
                 return r, m, kb
         r //= 2
     return None
@@ -378,22 +394,11 @@ _VMEM_BUDGET_FOLD = 7 * 2 ** 20
 
 
 def _pick_blocks_fold(K, R, M, r_block, n_terms, n_tabs):
-    kb = _pick_kblock(K)
-    if kb is None:
-        return None
-    r = min(r_block, R)
-    while R % r:
-        r //= 2
-    m_candidates = [m for m in range(M, 127, -128)
-                    if m % 128 == 0 and M % m == 0]
-    # r is the lane dim of the field blocks: 128 minimum
-    while r >= 128:
-        for m in m_candidates:
-            if _vmem_bytes_fold(kb, r, m, n_terms, n_tabs) \
-                    <= _VMEM_BUDGET_FOLD:
-                return r, m, kb
-        r //= 2
-    return None
+    return _pick_blocks(
+        K, R, M, r_block,
+        vmem_bytes=lambda k, r, m: _vmem_bytes_fold(k, r, m, n_terms,
+                                                    n_tabs),
+        budget=_VMEM_BUDGET_FOLD)
 
 
 @functools.partial(jax.jit,
