@@ -25,6 +25,7 @@ def _load(name):
     ('multipatch_poisson', dict(p=2, n=4)),
     ('stokes', dict(p=2, n_el=(4, 6))),
     ('geometry_tour', dict()),
+    ('subspace_correction_mg', dict(p1=5, n1=16, p2=3, n2=6)),
 ])
 @pytest.mark.slow
 def test_example_runs(name, kwargs):
