@@ -1468,3 +1468,57 @@ def tree_print(e, indent=0, stream=None):
     out.write('%s%s\n' % (indent * '  ', e))
     for c in e.children:
         tree_print(c, indent + 1, stream=out)
+
+
+def set_union(sets):
+    """Union of an iterable of sets (reference vform.py:15)."""
+    out = set()
+    for s in sets:
+        out |= s
+    return out
+
+
+def sym_index_to_seq(n, i, j):
+    """Sequential index of entry (i, j) in the linearized upper triangle of
+    an n x n symmetric matrix (reference vform.py:28)."""
+    if i > j:
+        i, j = j, i
+    return sum(n - k for k in range(i)) + (j - i)
+
+
+def mapexprs(exprs, fun, deep=False):
+    """Replace every node `e` in the given expression trees by ``fun(e)``,
+    depth first, rewriting the ``children`` tuples in place (reference
+    vform.py:1432; `deep` is accepted for API parity — this rebuild's
+    nodes hold no variable indirection to follow)."""
+    seen = set()
+
+    def recurse(es):
+        out = []
+        for e in es:
+            if id(e) not in seen:
+                seen.add(id(e))
+                if e.children:
+                    e.children = recurse(e.children)
+            out.append(fun(e))
+        return tuple(out)
+    return recurse(tuple(exprs))
+
+
+def make_applyfun(fun, type):
+    """Wrap `fun` so it applies only to nodes of the given type and keeps
+    other nodes (and None results) unchanged."""
+    def applyfun(e):
+        e2 = fun(e) if (type is None or isinstance(e, type)) else None
+        return e if e2 is None else e2
+    return applyfun
+
+
+def transform_exprs(exprs, fun, type=None, deep=False):
+    """Apply a type-filtered transformation over expression trees."""
+    return mapexprs(exprs, make_applyfun(fun, type), deep=deep)
+
+
+def transform_expr(expr, fun, type=None, deep=False):
+    """Single-tree variant of :func:`transform_exprs`."""
+    return transform_exprs((expr,), fun, type=type, deep=deep)[0]

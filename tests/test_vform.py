@@ -424,3 +424,30 @@ def test_spacetime_second_order_space_derivs():
     vf.add(Dx(u, 0, 2) * v.dt() * dx)
     A = assemble(vf, (kv_t, kv_x), geo=cyl)
     assert np.abs(A.toarray()).max() > 0
+
+
+def test_expr_tree_utilities():
+    from pyiga_tpu import vform as vf_mod
+    from pyiga_tpu.vform import (mapexprs, set_union, stiffness_vf,
+                                 sym_index_to_seq, transform_expr)
+
+    assert set_union([{1, 2}, {2, 3}, set()]) == {1, 2, 3}
+    # linearized symmetric index: row-major upper triangle
+    assert [sym_index_to_seq(3, i, j)
+            for i in range(3) for j in range(i, 3)] == [0, 1, 2, 3, 4, 5]
+    assert sym_index_to_seq(3, 2, 1) == sym_index_to_seq(3, 1, 2)
+
+    vf = stiffness_vf(2)
+    roots = tuple(vf.exprs)
+    n_nodes = sum(1 for _ in vf_mod.iterexprs(roots))
+
+    # identity transform keeps the tree intact
+    same = mapexprs(roots, lambda e: e)
+    assert sum(1 for _ in vf_mod.iterexprs(same)) == n_nodes
+
+    # type-filtered transform visits every node of the type
+    hits = []
+    transform_expr(roots[0], lambda e: hits.append(e) or e,
+                   type=vf_mod.MulExpr)
+    assert all(isinstance(e, vf_mod.MulExpr) for e in hits)
+    assert hits
