@@ -703,6 +703,181 @@ class VFormAssembler:
             fields.append((hi, lo))
         return fields
 
+    _PAIR_FIELD_KINDS = frozenset((
+        'gw', '_measure', 'jacinv', '_jacinv_lvl', '_geo_pairs',
+        'param', 'input', 'input_deriv'))
+
+    def _pair_fields_pallas_supported(self, grid_shape):
+        """Static gate for :meth:`_eval_combo_fields_pair_pallas`: volume
+        integral, whitelisted field keys, lane-tileable grid."""
+        if self.vf.is_surface_integral():
+            return False
+        if any(key[0] not in self._PAIR_FIELD_KINDS
+               for key in self._needed_keys):
+            return False
+        N = int(np.prod(grid_shape))
+        return N % 128 == 0 and (N // 128) % 8 == 0
+
+    def _eval_combo_fields_pair_pallas(self, arrays, combos,
+                                       interpret=False):
+        """Traced: every combo's two-float coefficient field evaluated in
+        ONE elementwise Pallas kernel (the XLA pair evaluation materializes
+        each DF op — det/inv, measure and integrand arithmetic — to HBM;
+        fused, the whole integrand rides a VMEM tile).  The same
+        :class:`PairAsmContext` machinery traces the expressions onto
+        tiles, so arithmetic is bitwise-equal to the XLA pair path.
+        Returns None when the static gate rejects the form/shapes."""
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental import pallas as pl
+        from .ops import twofloat as tf
+
+        grid_shape = tuple(np.shape(w[0])[0] for w in arrays['weights'])
+        if not self._pair_fields_pallas_supported(grid_shape):
+            return None
+        d = self.dim
+        N = int(np.prod(grid_shape))
+        rows = N // 128
+        r_rows = 256
+        while rows % r_rows:
+            r_rows //= 2
+
+        # ---- gather scalar grid leaves (hi, lo interleaved rows) --------
+        leaf_rows = []          # flat list of (rows, 128) f32 arrays
+
+        def add_leaf(hi, lo):
+            leaf_rows.append(jnp.reshape(hi, (rows, 128)))
+            leaf_rows.append(jnp.reshape(lo, (rows, 128)))
+            return len(leaf_rows) // 2 - 1
+
+        # Gauss weight field (XLA: one broadcasted outer product)
+        gw = tf.DF(*arrays['weights'][0])
+        for w in arrays['weights'][1:]:
+            gw = tf.DF(gw.hi[..., None], gw.lo[..., None]) * tf.DF(*w)
+        i_gw = add_leaf(jnp.broadcast_to(gw.hi, grid_shape),
+                        jnp.broadcast_to(gw.lo, grid_shape))
+
+        # geometry value/Jacobian pairs
+        geo_val = geo_jac = None
+        if 'geo_jac_pair' in arrays or 'geo_tables' in arrays:
+            if 'geo_jac_pair' in arrays:
+                geo_val = arrays.get('geo_val_pair')
+                geo_jac = arrays['geo_jac_pair']
+            else:
+                geo_val, geo_jac = geom.geo_jacobian_field_df(
+                    arrays['geo_tables'], arrays['geo_coeffs'],
+                    self._geo_is_nurbs, d)
+            geo_val_idx = ([add_leaf(*p) for p in geo_val]
+                           if geo_val is not None else None)
+            geo_jac_idx = [[add_leaf(*p) for p in row] for row in geo_jac]
+
+        # inputs / input derivatives: leading index axes + grid axes
+        grid_leaf_idx = {}
+        for key, arr in arrays.items():
+            if not (key.startswith('input:') or key.startswith('ideriv:')):
+                continue
+            hi, lo = arr
+            lead = hi.shape[:hi.ndim - d]
+            idx_arr = np.empty(lead or (1,), dtype=object)
+            for li in np.ndindex(*(lead or (1,))):
+                sel = li if lead else ()
+                idx_arr[li] = add_leaf(hi[sel], lo[sel])
+            grid_leaf_idx[key] = (lead, idx_arr)
+
+        Ystack = jnp.stack(leaf_rows)               # (NY2, rows, 128)
+        NY2 = Ystack.shape[0]
+
+        # scalar/component parameters: lane-broadcast rows of a tiny ref
+        param_rows, param_layout = [], {}
+        for key, arr in arrays.items():
+            if not key.startswith('param:'):
+                continue
+            hi, lo = (jnp.asarray(a, jnp.float32) for a in arr)
+            shape = tuple(hi.shape)
+            base = len(param_rows) // 2
+            param_layout[key] = (shape, base)
+            for li in np.ndindex(*(shape or (1,))):
+                sel = li if shape else ()
+                param_rows.append(jnp.broadcast_to(hi[sel], (128,)))
+                param_rows.append(jnp.broadcast_to(lo[sel], (128,)))
+        if param_rows:
+            Pstack = jnp.stack(param_rows)[:, None, :]   # (NP2, 1, 128)
+        else:
+            Pstack = jnp.zeros((2, 1, 128), jnp.float32)
+        NP2 = Pstack.shape[0]
+
+        vf = self.vf
+        n_out = 2 * len(combos)
+        make_ctx = self._make_pair_context
+
+        def kernel(y_ref, p_ref, o_ref):
+            def tile(i):
+                return (y_ref[2 * i], y_ref[2 * i + 1])
+
+            karrays = {'weights': arrays['weights']}   # unused (gw seeded)
+            if 'geo_is_nurbs' in arrays:
+                karrays['geo_is_nurbs'] = arrays['geo_is_nurbs']
+            for key, (lead, idx_arr) in grid_leaf_idx.items():
+                H = np.empty(lead or (1,), dtype=object)
+                L = np.empty(lead or (1,), dtype=object)
+                for li in np.ndindex(*(lead or (1,))):
+                    h, l = tile(idx_arr[li])
+                    H[li], L[li] = h, l
+                if not lead:        # scalar leaf: store the tiles directly
+                    H, L = H[(0,)], L[(0,)]
+                karrays[key] = (H, L)
+            for key, (shape, base) in param_layout.items():
+                if shape:
+                    H = np.empty(shape, dtype=object)
+                    L = np.empty(shape, dtype=object)
+                    for n_, li in enumerate(np.ndindex(*shape)):
+                        H[li] = p_ref[2 * (base + n_)]
+                        L[li] = p_ref[2 * (base + n_) + 1]
+                    karrays[key] = (H, L)
+                else:
+                    karrays[key] = (p_ref[2 * base], p_ref[2 * base + 1])
+
+            shared = {('gw',): tf.DF(*tile(i_gw))}
+            if geo_jac is not None:
+                kval = ([tile(i) for i in geo_val_idx]
+                        if geo_val_idx is not None else None)
+                kjac = [[tile(i) for i in row] for row in geo_jac_idx]
+                shared[('_geo_pairs',)] = (kval, kjac)
+
+            for c, (su, sv) in enumerate(combos):
+                ctx = make_ctx(karrays, su, sv)
+                ctx._cache = shared
+                C = 0.0
+                for e in vf.exprs:
+                    C = C + e.eval(ctx)
+                if isinstance(C, tf.DF):
+                    hi = jnp.broadcast_to(C.hi, (r_rows, 128))
+                    lo = jnp.broadcast_to(C.lo, (r_rows, 128))
+                else:
+                    cd = tf.as_df(float(C))
+                    hi = jnp.full((r_rows, 128), jnp.float32(cd.hi))
+                    lo = jnp.full((r_rows, 128), jnp.float32(cd.lo))
+                o_ref[2 * c] = hi
+                o_ref[2 * c + 1] = lo
+
+        out = pl.pallas_call(
+            kernel,
+            grid=(rows // r_rows,),
+            in_specs=[
+                pl.BlockSpec((NY2, r_rows, 128),
+                             lambda j: (j * 0, j, j * 0)),
+                pl.BlockSpec((NP2, 1, 128),
+                             lambda j: (j * 0, j * 0, j * 0)),
+            ],
+            out_specs=pl.BlockSpec((n_out, r_rows, 128),
+                                   lambda j: (j * 0, j, j * 0)),
+            out_shape=jax.ShapeDtypeStruct((n_out, rows, 128), jnp.float32),
+            interpret=interpret,
+        )(Ystack, Pstack)
+        return [(out[2 * c].reshape(grid_shape),
+                 out[2 * c + 1].reshape(grid_shape))
+                for c in range(len(combos))]
+
     def _prune_combos(self):
         """Drop structurally-zero seed combinations using a random probe on a
         tiny grid (one jitted evaluation)."""
@@ -1040,7 +1215,13 @@ class VFormAssembler:
                         self._geo_is_nurbs)
                     arrays['geo_val_pair'] = val
                     arrays['geo_jac_pair'] = jac
-                pairs = self._eval_combo_fields_pair(arrays, combos)
+                try:
+                    pairs = self._eval_combo_fields_pair_pallas(arrays,
+                                                                combos)
+                except Exception:       # untiled shape/key: XLA fallback
+                    pairs = None
+                if pairs is None:
+                    pairs = self._eval_combo_fields_pair(arrays, combos)
                 tp = [[(c, s, M) for ((c, s), M) in zip(ta, Ma)]
                       for ta, Ma in zip(parrs, Ms)]
                 Y = ps.assemble_terms_folded_pallas(tp, pairs, plan,

@@ -127,3 +127,39 @@ def test_pair_vform_gating():
     assert not asm2._supports_pair_eval()
     _parity(asm2.assemble(mode='exact').asmatrix(),
             asm2.assemble(mode='ozaki').asmatrix(), tol=1e-9)
+
+
+def test_pair_fields_pallas_interpret():
+    # the fused generic-fields kernel evaluates every combo's two-float
+    # field in one elementwise Pallas kernel; arithmetic is the same
+    # PairAsmContext trace, so parity with the op-by-op XLA evaluation is
+    # bitwise on TPU (loose here: the local XLA:CPU pipeline miscompiles
+    # large fused two-float programs, see PLAN.md)
+    import jax
+    import jax.numpy as jnp
+
+    kvs = _kvs(p=3, n=8)
+    geo = geometry.quarter_annulus()        # exact NURBS
+    form = '(inner(grad(u), grad(v)) + dot(b, grad(u)) * v + u * v) * dx'
+    from pyiga_tpu.assemble import instantiate_assembler
+    asm = instantiate_assembler(form, kvs, {'geo': geo,
+                                            'b': np.array([3.0, -2.0])},
+                                None, None)
+    inputs = jax.tree_util.tree_map(jnp.asarray, asm._device_inputs_pair())
+
+    # reference: eager op-by-op pair evaluation (avoids the CPU fused-jit
+    # miscompile of error-free transformations)
+    ref = asm._eval_combo_fields_pair(inputs, asm.combos)
+
+    fn = jax.jit(lambda inp: asm._eval_combo_fields_pair_pallas(
+        inp, asm.combos, interpret=True))
+    got = fn(inputs)
+    assert got is not None
+    assert len(got) == len(ref)
+    scale = max(np.abs(np.asarray(rh, np.float64)
+                       + np.asarray(rl, np.float64)).max()
+                for rh, rl in ref) + 1e-300
+    for (rh, rl), (gh, gl) in zip(ref, got):
+        r = np.asarray(rh, np.float64) + np.asarray(rl, np.float64)
+        g = np.asarray(gh, np.float64) + np.asarray(gl, np.float64)
+        assert np.abs(r - g).max() / scale < 1e-5
