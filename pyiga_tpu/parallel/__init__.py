@@ -195,6 +195,81 @@ def sharded_matfree_cg(asm, mesh, free_dofs=None, precond=None,
     return solve, {'mv': mv_ops, 'pc': pc_ops}
 
 
+def sharded_multipatch_data(asms, mesh, mode='exact'):
+    """Assemble the compact data tensors of MANY patches in one sharded
+    device call: the per-patch geometry inputs stack along a leading patch
+    axis, that axis shards over the mesh's ``'space'`` dimension, and the
+    sum-factorization assembly vmaps over it — each device assembles its
+    patch subset concurrently (the TPU-native form of the reference's
+    sequential per-patch loop, ``assemble.py:1337``; the shared-dof scatter
+    ``X A_p X^T`` stays on host where the sparse union numbering lives).
+
+    All assemblers must share knot vectors and geometry structure (their
+    `_geo_inputs` pytrees must have identical shapes).  Returns the
+    ``(n_patches, nnz_1, ..., nnz_d)`` float64 array."""
+    from ..ops import sumfac
+
+    a0 = asms[0]
+    tt = jax.tree_util.tree_map(jnp.asarray,
+                                a0.tables.term_tables(a0.terms))
+    fold_plan, tperms = a0._fold()
+    field_fn = a0.field_fn
+    gis = [a._geo_inputs for a in asms]
+    shapes0 = jax.tree_util.tree_map(np.shape, gis[0])
+    for gi in gis[1:]:
+        if jax.tree_util.tree_map(np.shape, gi) != shapes0:
+            raise ValueError(
+                'sharded_multipatch_data: patches must share knot vectors '
+                'and geometry structure (unequal geo-input shapes)')
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([jnp.asarray(x, np.float64) for x in xs]),
+        *gis)
+    spec = _spec(mesh, 'space')     # leading (patch) axis over devices
+    plan = tuple(fold_plan) if fold_plan is not None else None
+    tperms_d = ([jnp.asarray(p) for p in tperms]
+                if fold_plan is not None else None)
+
+    def run(gis_stacked, tt, tperms_d):
+        gis_stacked = jax.tree_util.tree_map(
+            lambda a: jax.lax.with_sharding_constraint(a, spec), gis_stacked)
+
+        def one(gi):
+            fields = field_fn(gi)
+            if plan is not None:
+                return sumfac.assemble_terms_folded(tt, fields, plan,
+                                                    tperms_d, mode=mode)
+            return sumfac.assemble_terms(tt, fields, mode=mode)
+        out = jax.vmap(one)(gis_stacked)
+        return jax.lax.with_sharding_constraint(out, spec)
+
+    with mesh:
+        out = jax.jit(run)(stacked, tt, tperms_d)
+        jax.block_until_ready(out)
+    return np.asarray(out, dtype=np.float64)
+
+
+def multipatch_assemble_stiffness(mp, mesh, mode='exact'):
+    """Global multipatch stiffness matrix with device-parallel per-patch
+    assembly: all patch data tensors assemble in one sharded call
+    (:func:`sharded_multipatch_data`), then the host accumulates
+    ``sum_p X_p A_p X_p^T`` over the shared-dof union numbering.  Drop-in
+    for the matrix part of ``Multipatch.assemble_system('stiffness', ...)``
+    for same-space patches."""
+    import scipy.sparse
+
+    from ..assemblers import StiffnessAssembler
+
+    asms = [StiffnessAssembler(kvs, geo) for (kvs, geo) in mp.patches]
+    data = sharded_multipatch_data(asms, mesh, mode=mode)
+    n = mp.numdofs
+    A = scipy.sparse.csr_matrix((n, n))
+    for p, asm in enumerate(asms):
+        X = mp.patch_to_global(p)
+        A_p = asm.structure.make_mlmatrix(data=data[p]).asmatrix('csr')
+        A = A + X @ A_p @ X.T
+    return A
+
+
 def dryrun(n_devices, dim=3, nspans=4, p=3, cg_iters=4, check_parity=True):
     """Compile and execute one sharded assemble+solve step on an
     `n_devices`-device mesh with tiny shapes.  Defaults exercise the

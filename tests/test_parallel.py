@@ -125,3 +125,38 @@ def test_sharded_matfree_cg():
     r = np.linalg.norm(M @ np.asarray(x) - b) / np.linalg.norm(b)
     assert r < 1e-8
     assert int(it) < 300
+
+
+def test_sharded_multipatch_assembly():
+    _require_cpu_devices(8)
+    from pyiga_tpu.assemble import Multipatch
+    from pyiga_tpu.parallel import (make_mesh, multipatch_assemble_stiffness,
+                                    sharded_multipatch_data)
+
+    kvs = 2 * (make_knots(2, 0.0, 1.0, 6),)
+    squ = geometry.unit_square()
+    geos = (squ, squ.translate((1, 0)), squ.scale((-1, 1)).translate((2, 1)))
+    MP = Multipatch([(kvs, g) for g in geos])
+    MP.join_boundaries(0, 'right', 1, 'left')
+    MP.join_boundaries(1, 'top', 2, 'bottom', flip=(True,))
+    MP.finalize()
+
+    mesh = make_mesh(8, axis_names=('space',))
+
+    # per-patch compact data matches the single-patch assembler
+    asms = [StiffnessAssembler(kvs, g) for g in geos]
+    data = sharded_multipatch_data(asms, mesh)
+    assert data.shape[0] == 3
+    for p, asm in enumerate(asms):
+        ref = asm.assemble(mode='exact').data
+        err = np.abs(data[p] - ref).max() / np.abs(ref).max()
+        assert err < 1e-12, (p, err)
+
+    # global matrix matches the host per-patch loop
+    A = multipatch_assemble_stiffness(MP, mesh)
+    from pyiga_tpu import vform
+    A_ref, _ = MP.assemble_system(vform.stiffness_vf(2),
+                                  vform.L2functional_vf(2, physical=True),
+                                  f=lambda x, y: 1.0)
+    err = abs(A - A_ref).max() / abs(A_ref).max()
+    assert err < 1e-12, err
