@@ -94,19 +94,24 @@ def _slice_pair_cols(hi, lo, interpret=False):
 def _dots_from_chunks(chunks, s_col, tcat, ts):
     """Six diagonal dots over concatenated chunk stacks.
 
-    ``diag_d = sum_a chunk_a . T_{d-a}`` is ONE MXU dot of the first
-    ``(d+1)K`` rows of the chunk concat against the matching stacked-table
-    rows (``tcat`` rows ``K d(d+1)/2 .. K (d+1)(d+2)/2`` hold
-    ``T_d, T_{d-1}, .., T_0``).  Twenty-one short dots with twenty serial
-    VPU adds between them ran at ~55% MXU; the six concatenated dots
-    (contractions up to ``6K``) measure at the MXU roofline."""
-    K = tcat.shape[0] // 21
-    bcat = jnp.concatenate(chunks, axis=0)        # (6K, r) bf16
+    ``diag_d = sum_a chunk_a . T_{d-a}`` is ONE MXU dot of a SUFFIX of
+    the reverse-ordered x-chunk concat (``rcat`` rows ``(L-1-d)K..LK``
+    hold ``chunk_d, .., chunk_0``) against a PREFIX of the plain
+    chunk-ordered table stack (``tcat`` rows ``0..(d+1)K`` hold
+    ``T_0, .., T_d``) — the suffix/prefix pairing lets the streamed
+    table hold each chunk ONCE (6K rows) instead of the 21K-row
+    diag-stacked layout, cutting the per-tile table DMA 3.5x.  Twenty-one
+    short dots with twenty serial VPU adds between them ran at ~55% MXU;
+    the six concatenated dots (contractions up to ``6K``) measure at the
+    MXU roofline.  Every chunk product is integer-valued and the f32
+    accumulation is exact, so the reordered summation is bitwise equal
+    to the diag-stacked form."""
+    K = tcat.shape[0] // _L
+    rcat = jnp.concatenate(chunks[::-1], axis=0)  # (6K, r) bf16, chunk_5 first
     acc = None
     for d in range(_L):
-        off = K * (d * (d + 1) // 2)
         y = jax.lax.dot_general(
-            bcat[:(d + 1) * K], tcat[off:off + (d + 1) * K],
+            rcat[(_L - 1 - d) * K:], tcat[:(d + 1) * K],
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         acc = tf.df(y) if acc is None else tf.df_add_f32(acc, y)
@@ -180,7 +185,7 @@ _VMEM_BUDGET = 6 * 2 ** 20
 def _vmem_bytes(K, r, m):
     x_pair = 2 * K * r * 4
     chunks = _L * K * r * 2                 # the (6K, r) bf16 concat
-    table = 21 * m * K * 2 + 4 * m          # diag-stacked tcat block
+    table = _L * m * K * 2 + 4 * m          # chunk-ordered tcat block
     acc = 3 * r * m * 4                     # running df pair + current diag
     out = 2 * r * m * 4
     return x_pair + chunks + table + acc + out
@@ -205,58 +210,68 @@ def _pick_kblock(K):
     return None
 
 
-def _pick_blocks(K, R, M, r_block, vmem_bytes=None, budget=None):
+# Block-pick priority: with the chunk-ordered (6K-row) table layout the
+# full-width M block usually fits VMEM, which removes the per-M-block
+# refetch of the x stream entirely AND makes the output blocks cover full
+# array rows (contiguous HBM writes — writes are the measured-slow
+# direction).  m-first is therefore the default; the old r-first order
+# remains as the fallback scan (and for measurement sweeps).
+_PICK_M_FIRST = True
+
+
+def _pick_blocks(K, R, M, r_block, vmem_bytes=None, budget=None,
+                 m_first=None):
     """Largest (r, m, kb) tile sizes dividing (R, M, K) that fit the VMEM
     budget (m in lane multiples, kb in multiples of 8).
 
-    The priority order — full K block first, then the largest r, then the
-    largest m — is empirically load-bearing (swept on the 3D n=48
-    headline fold): the 21-diagonal MXU dots collapse with short
-    contraction blocks (kb=48 doubled the fold time, kb=8 was 6x), so kb
-    stays at ``_pick_kblock``'s maximum even though splitting K would
-    free VMEM for wider (better-streaming) x/output blocks.  At full K
-    the VMEM budget then forces r=m=128 on the production fold: its x
-    blocks stream as 512-byte row segments and are refetched once per
-    M-block, which is measured DMA cost (~17 ms composed) but still the
-    best point available — the kernel is boxed in by MXU contraction
-    length x VMEM x DMA-burst tradeoffs."""
+    Full K block always comes first: the 21-diagonal MXU dots collapse
+    with short contraction blocks (kb=48 doubled the fold time, kb=8 was
+    6x on the 3D n=48 headline), so kb stays at ``_pick_kblock``'s
+    maximum.  Then the widest m (see ``_PICK_M_FIRST``), then the largest
+    r that fits."""
     if vmem_bytes is None:
         vmem_bytes = _vmem_bytes
     if budget is None:
         budget = _VMEM_BUDGET
+    if m_first is None:
+        m_first = _PICK_M_FIRST
     kb = _pick_kblock(K)
     if kb is None:
         return None
-    r = min(r_block, R)
-    while R % r:
+    r0 = min(r_block, R)
+    while R % r0:
+        r0 //= 2
+    r_candidates = []
+    r = r0
+    while r >= 128:
+        r_candidates.append(r)
         r //= 2
     m_candidates = [m for m in range(M, 127, -128)
                     if m % 128 == 0 and M % m == 0]
-    while r >= 128:
+    if m_first:
+        for m in m_candidates:
+            for r in r_candidates:
+                if vmem_bytes(kb, r, m) <= budget:
+                    return r, m, kb
+    for r in r_candidates:
         for m in m_candidates:
             if vmem_bytes(kb, r, m) <= budget:
                 return r, m, kb
-        r //= 2
     return None
 
 
-# chunk-level pairing of the 6 diagonal dots: diag d contracts chunk_a
-# against table chunk d-a, so the stacked-table row block for (d, a) holds
-# T_{d-a} (see _dots_from_chunks)
-_DIAG_LEVELS = [d - a for d in range(_L) for a in range(d + 1)]
-
-
 def _stack_tcat(t_chunks, k_blk):
-    """Arrange table chunks ``(L, Mp, K)`` into the diag-stacked layout
-    ``(21 K, Mp)``: per K-block, 21 contiguous row blocks holding the
-    transposed table chunks in diag order.  Pure relayout of a ~1 MB
-    array, traced into the surrounding jit (tables are jit operands — the
-    stacking cost is noise next to the field streams)."""
+    """Arrange table chunks ``(L, Mp, K)`` into the chunk-ordered layout
+    ``(L K, Mp)``: per K-block, L contiguous row blocks holding the
+    transposed table chunks ``T_0, .., T_{L-1}`` (the suffix/prefix dot
+    pairing in :func:`_dots_from_chunks` needs each chunk only once).
+    Pure relayout of a small array, traced into the surrounding jit
+    (tables are jit operands — the stacking cost is noise next to the
+    field streams)."""
     L, Mp, K = t_chunks.shape
-    tsel = t_chunks[jnp.asarray(_DIAG_LEVELS)]        # (21, Mp, K)
-    tsel = tsel.reshape(21, Mp, K // k_blk, k_blk)
-    tsel = jnp.transpose(tsel, (2, 0, 3, 1))          # (nkb, 21, k_blk, Mp)
-    return tsel.reshape(21 * K, Mp)
+    tsel = t_chunks.reshape(L, Mp, K // k_blk, k_blk)
+    tsel = jnp.transpose(tsel, (2, 0, 3, 1))          # (nkb, L, k_blk, Mp)
+    return tsel.reshape(L * K, Mp)
 
 
 @functools.partial(jax.jit, static_argnames=('r_block', 'interpret'))
@@ -282,7 +297,7 @@ def _stage_call(xh, xl, t_chunks, t_scale, acc_h=None, acc_l=None,
     in_specs = [
         pl.BlockSpec((k_blk, r_blk), lambda j, s, kb: (kb, j)),
         pl.BlockSpec((k_blk, r_blk), lambda j, s, kb: (kb, j)),
-        pl.BlockSpec((21 * k_blk, m_blk), lambda j, s, kb: (kb, s)),
+        pl.BlockSpec((_L * k_blk, m_blk), lambda j, s, kb: (kb, s)),
         pl.BlockSpec((1, m_blk), lambda j, s, kb: (j * 0, s)),
     ]
     out_specs = [pl.BlockSpec((r_blk, m_blk), lambda j, s, kb: (j, s)),
@@ -381,7 +396,7 @@ def _fold_kernel(*refs, n_terms, term_idx, interpret=False):
 def _vmem_bytes_fold(K, r, m, n_terms, n_tabs):
     x_pairs = n_terms * 2 * K * r * 4
     chunks = _L * K * r * 2                 # per-term transient concat
-    tables = n_tabs * (21 * m * K * 2 + 4 * m)
+    tables = n_tabs * (_L * m * K * 2 + 4 * m)
     acc = 3 * r * m * 4
     out = 2 * r * m * 4
     return x_pairs + chunks + tables + acc + out
@@ -420,7 +435,7 @@ def _stage_call_fold(x_pairs, tc_list, ts_list, term_idx, r_block=512,
     grid = (R // r_blk, M // m_blk, K // k_blk)
     x_spec = pl.BlockSpec((k_blk, r_blk), lambda j, s, kb: (kb, j))
     in_specs = [x_spec] * (2 * T) + \
-        [pl.BlockSpec((21 * k_blk, m_blk), lambda j, s, kb: (kb, s))] * ntab + \
+        [pl.BlockSpec((_L * k_blk, m_blk), lambda j, s, kb: (kb, s))] * ntab + \
         [pl.BlockSpec((1, m_blk), lambda j, s, kb: (j * 0, s))] * ntab
     out_specs = [pl.BlockSpec((r_blk, m_blk), lambda j, s, kb: (j, s))] * 2
     operands = [a for pair in x_pairs for a in pair] + tcats + list(ts_list)
