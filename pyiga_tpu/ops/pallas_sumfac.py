@@ -238,14 +238,12 @@ def _pick_blocks(K, R, M, r_block, vmem_bytes=None, budget=None,
     kb = _pick_kblock(K)
     if kb is None:
         return None
-    r0 = min(r_block, R)
-    while R % r0:
-        r0 //= 2
-    r_candidates = []
-    r = r0
-    while r >= 128:
-        r_candidates.append(r)
-        r //= 2
+    # every 128-multiple dividing R up to r_block (the old power-of-two
+    # halving skipped e.g. r=384, which fits the stage kernels at full m)
+    r_candidates = [r for r in range(min(r_block, R), 127, -128)
+                    if R % r == 0]
+    if not r_candidates and R < 128 and R % 8 == 0:
+        r_candidates = [R]      # small rest extents: single sublane-tiled block
     m_candidates = [m for m in range(M, 127, -128)
                     if m % 128 == 0 and M % m == 0]
     if m_first:
