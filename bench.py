@@ -407,6 +407,37 @@ def run_aca(device, dim, n, p=3):
         asm = compile_vform(stiffness_vf(dim))(kvs, geo=geo)
         ndofs = int(np.prod([kv.numdofs for kv in kvs]))
         S = asm.structure
+        total = int(np.prod([len(bx) for bx in S.bidx]))
+        on_dev = device.platform != 'cpu'
+
+        if dim == 3 and on_dev:
+            # device-resident outer loop: one fused dispatch + 4-scalar
+            # fetch per pivot; crosses pulled once at the end
+            import pyiga_tpu.lowrank as lr
+
+            # warm the fused-step compile outside the timing (same maxiter:
+            # the cross-buffer shapes are part of the compiled signature)
+            X = lr.aca_3d_device(asm, tol=1e-10, verbose=0)
+            steps = [0]
+            t0 = time.perf_counter()
+            _classify = lr._PivotControl.classify
+
+            def counting_classify(self, e, where):
+                steps[0] += 1
+                return _classify(self, e, where)
+
+            lr._PivotControl.classify = counting_classify
+            try:
+                X = lr.aca_3d_device(asm, tol=1e-10, verbose=0)
+            finally:
+                lr._PivotControl.classify = _classify
+            t = time.perf_counter() - t0
+            # per step: one fiber + one full 2D slice evaluation
+            frac = steps[0] * (S.bidx[0].shape[0]
+                               + total // S.bidx[0].shape[0]) / total
+            del X
+            return ndofs, t, steps[0], frac
+
         count = [0, 0]
 
         def counting_slice(fixed, _inner=asm.compact_slice):
@@ -427,7 +458,6 @@ def run_aca(device, dim, n, p=3):
         else:
             X = lowrank.aca(gen, tol=1e-10, verbose=0)
         t = time.perf_counter() - t0
-        total = int(np.prod([len(bx) for bx in S.bidx]))
         del X
     return ndofs, t, count[1], count[0] / total
 

@@ -1378,6 +1378,33 @@ class VFormAssembler:
                                 if k not in fixed_axes])
         return jax.jit(slice_fn)
 
+    def _slice_fn_cached(self, fixed_axes, mode):
+        """The cached jitted slice evaluator for a pinned-axes pattern."""
+        fn_cache = getattr(self, '_slice_fns', None)
+        if fn_cache is None:
+            fn_cache = self._slice_fns = {}
+        fn = fn_cache.get((fixed_axes, mode))
+        if fn is None:
+            fn = self._make_slice_fn(fixed_axes, mode)
+            fn_cache[(fixed_axes, mode)] = fn
+        return fn
+
+    def _slice_operands(self, mode):
+        """Device-resident (fields, term_tables) operands for the slice
+        evaluators (cached; fields stay in HBM across ACA pivots)."""
+        import jax
+        from . import config
+        if getattr(self, '_tables_cache', None) is None:
+            import jax.numpy as jnp
+            dtype = config.get_dtype()
+            self._tables_cache = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, dtype=np.float64
+                                      if mode == 'pair' else dtype),
+                self._term_tables_for(self.combos))
+        fields = (self._device_pair_fields() if mode == 'pair'
+                  else self._device_fields())
+        return fields, self._tables_cache
+
     def compact_slice(self, fixed):
         """Evaluate a slice of the compact data tensor with the axes in the
         dict `fixed` (axis -> pair index s_k) pinned; returns the dense array
@@ -1389,32 +1416,13 @@ class VFormAssembler:
         sum-factorization chain with rank-1-restricted pair tables.  On
         accelerators the evaluation runs the emulation-free two-float /
         Ozaki pipeline (see :meth:`_slice_mode`)."""
-        import jax
-        from . import config
-
         assert not self.vf.vec and self.arity == 2
         mode = self._slice_mode()
         fixed_axes = tuple(sorted(fixed.keys()))
-        fn_cache = getattr(self, '_slice_fns', None)
-        if fn_cache is None:
-            fn_cache = self._slice_fns = {}
-        fn = fn_cache.get((fixed_axes, mode))
-        if fn is None:
-            fn = self._make_slice_fn(fixed_axes, mode)
-            fn_cache[(fixed_axes, mode)] = fn
-
-        dtype = config.get_dtype()
-        if getattr(self, '_tables_cache', None) is None:
-            import jax.numpy as jnp
-            self._tables_cache = jax.tree_util.tree_map(
-                lambda x: jnp.asarray(x, dtype=np.float64
-                                      if mode == 'pair' else dtype),
-                self._term_tables_for(self.combos))
-        fields = (self._device_pair_fields() if mode == 'pair'
-                  else self._device_fields())
+        fn = self._slice_fn_cached(fixed_axes, mode)
+        fields, tables = self._slice_operands(mode)
         idx = np.array([fixed[ax] for ax in fixed_axes], dtype=np.int64)
-        return np.asarray(fn(fields, self._tables_cache, idx),
-                          dtype=np.float64)
+        return np.asarray(fn(fields, tables, idx), dtype=np.float64)
 
     def num_components(self):
         """Components per basis function space (vector forms only)."""

@@ -382,6 +382,93 @@ def aca_3d(A, tol=1e-10, maxiter=100, skipcount=3, tolcount=3, verbose=2,
     return np.einsum('ri,rjk->ijk', np.stack(cols), np.stack(mats))
 
 
+def aca_3d_device(asm, tol=1e-10, maxiter=100, skipcount=3, tolcount=3,
+                  verbose=2):
+    """Device-resident nested 3D ACA over an assembler's compact tensor:
+    one fused jit dispatch per outer pivot.
+
+    The materialized-slice driver (:func:`aca_3d` over
+    :func:`compact_generator`) pulls every pivot slice to the host —
+    ~1 MB per outer step, which dominates end-to-end time on a tunneled
+    TPU (host pulls run ~12 MB/s here).  This driver keeps the crosses in
+    HBM: each outer step fuses the residual fiber, pivot argmax, pivot
+    slice evaluation, cross append (into fixed ``maxiter``-slot buffers,
+    donated across steps) and the next-pivot argmax into ONE jit, and
+    fetches only a 4-scalar verdict packet.  The crosses are pulled once
+    at the end.  Same pivoting rules and arithmetic as :func:`aca_3d`
+    with ``slices='materialize'`` (reference algorithm: fastasm.cc:385).
+    Returns the dense compact data tensor."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    mode = asm._slice_mode()
+    fiber_fn = asm._slice_fn_cached((1, 2), mode)
+    slice_fn = asm._slice_fn_cached((0,), mode)
+    fields, tables = asm._slice_operands(mode)
+    shape = tuple(len(bx) for bx in asm.structure.bidx)
+    n0, n1, n2 = shape
+    R = maxiter
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(cols, mats, count, I, fields, tables):
+        mask = (jnp.arange(R) < count).astype(cols.dtype)
+        fiber = fiber_fn(fields, tables, I[1:])             # (n0,)
+        w = mats[:, I[1], I[2]]                             # (R,)
+        Ef = fiber - (mask * w) @ cols
+        i0 = jnp.argmax(jnp.abs(Ef))
+        e0 = Ef[i0]
+        S = slice_fn(fields, tables, i0[None])              # (n1, n2)
+        Xs = jnp.tensordot(mask * cols[:, i0], mats, axes=1)
+        Em = S - Xs
+        # append at slot `count`; the host makes it visible by bumping
+        # count only when the pivot is accepted
+        cols = jax.lax.dynamic_update_index_in_dim(
+            cols, Ef / e0, count, 0)
+        mats = jax.lax.dynamic_update_index_in_dim(mats, Em, count, 0)
+        EmZ = Em.at[I[1], I[2]].set(0.0)
+        flat = jnp.argmax(jnp.abs(EmZ))
+        out = jnp.stack([i0.astype(cols.dtype), jnp.abs(e0),
+                         (flat // n2).astype(cols.dtype),
+                         (flat % n2).astype(cols.dtype)])
+        return cols, mats, out
+
+    dtype = jnp.float64
+    cols_d = jnp.zeros((R, n0), dtype)
+    mats_d = jnp.zeros((R, n1, n2), dtype)
+    count = 0
+    I = [m // 2 for m in shape]
+    ctl = _PivotControl(tol, maxiter, skipcount, tolcount, verbose,
+                        what='outer it.')
+    while True:
+        cols_d, mats_d, out = step(cols_d, mats_d, jnp.asarray(count),
+                                   jnp.asarray(np.array(I, np.int64)),
+                                   fields, tables)
+        i0, e0, j1, j2 = np.asarray(out)
+        verdict = ctl.classify(float(e0), I)
+        if verdict == 'stop':
+            break
+        if verdict == 'skip':
+            I[:] = [np.random.randint(m) for m in shape]
+            if ctl.skipped_out():
+                break
+            continue
+        I[0] = int(i0)
+        if verbose >= 2:
+            print(I, '\t', float(e0))
+        count += 1
+        I[1], I[2] = int(j1), int(j2)
+        if not ctl.advance():
+            break
+
+    if count == 0:
+        return np.zeros(shape)
+    cols = np.asarray(cols_d[:count], dtype=np.float64)
+    mats = np.asarray(mats_d[:count], dtype=np.float64)
+    return np.einsum('ri,rjk->ijk', cols, mats)
+
+
 ################################################################################
 # Fast assembling driver (replaces fastasm.cc + fast_assemble_cy)
 ################################################################################
@@ -395,21 +482,31 @@ def compact_generator(asm):
 
 
 def fast_assemble(asm, kvs, tol=1e-10, maxiter=100, skipcount=3,
-                  tolcount=3, verbose=2):
+                  tolcount=3, verbose=2, method='auto'):
     """Assemble the matrix of `asm` by low-rank ACA over the compact
     (reordered) matrix; returns a scipy CSR matrix.
 
     The compact tensor IS the reordered matrix, so no reindexing or
     inflation step is needed: the ACA result is used directly as the
-    MLMatrix data tensor."""
+    MLMatrix data tensor.  On accelerator backends the 3D driver runs
+    device-resident (:func:`aca_3d_device`: one dispatch and a 4-scalar
+    fetch per outer pivot; the crosses are pulled once at the end);
+    ``method='host'`` forces the materialized-slice host driver."""
+    import jax
+
     S = asm.structure
-    gen = compact_generator(asm)
     if S.L == 2:
-        X = aca(gen, tol=tol, maxiter=maxiter, skipcount=skipcount,
-                tolcount=tolcount, verbose=verbose)
+        X = aca(compact_generator(asm), tol=tol, maxiter=maxiter,
+                skipcount=skipcount, tolcount=tolcount, verbose=verbose)
     elif S.L == 3:
-        X = aca_3d(gen, tol=tol, maxiter=maxiter, skipcount=skipcount,
-                   tolcount=tolcount, verbose=verbose)
+        if method == 'auto' and jax.default_backend() != 'cpu':
+            X = aca_3d_device(asm, tol=tol, maxiter=maxiter,
+                              skipcount=skipcount, tolcount=tolcount,
+                              verbose=verbose)
+        else:
+            X = aca_3d(compact_generator(asm), tol=tol, maxiter=maxiter,
+                       skipcount=skipcount, tolcount=tolcount,
+                       verbose=verbose)
     else:
         raise NotImplementedError('fast assembling only for 2D and 3D')
     return S.make_mlmatrix(data=X).asmatrix('csr')

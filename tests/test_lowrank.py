@@ -91,3 +91,23 @@ def test_fast_no_geo_fallback():
     from pyiga_tpu.assemble import mass, stiffness
     assert abs(mass_fast((kv, kv)) - mass((kv, kv))).max() == 0
     assert abs(stiffness_fast((kv, kv)) - stiffness((kv, kv))).max() == 0
+
+
+def test_aca_3d_device_matches_host():
+    # device-resident outer loop (fused step jit) vs the host
+    # materialized-slice driver and the full assembly
+    from pyiga_tpu.compile import compile_vform
+    from pyiga_tpu.lowrank import aca_3d_device, compact_generator, aca_3d
+    from pyiga_tpu.vform import stiffness_vf
+
+    kv = bspline.make_knots(2, 0.0, 1.0, 8)
+    geo = geometry.twisted_box()
+    asm = compile_vform(stiffness_vf(3))((kv, kv, kv), geo=geo)
+
+    X_dev = aca_3d_device(asm, tol=1e-10, verbose=0)
+    X_host = aca_3d(compact_generator(asm), tol=1e-10, verbose=0,
+                    slices='materialize')
+    ref = asm.assemble().data
+    scale = np.abs(ref).max()
+    assert np.abs(X_dev - ref).max() / scale < 1e-9
+    assert np.abs(X_host - ref).max() / scale < 1e-9
