@@ -40,3 +40,36 @@ def test_example_navier_stokes():
     times, states = ns.integrate(tau=1e-1, t_end=0.2)
     assert len(times) >= 2
     assert np.isfinite(ns.divergence_norm(states[-1]))
+
+
+def test_notebooks_valid():
+    # every notebook parses and its import cell resolves to a real example
+    import json
+    nbdir = os.path.join(os.path.dirname(__file__), '..', 'notebooks')
+    names = sorted(os.listdir(nbdir))
+    assert len(names) >= 7
+    for name in names:
+        nb = json.load(open(os.path.join(nbdir, name)))
+        srcs = [''.join(c['source']) for c in nb['cells']
+                if c['cell_type'] == 'code']
+        assert any('from ' in s and ' import ' in s for s in srcs), name
+        mod = [line for s in srcs for line in s.splitlines()
+               if line.startswith('from ')][0].split()[1]
+        assert os.path.exists(os.path.join(EXAMPLES, mod + '.py')), mod
+
+
+@pytest.mark.slow
+def test_notebooks_execute_light():
+    import json
+    nbdir = os.path.join(os.path.dirname(__file__), '..', 'notebooks')
+    cwd = os.getcwd()
+    os.chdir(nbdir)
+    try:
+        for name in ('geometry.ipynb', 'multipatch.ipynb'):
+            nb = json.load(open(name))
+            g = {}
+            for c in nb['cells']:
+                if c['cell_type'] == 'code':
+                    exec(''.join(c['source']), g)
+    finally:
+        os.chdir(cwd)
