@@ -627,3 +627,23 @@ def test_stiffness_fields_fused_interpret():
         R = np.asarray(rh, np.float64) + np.asarray(rl, np.float64)
         G = np.asarray(gh, np.float64) + np.asarray(gl, np.float64)
         assert np.abs(G - R).max() / np.abs(R).max() < 1e-5
+
+
+def test_pallas_block_picks_headline():
+    # static policy regression for the 3D n=48 headline shapes: full K
+    # always; full-width M (no x refetch, contiguous row writes) since the
+    # chunk-ordered tables made it fit VMEM
+    from pyiga_tpu.ops import pallas_sumfac as ps
+
+    r, m, kb = ps._pick_blocks(192, 36864, 384, 512)      # stage kernel
+    assert kb == 192 and m == 384 and r >= 128
+    assert ps._vmem_bytes(kb, r, m) <= ps._VMEM_BUDGET
+
+    picks = ps._pick_blocks_fold(192, 147456, 384, 512, 6, 2)   # fold
+    assert picks is not None
+    rf, mf, kf = picks
+    assert kf == 192 and mf == 384
+    assert ps._vmem_bytes_fold(kf, rf, mf, 6, 2) <= ps._VMEM_BUDGET_FOLD
+
+    # long-K 2D shapes still split into <=384 blocks
+    assert ps._pick_kblock(512) == 256
