@@ -1325,9 +1325,19 @@ class VFormAssembler:
             import jax.numpy as jnp
             inputs = jax.tree_util.tree_map(jnp.asarray,
                                             self._device_inputs_pair())
-            fn = jax.jit(
-                lambda inp: self._eval_combo_fields_pair(inp, self.combos))
-            self._pair_fields_cache = fn(inputs)
+
+            def eval_fields(inp):
+                if jax.default_backend() != 'cpu':
+                    try:        # fused elementwise kernel when it tiles
+                        pairs = self._eval_combo_fields_pair_pallas(
+                            inp, self.combos)
+                    except Exception:
+                        pairs = None
+                    if pairs is not None:
+                        return pairs
+                return self._eval_combo_fields_pair(inp, self.combos)
+
+            self._pair_fields_cache = jax.jit(eval_fields)(inputs)
         return self._pair_fields_cache
 
     def _make_slice_fn(self, fixed_axes, mode):
