@@ -320,6 +320,267 @@ def _stage_call(xh, xl, t_chunks, t_scale, acc_h=None, acc_l=None,
     return oh, ol
 
 
+def _dots_from_chunks_T(chunks, s_col, tcat, ts):
+    """Transposed-result variant of :func:`_dots_from_chunks`: the dot
+    operands swap, so the tile comes out ``(m, r)`` at zero cost (no
+    register transpose).  Bitwise-equal to the transpose of the direct
+    form: every chunk product is integer-valued and the f32 accumulation
+    is exact."""
+    K = tcat.shape[0] // _L
+    rcat = jnp.concatenate(chunks[::-1], axis=0)
+    acc = None
+    for d in range(_L):
+        y = jax.lax.dot_general(
+            tcat[:(d + 1) * K], rcat[(_L - 1 - d) * K:],
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = tf.df(y) if acc is None else tf.df_add_f32(acc, y)
+    scale = ts.T * s_col                    # (m, 1) * (1, r) -> (m, r)
+    return acc[0] * scale, acc[1] * scale
+
+
+def _stage_tile_T(xh, xl, tcat, ts, interpret=False):
+    chunks, s_col = _slice_pair_cols(xh, xl, interpret=interpret)
+    return _dots_from_chunks_T(chunks, s_col, tcat, ts)
+
+
+def _stage_kernel_T(xh_ref, xl_ref, tc_ref, ts_ref, oh_ref, ol_ref,
+                    interpret=False):
+    """Transposed-output stage kernel: writes the ``(M, R)`` layout the
+    fused tail kernel consumes as ``(M1p, K2, K3)`` slabs (a free 3D
+    view — no inter-stage retile)."""
+    from jax.experimental import pallas as pl
+    hi, lo = _stage_tile_T(xh_ref[...], xl_ref[...], tc_ref[...],
+                           ts_ref[...], interpret=interpret)
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        oh_ref[...] = hi
+        ol_ref[...] = lo
+
+    @pl.when(kb > 0)
+    def _():
+        sh, sl = tf.df_add((oh_ref[...], ol_ref[...]), (hi, lo))
+        oh_ref[...] = sh
+        ol_ref[...] = sl
+
+
+@functools.partial(jax.jit, static_argnames=('r_block', 'interpret'))
+def _stage_call_T(xh, xl, t_chunks, t_scale, r_block=512, interpret=False):
+    """One contraction stage with TRANSPOSED output: ``(K, R)`` pair x
+    table chunks ``(L, M, K)`` -> ``(M, R)`` pair."""
+    from jax.experimental import pallas as pl
+
+    K, R = xh.shape
+    L, M, _ = t_chunks.shape
+    r_blk, m_blk, k_blk = _pick_blocks(K, R, M, r_block)
+    tcat = _stack_tcat(t_chunks, k_blk)
+    grid = (R // r_blk, M // m_blk, K // k_blk)
+    in_specs = [
+        pl.BlockSpec((k_blk, r_blk), lambda j, s, kb: (kb, j)),
+        pl.BlockSpec((k_blk, r_blk), lambda j, s, kb: (kb, j)),
+        pl.BlockSpec((_L * k_blk, m_blk), lambda j, s, kb: (kb, s)),
+        pl.BlockSpec((1, m_blk), lambda j, s, kb: (j * 0, s)),
+    ]
+    out_specs = [pl.BlockSpec((m_blk, r_blk), lambda j, s, kb: (s, j)),
+                 pl.BlockSpec((m_blk, r_blk), lambda j, s, kb: (s, j))]
+    kernel = functools.partial(_stage_kernel_T, interpret=interpret)
+    oh, ol = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[jax.ShapeDtypeStruct((M, R), jnp.float32)] * 2,
+        interpret=interpret,
+    )(xh, xl, tcat, t_scale)
+    return oh, ol
+
+
+################################################################################
+# Fused tail: stage-2 + folded final stage in ONE kernel (3-axis chains)
+################################################################################
+
+def _tail_kernel(*refs, n_terms, idx2, idx3, interpret=False):
+    """Per grid step ``(j=m1, s2, s3)``: contract K2 for every term's
+    ``(K2, K3)`` slab at row m1 (into VMEM scratch, recomputed when s3
+    wraps), then contract K3 against the final tables and accumulate all
+    terms into one output tile — the stage-2 intermediate NEVER touches
+    HBM (it was ~1.4 GB written + read per headline assembly, plus a
+    lane-regrouping retile).
+
+    Ref layout: ``x1h_0, x1l_0, .., tc2_0.., ts2_0.., tc3_0.., ts3_0..,
+    oh, ol, y2h_scr, y2l_scr``."""
+    from jax.experimental import pallas as pl
+    n2 = len(set(idx2))
+    n3 = len(set(idx3))
+    base = 2 * n_terms
+    tc2 = refs[base:base + n2]
+    ts2 = refs[base + n2:base + 2 * n2]
+    tc3 = refs[base + 2 * n2:base + 2 * n2 + n3]
+    ts3 = refs[base + 2 * n2 + n3:base + 2 * n2 + 2 * n3]
+    oh_ref, ol_ref = refs[base + 2 * n2 + 2 * n3:base + 2 * n2 + 2 * n3 + 2]
+    y2h_scr, y2l_scr = refs[-2:]
+    s3 = pl.program_id(2)
+
+    @pl.when(s3 == 0)
+    def _():
+        for t in range(n_terms):
+            x2h = refs[2 * t][0]            # (K2, K3)
+            x2l = refs[2 * t + 1][0]
+            yh, yl = _stage_tile(x2h, x2l, tc2[idx2[t]][...],
+                                 ts2[idx2[t]][...], interpret=interpret)
+            y2h_scr[t] = yh                 # (K3, m2b)
+            y2l_scr[t] = yl
+
+    acc = None
+    for t in range(n_terms):
+        zh, zl = _stage_tile(y2h_scr[t], y2l_scr[t], tc3[idx3[t]][...],
+                             ts3[idx3[t]][...], interpret=interpret)
+        acc = (zh, zl) if acc is None else tf.df_add(acc, (zh, zl))
+    oh_ref[0] = acc[0]
+    ol_ref[0] = acc[1]
+
+
+def _vmem_bytes_tail(K2, K3, m2b, m3b, n_terms, n2, n3):
+    x1 = n_terms * 2 * K2 * K3 * 4
+    chunks2 = _L * K2 * K3 * 2
+    scr = n_terms * 2 * K3 * m2b * 4
+    chunks3 = _L * K3 * m2b * 2
+    tc2 = n2 * (_L * K2 * m2b * 2 + 4 * m2b)
+    tc3 = n3 * (_L * K3 * m3b * 2 + 4 * m3b)
+    out = 3 * m2b * m3b * 4
+    return x1 + chunks2 + scr + chunks3 + tc2 + tc3 + out
+
+
+def _pick_blocks_tail(K2, K3, M2p, M3p, n_terms, n2, n3,
+                      budget=None):
+    """(m2b, m3b) for the fused tail kernel, widest m3 first (full-width
+    m3 avoids recomputing nothing — y2 rides scratch either way — but
+    keeps output writes contiguous)."""
+    if budget is None:
+        budget = _VMEM_BUDGET_FOLD
+    for m3b in [m for m in range(M3p, 127, -128) if M3p % m == 0]:
+        for m2b in [m for m in range(M2p, 127, -128) if M2p % m == 0]:
+            if _vmem_bytes_tail(K2, K3, m2b, m3b, n_terms, n2, n3) \
+                    <= budget:
+                return m2b, m3b
+    return None
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('idx2', 'idx3', 'interpret'))
+def _tail_fused_call(x1T_pairs, tc2_list, ts2_list, idx2,
+                     tc3_list, ts3_list, idx3, interpret=False):
+    """Fused stage-2 + folded final stage over 3-axis chains:
+    ``x1T_pairs[t]`` is term t's transposed stage-1 output viewed as
+    ``(M1p, K2, K3)``; returns the padded compact pair
+    ``(M1p, M2p, M3p)`` written once."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M1p, K2, K3 = x1T_pairs[0][0].shape
+    M2p = tc2_list[0].shape[1]
+    M3p = tc3_list[0].shape[1]
+    T = len(x1T_pairs)
+    n2, n3 = len(tc2_list), len(tc3_list)
+    blocks = _pick_blocks_tail(K2, K3, M2p, M3p, T, n2, n3)
+    if blocks is None:
+        return None
+    m2b, m3b = blocks
+    tcat2 = [_stack_tcat(tc, K2) for tc in tc2_list]
+    tcat3 = [_stack_tcat(tc, K3) for tc in tc3_list]
+    grid = (M1p, M2p // m2b, M3p // m3b)
+    x_spec = pl.BlockSpec((1, K2, K3), lambda j, s2, s3: (j, s2 * 0, s3 * 0))
+    in_specs = [x_spec] * (2 * T) + \
+        [pl.BlockSpec((_L * K2, m2b), lambda j, s2, s3: (j * 0, s2))] * n2 + \
+        [pl.BlockSpec((1, m2b), lambda j, s2, s3: (j * 0, s2))] * n2 + \
+        [pl.BlockSpec((_L * K3, m3b), lambda j, s2, s3: (j * 0, s3))] * n3 + \
+        [pl.BlockSpec((1, m3b), lambda j, s2, s3: (j * 0, s3))] * n3
+    out_specs = [pl.BlockSpec((1, m2b, m3b),
+                              lambda j, s2, s3: (j, s2, s3))] * 2
+    operands = [a for pair in x1T_pairs for a in pair] + \
+        tcat2 + list(ts2_list) + tcat3 + list(ts3_list)
+    kernel = functools.partial(_tail_kernel, n_terms=T, idx2=idx2,
+                               idx3=idx3, interpret=interpret)
+    oh, ol = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[jax.ShapeDtypeStruct((M1p, M2p, M3p), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM((T, K3, m2b), jnp.float32),
+                        pltpu.VMEM((T, K3, m2b), jnp.float32)],
+        interpret=interpret,
+    )(*operands)
+    return oh, ol
+
+
+# Fused-tail path for 3-axis chains (stage1_T + _tail_fused_call).  OFF by
+# default until hardware-validated; interpret tests assert bitwise parity
+# with the two-call pipeline either way.
+_TAIL_FUSED = False
+
+
+def _tail_supported(tables_prepped_per_term, field_pairs):
+    """Static gate: 3 axes, no K-splits, uniform table widths, VMEM fits."""
+    if not _TAIL_FUSED:
+        return False
+    for tabs, (hi, _lo) in zip(tables_prepped_per_term, field_pairs):
+        if len(tabs) != 3 or hi.ndim != 3:
+            return False
+        for k, (tc, _ts, _M) in enumerate(tabs):
+            K = tc.shape[2]
+            if K != hi.shape[k] or _pick_kblock(K) != K:
+                return False
+    return True
+
+
+def _chain_group_tail_fused(tables_prepped_per_term, field_pairs, idxs,
+                            r_block=512, interpret=False, last_idx=None):
+    """Fused-tail version of :func:`_chain_group_folded` for 3-axis
+    chains: per-term transposed stage 1, then ONE kernel for stage 2 +
+    the folded final contraction.  Returns ``(padded pair, dims)`` or
+    None when the tiling does not fit."""
+    x1T, dims1 = [], None
+    for t in idxs:
+        tc1, ts1, M1 = tables_prepped_per_term[t][0]
+        hi, lo = field_pairs[t]
+        K1 = hi.shape[0]
+        R1 = int(np.prod(hi.shape[1:]))
+        oh, ol = _stage_call_T(hi.reshape(K1, R1), lo.reshape(K1, R1),
+                               tc1, ts1, r_block=r_block,
+                               interpret=interpret)
+        M1p = oh.shape[0]
+        K2, K3 = hi.shape[1], hi.shape[2]
+        x1T.append((oh.reshape(M1p, K2, K3), ol.reshape(M1p, K2, K3)))
+        dims1 = (M1, M1p)
+
+    def dedup(stage_k):
+        tcs, tss, idx, seen = [], [], [], {}
+        for pos, t in enumerate(idxs):
+            tc, ts, _M = tables_prepped_per_term[t][stage_k]
+            key = (last_idx[pos] if (last_idx is not None and stage_k == 2)
+                   else id(tc))
+            if key not in seen:
+                seen[key] = len(tcs)
+                tcs.append(tc)
+                tss.append(ts)
+            idx.append(seen[key])
+        return tcs, tss, tuple(idx)
+
+    tc2, ts2, idx2 = dedup(1)
+    tc3, ts3, idx3 = dedup(2)
+    out = _tail_fused_call(x1T, tc2, ts2, idx2, tc3, ts3, idx3,
+                           interpret=interpret)
+    if out is None:
+        return None
+    M2 = tables_prepped_per_term[idxs[0]][1][2]
+    M3 = tables_prepped_per_term[idxs[0]][2][2]
+    dims = [dims1, (M2, out[0].shape[1]), (M3, out[0].shape[2])]
+    return out, dims
+
+
 def _pad_lanes(m):
     return -(-m // 128) * 128
 
@@ -862,6 +1123,14 @@ def _chain_group_folded(tables_prepped_per_term, field_pairs, idxs,
     are the scarce resource, see :func:`_fold_kernel`).  Falls back to
     the aliased per-term accumulation when the fold tiling does not fit.
     Returns ``(padded pair, dims)`` like :func:`_chain_pair_padded`."""
+    if _tail_supported([tables_prepped_per_term[t] for t in idxs],
+                       [field_pairs[t] for t in idxs]):
+        out = _chain_group_tail_fused(tables_prepped_per_term, field_pairs,
+                                      idxs, r_block=r_block,
+                                      interpret=interpret,
+                                      last_idx=last_idx)
+        if out is not None:
+            return out
     flats, shape_mid, dims_mid = [], None, None
     for t in idxs:
         (hi, lo), dims_mid = _chain_pair_padded(

@@ -647,3 +647,45 @@ def test_pallas_block_picks_headline():
 
     # long-K 2D shapes still split into <=384 blocks
     assert ps._pick_kblock(512) == 256
+
+
+@pytest.mark.slow
+def test_tail_fused_bitwise_interpret():
+    # fused stage2+fold kernel vs the two-call pipeline: BITWISE equal
+    # (identical chunk schedules; exact f32 accumulation throughout)
+    from pyiga_tpu.ops import pallas_sumfac as ps
+    from pyiga_tpu.ops.banded import band_info
+    from pyiga_tpu.assemblers import stiffness_fields_df_pair
+
+    kvs, geo = _setup(p=3, n=8, d=3)
+    asm = StiffnessAssembler(kvs, geo)
+    bws = band_info(asm.structure)
+    plan = tuple(asm._fold()[0])
+    btabs = asm.tables.banded_term_tables(asm.terms, bws)
+    prepped = [[ps.prepare_table(T) for T in tabs] for tabs in btabs]
+    gi = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(np.asarray(a, np.float64))
+        if np.issubdtype(np.asarray(a).dtype, np.floating)
+        else jnp.asarray(a), asm._geo_inputs)
+    F = stiffness_fields_df_pair(gi)
+    terms = [t for t, _m in plan]
+    last_idx = tuple(id(prepped[t][-1][0]) for t, _m in plan)
+
+    assert ps._tail_supported([prepped[t] for t in terms],
+                              [F[t] for t in terms]) is False  # default off
+    old = ps._TAIL_FUSED
+    try:
+        (h0, l0), dims0 = ps._chain_group_folded(prepped, F, terms,
+                                                 interpret=True,
+                                                 last_idx=last_idx)
+        ps._TAIL_FUSED = True
+        assert ps._tail_supported([prepped[t] for t in terms],
+                                  [F[t] for t in terms])
+        (h1, l1), dims1 = ps._chain_group_folded(prepped, F, terms,
+                                                 interpret=True,
+                                                 last_idx=last_idx)
+    finally:
+        ps._TAIL_FUSED = old
+    assert dims0 == dims1
+    assert np.array_equal(np.asarray(h0), np.asarray(h1))
+    assert np.array_equal(np.asarray(l0), np.asarray(l1))
