@@ -502,6 +502,26 @@ def run_vform(device, n=128, p=3):
     return ndofs, t_best
 
 
+def _with_retries(fn, what, tries=3, wait=45):
+    """Run ``fn()``; on failure (e.g. a transient axon-tunnel drop such as
+    'remote_compile: Connection refused') wait and retry.  Returns None
+    after the last failure so the remaining configs still print their
+    lines — a partial BENCH artifact beats none."""
+    import traceback
+    for attempt in range(tries):
+        try:
+            return fn()
+        except Exception:
+            traceback.print_exc()
+            if attempt + 1 < tries:
+                print('# bench: %s failed (attempt %d/%d), retrying in %ds'
+                      % (what, attempt + 1, tries, wait), flush=True)
+                time.sleep(wait)
+    print('# bench: %s failed %d times, skipping' % (what, tries),
+          flush=True)
+    return None
+
+
 def main():
     import pyiga_tpu
     import jax
@@ -529,7 +549,11 @@ def main():
     lines = []
     for dim, n, dtype in configs:
         pyiga_tpu.set_dtype(dtype)
-        ndofs, t_asm, t_slv, t_tot, iters = run_on(dev, dim, n, dtype)
+        what = '%dd n=%d %s' % (dim, n, np.dtype(dtype).name)
+        res = _with_retries(lambda: run_on(dev, dim, n, dtype), what)
+        if res is None:
+            continue
+        ndofs, t_asm, t_slv, t_tot, iters = res
         dofs_per_s = ndofs / t_tot
 
         vs_baseline = None
@@ -558,7 +582,12 @@ def main():
         # BASELINE config 3: low-rank fast assembling (stiffness_fast)
         pyiga_tpu.set_dtype(np.float64)
         n_aca = int(os.environ.get('PYIGA_BENCH_ACA_N', '48'))
-        ndofs, t, calls, frac = run_aca(dev, 3, n_aca)
+        res = _with_retries(lambda: run_aca(dev, 3, n_aca), 'aca')
+        if res is None:
+            ndofs = None
+        else:
+            ndofs, t, calls, frac = res
+    if not os.environ.get('PYIGA_BENCH_NO_ACA') and ndofs is not None:
         vs = None
         if cpu is not None and not os.environ.get('PYIGA_BENCH_NO_CPU'):
             _, t_cpu, _, _ = run_aca(cpu, 3, n_aca)
@@ -581,7 +610,12 @@ def main():
         # BASELINE config 2: generic string-compiled form, pair f64 path
         pyiga_tpu.set_dtype(np.float64)
         n_vf = int(os.environ.get('PYIGA_BENCH_VFORM_N', '128'))
-        ndofs, t = run_vform(dev, n_vf)
+        res = _with_retries(lambda: run_vform(dev, n_vf), 'vform')
+        if res is None:
+            ndofs = None
+        else:
+            ndofs, t = res
+    if not os.environ.get('PYIGA_BENCH_NO_VFORM') and ndofs is not None:
         vs = None
         if cpu is not None and not os.environ.get('PYIGA_BENCH_NO_CPU'):
             _, t_cpu = run_vform(cpu, n_vf)
