@@ -1,0 +1,154 @@
+# -*- coding: utf-8 -*-
+"""Differentiable and batched assembly with respect to the geometry.
+
+The reference's assembly kernels are opaque compiled Cython
+(/root/reference/pyiga/assemblers.pyx, /root/reference/pyiga/codegen/
+cython.py): derivatives of assembled matrices with respect to the
+geometry control points are unobtainable there.  In this framework the
+whole pipeline — control points -> per-axis collocation tables ->
+Jacobians -> coefficient fields -> sum-factorized contraction
+(:mod:`~pyiga_tpu.ops.geom`, :mod:`~pyiga_tpu.ops.sumfac`) — is one
+traced JAX program, so
+
+* ``jax.grad`` / ``jax.jacfwd`` deliver exact *shape derivatives* of any
+  scalar (or tensor) function of the assembled operator, and
+* ``jax.vmap`` assembles a whole family of geometries in one batched
+  device dispatch (parametric studies, UQ sampling, shape optimization
+  line searches).
+
+Entry point: :func:`assembly_coeff_fn` returns a pure function mapping
+user-layout geometry coefficients (the layout of ``geo.coeffs``) to the
+assembled compact data tensor.  Works for the predefined Gauss
+assemblers (:class:`~pyiga_tpu.assemblers.MassAssembler`,
+:class:`~pyiga_tpu.assemblers.StiffnessAssembler`, ...) and for generic
+compiled vforms (:class:`~pyiga_tpu.compile.VFormAssembler`); requires a
+structured geometry (:class:`~pyiga_tpu.geometry.BSplineFunc` or
+:class:`~pyiga_tpu.geometry.NurbsFunc` — for NURBS the coefficients are
+the homogeneous ones, weights as the last component, and derivatives
+are taken with respect to those homogeneous coordinates).
+
+``mode='exact'`` (the default) is recommended for derivatives: it is
+native floating-point arithmetic end to end.  The accelerator fast paths
+('ozaki'/pair) are built from error-free f32 transformations whose
+derivatives are formally defined but meaningless at the compensation
+scale.
+"""
+
+import numpy as np
+
+__all__ = ['assembly_coeff_fn', 'user_coeffs_to_internal']
+
+
+def user_coeffs_to_internal(coeffs, is_nurbs, sdim):
+    """Traceable layout change from user coefficients (``geo.coeffs``:
+    grid axes leading, XYZ components last, NURBS homogeneous with the
+    weight as the final component) to the internal level-ordered,
+    component-leading layout of :func:`pyiga_tpu.ops.geom.geo_eval_tables`.
+    """
+    import jax.numpy as jnp
+    coeffs = jnp.asarray(coeffs)
+    if coeffs.ndim == sdim:         # scalar-valued: add component axis
+        coeffs = coeffs[..., None]
+    if is_nurbs:
+        coeffs = jnp.concatenate(
+            (coeffs[..., -2::-1], coeffs[..., -1:]), axis=-1)
+    else:
+        coeffs = coeffs[..., ::-1]
+    return jnp.moveaxis(coeffs, -1, 0)
+
+
+def _structured_geo(asm):
+    """(is_nurbs, sdim, coeffs0) of the assembler's geometry, or raise."""
+    from . import geometry
+    geo = asm.geo
+    if isinstance(geo, geometry.NurbsFunc):
+        return True, geo.sdim, np.asarray(geo.coeffs)
+    if isinstance(geo, geometry.BSplineFunc):
+        return False, geo.sdim, np.asarray(geo.coeffs)
+    raise ValueError(
+        'assembly_coeff_fn requires a structured geometry (BSplineFunc or '
+        'NurbsFunc); %r is evaluated on the host and is not traceable'
+        % type(geo).__name__)
+
+
+def _gauss_assembler_fn(asm, mode):
+    from .ops import sumfac
+    from . import config
+
+    is_nurbs, sdim, coeffs0 = _structured_geo(asm)
+    gi0 = asm._geo_inputs
+    key = 'geo_tables_nurbs' if is_nurbs else 'geo_tables_bsp'
+    if key not in gi0:      # pragma: no cover - guarded by _structured_geo
+        raise ValueError('assembler was set up with a host-evaluated '
+                         'geometry; rebuild it with a structured geometry')
+    dtype = config.get_dtype()
+    tables = [np.asarray(t, dtype=dtype) for t in gi0[key]]
+    weights = [np.asarray(w, dtype=dtype) for w in gi0['weights']]
+    term_tables = [[np.asarray(t, dtype=dtype) for t in tabs]
+                   for tabs in asm.tables.term_tables(asm.terms)]
+    fold_plan, tperms = asm._fold()
+    plan = tuple(fold_plan) if fold_plan is not None else None
+    field_fn = asm.field_fn
+
+    def fn(coeffs):
+        ci = user_coeffs_to_internal(coeffs, is_nurbs, sdim)
+        gi = {'weights': weights, key: tables, 'geo_coeffs': ci}
+        fields = field_fn(gi)
+        if plan is not None:
+            return sumfac.assemble_terms_folded(term_tables, fields, plan,
+                                                tperms, mode=mode)
+        return sumfac.assemble_terms(term_tables, fields, mode=mode)
+
+    return fn, coeffs0
+
+
+def _vform_assembler_fn(asm, mode):
+    is_nurbs, sdim, coeffs0 = _structured_geo(asm)
+    if asm._geo_tables is None:     # pragma: no cover - same guard
+        raise ValueError('assembler was set up with a host-evaluated '
+                         'geometry; rebuild it with a structured geometry')
+    inputs0, term_tables, tperms = asm._device_operands(mode)
+    afn = asm._assembly_fn(mode)
+    scalar = not asm.vf.vec
+
+    def fn(coeffs):
+        ci = user_coeffs_to_internal(coeffs, is_nurbs, sdim)
+        inputs = dict(inputs0, geo_coeffs=ci)
+        blocks = afn(inputs, term_tables, tperms)
+        if scalar:                      # scalar form: the single block
+            return blocks[(None, None)]
+        return blocks
+
+    return fn, coeffs0
+
+
+def assembly_coeff_fn(asm, mode='exact'):
+    """Return ``(fn, coeffs0)`` where ``fn(coeffs)`` assembles the compact
+    data tensor (:class:`~pyiga_tpu.mlmatrix.MLMatrix` layout) as a traced
+    function of the geometry coefficients and ``coeffs0 = geo.coeffs`` is
+    the assembler's current coefficient array.
+
+    ``fn`` is a pure JAX function of `coeffs` (layout of ``geo.coeffs``):
+    compose freely with ``jax.jit``, ``jax.grad``/``jax.jacfwd`` (shape
+    derivatives), and ``jax.vmap`` (one batched dispatch for a family of
+    geometries).  ``fn(coeffs0)`` equals ``asm.assemble().data``.
+
+    `asm` is a predefined Gauss assembler
+    (:class:`~pyiga_tpu.assemblers.BaseGaussAssembler` subclass) or a
+    compiled vform assembler (:class:`~pyiga_tpu.compile.VFormAssembler`;
+    scalar forms return the single data tensor, vector forms the block
+    dict).  Quadrature grids and basis tables are fixed at `asm`'s
+    construction; only the geometry coefficients vary.
+
+    The basis/term tables enter as closed-over constants, which is the
+    convenient form for optimization loops.  (For the tunneled-TPU remote
+    compiler, which rejects large baked-in constants, thread them as
+    arguments instead — see the operand protocol in CLAUDE.md.)
+    """
+    from .assemblers import BaseGaussAssembler
+    from .compile import VFormAssembler
+    if isinstance(asm, BaseGaussAssembler):
+        return _gauss_assembler_fn(asm, mode)
+    if isinstance(asm, VFormAssembler):
+        return _vform_assembler_fn(asm, mode)
+    raise TypeError('unsupported assembler type %r' % type(asm).__name__)
