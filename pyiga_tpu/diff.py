@@ -36,7 +36,8 @@ scale.
 
 import numpy as np
 
-__all__ = ['assembly_coeff_fn', 'user_coeffs_to_internal']
+__all__ = ['assembly_coeff_fn', 'assembly_input_fn',
+           'user_coeffs_to_internal']
 
 
 def user_coeffs_to_internal(coeffs, is_nurbs, sdim):
@@ -120,6 +121,90 @@ def _vform_assembler_fn(asm, mode):
         return blocks
 
     return fn, coeffs0
+
+
+def assembly_input_fn(asm, name, mode='exact'):
+    """Return ``(fn, x0)`` where ``fn(x)`` assembles the compact data
+    tensor as a traced function of the named vform input or parameter —
+    the differentiable knob for material/coefficient optimization
+    (e.g. ``jax.grad`` of a compliance through a diffusion coefficient:
+    topology optimization).
+
+    * If `name` is a declared *parameter*, ``x`` is its value array and
+      ``x0`` the current value.
+    * If `name` is an *input field* given as a scalar parametric
+      :class:`~pyiga_tpu.geometry.BSplineFunc`, ``x`` is its spline
+      coefficient array (layout of ``f.coeffs``, level-ordered grid
+      axes) and the needed Gauss-grid values/derivatives are recomputed
+      traceably from per-axis collocation tables.  First derivatives of
+      the input are supported; physical, vector-valued, or
+      second-derivative inputs raise ``NotImplementedError``.
+
+    Only :class:`~pyiga_tpu.compile.VFormAssembler` takes named inputs;
+    scalar forms return the single data tensor, vector forms the block
+    dict (as in :func:`assembly_coeff_fn`)."""
+    import jax.numpy as jnp
+    from .compile import VFormAssembler
+    from . import geometry
+    from .ops.basis import dense_collocation_tables
+    from .ops.geom import tp_apply
+
+    if not isinstance(asm, VFormAssembler):
+        raise TypeError('assembly_input_fn requires a VFormAssembler '
+                        '(predefined Gauss assemblers take no named inputs)')
+    inputs0, term_tables, tperms = asm._device_operands(mode)
+    afn = asm._assembly_fn(mode)
+    scalar = not asm.vf.vec
+
+    def run(inputs):
+        blocks = afn(inputs, term_tables, tperms)
+        return blocks[(None, None)] if scalar else blocks
+
+    if name in asm._param_values:
+        x0 = np.asarray(asm._param_values[name], dtype=float)
+
+        def fn(x):
+            arr = jnp.asarray(x, dtype=inputs0['param:' + name].dtype)
+            return run(dict(inputs0, **{'param:' + name: arr}))
+        return fn, x0
+
+    inps = [i for i in asm.vf.inputs if i.name == name]
+    if not inps:
+        raise ValueError('%r is not an input or parameter of this form'
+                         % name)
+    inp = inps[0]
+    f = asm._input_values[name]
+    if inp.physical:
+        raise NotImplementedError('physical input fields are evaluated at '
+                                  'mapped points; not traceable in coeffs')
+    if inp.shape != () or not isinstance(f, geometry.BSplineFunc) or \
+            isinstance(f, geometry.NurbsFunc):
+        raise NotImplementedError('only scalar parametric BSplineFunc '
+                                  'inputs are supported')
+    orders = {sum(key[3]) for key in asm._needed_keys
+              if key[0] == 'input_deriv' and key[1] == name}
+    if any(o > 1 for o in orders):
+        raise NotImplementedError('input derivatives of order > 1')
+
+    d = len(f.kvs)
+    tabs = [np.ascontiguousarray(B.swapaxes(-2, -1))       # (nd+1, Q, n)
+            for B in dense_collocation_tables(f.kvs, asm.grid, numderiv=1)]
+    val_tabs = [t[0] for t in tabs]
+    der_tabs = [t[1] for t in tabs]
+    x0 = np.asarray(f.coeffs, dtype=float)
+
+    def fn(coeffs):
+        c = jnp.asarray(coeffs)
+        inputs = dict(inputs0)
+        inputs['input:' + name] = tp_apply(val_tabs, c)
+        if 1 in orders:
+            # derivative axis in XYZ order: coordinate k = level axis d-1-k
+            ders = [tp_apply([der_tabs[j] if j == d - 1 - k else val_tabs[j]
+                              for j in range(d)], c) for k in range(d)]
+            inputs['ideriv:%s:1' % name] = jnp.stack(ders, axis=0)
+        return run(inputs)
+
+    return fn, x0
 
 
 def assembly_coeff_fn(asm, mode='exact'):

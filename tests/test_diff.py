@@ -143,3 +143,96 @@ def test_unstructured_geometry_raises():
     asm = MassAssembler(kvs, geo)
     with pytest.raises(ValueError, match='structured geometry'):
         assembly_coeff_fn(asm)
+
+
+def test_input_field_grad_diffusion():
+    # topology-optimization knob: d(assembly)/d(coefficient field coeffs)
+    import jax
+
+    from pyiga_tpu import approx
+    from pyiga_tpu.assemble import instantiate_assembler
+    from pyiga_tpu.diff import assembly_input_fn
+
+    kvs = _kvs2(p=2, n=4)
+    geo = geometry.quarter_annulus()
+    cfun = geometry.BSplineFunc(kvs, np.asarray(
+        approx.interpolate(kvs, lambda x, y: 1.0 + x * y)))
+    asm = instantiate_assembler('c * inner(grad(u), grad(v)) * dx', kvs,
+                                {'geo': geo, 'c': cfun}, None, None)
+    fn, x0 = assembly_input_fn(asm, 'c')
+    assert x0.shape == np.asarray(cfun.coeffs).shape
+
+    # value parity with the production path
+    ref = asm.assemble().data
+    assert np.allclose(np.asarray(fn(x0)), ref,
+                       rtol=0, atol=1e-13 * np.abs(ref).max())
+
+    w = _weights_for(fn, x0)
+    g = np.asarray(
+        jax.grad(lambda c: jax.numpy.sum(jax.numpy.asarray(w) * fn(c)))(
+            jax.numpy.asarray(x0, dtype=jax.numpy.float64)))
+    assert np.abs(g).max() > 1e-3
+    idx = np.unravel_index(x0.size // 3, x0.shape)
+    fd = _fd_grad_entry(fn, w, x0, idx)
+    assert g[idx] == pytest.approx(fd, rel=2e-5, abs=1e-8)
+
+
+def test_input_field_grad_with_first_derivs():
+    # a form using grad(c): exercises the traceable ideriv reconstruction
+    import jax
+
+    from pyiga_tpu import approx
+    from pyiga_tpu.assemble import instantiate_assembler
+    from pyiga_tpu.diff import assembly_input_fn
+
+    kvs = _kvs2(p=2, n=4)
+    geo = geometry.quarter_annulus()
+    cfun = geometry.BSplineFunc(kvs, np.asarray(
+        approx.interpolate(kvs, lambda x, y: x * x + 0.5 * y)))
+    asm = instantiate_assembler('dot(grad(c), grad(u)) * v * dx', kvs,
+                                {'geo': geo, 'c': cfun}, None, None)
+    fn, x0 = assembly_input_fn(asm, 'c')
+
+    ref = asm.assemble().data
+    assert np.allclose(np.asarray(fn(x0)), ref,
+                       rtol=0, atol=1e-13 * np.abs(ref).max())
+
+    w = _weights_for(fn, x0)
+    g = np.asarray(
+        jax.grad(lambda c: jax.numpy.sum(jax.numpy.asarray(w) * fn(c)))(
+            jax.numpy.asarray(x0, dtype=jax.numpy.float64)))
+    assert np.abs(g).max() > 1e-3
+    idx = np.unravel_index(2 * x0.size // 3, x0.shape)
+    fd = _fd_grad_entry(fn, w, x0, idx)
+    assert g[idx] == pytest.approx(fd, rel=2e-5, abs=1e-8)
+
+
+def test_parameter_grad():
+    import jax
+
+    from pyiga_tpu.assemble import instantiate_assembler
+    from pyiga_tpu.diff import assembly_input_fn
+
+    kvs = _kvs2(p=2, n=4)
+    geo = geometry.quarter_annulus()
+    asm = instantiate_assembler(
+        '(eps * inner(grad(u), grad(v)) + u * v) * dx', kvs,
+        {'geo': geo, 'eps': 0.7}, None, None)
+    fn, x0 = assembly_input_fn(asm, 'eps')
+    assert float(np.asarray(x0)) == 0.7
+
+    ref = asm.assemble().data
+    assert np.allclose(np.asarray(fn(x0)), ref,
+                       rtol=0, atol=1e-13 * np.abs(ref).max())
+
+    # weighted objective (the plain entry sum of the stiffness part is
+    # identically zero); d/d(eps) is linear, so FD is nearly exact
+    w = _weights_for(fn, x0)
+    g = float(jax.grad(lambda e: jax.numpy.sum(jax.numpy.asarray(w)
+                                               * fn(e)))(
+        jax.numpy.float64(0.7)))
+    assert abs(g) > 1e-3
+    h = 1e-6
+    fd = (float(np.sum(w * np.asarray(fn(0.7 + h))))
+          - float(np.sum(w * np.asarray(fn(0.7 - h))))) / (2 * h)
+    assert g == pytest.approx(fd, rel=1e-6, abs=1e-10)
