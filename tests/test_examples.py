@@ -27,6 +27,7 @@ def _load(name):
     ('geometry_tour', dict()),
     ('subspace_correction_mg', dict(p1=5, n1=16, p2=3, n2=6)),
     ('shape_derivative', dict(p=2, n=6, steps=2)),
+    ('nonlinear_poisson', dict(p=2, n=6)),
 ])
 @pytest.mark.slow
 def test_example_runs(name, kwargs):
