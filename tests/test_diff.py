@@ -236,3 +236,26 @@ def test_parameter_grad():
     fd = (float(np.sum(w * np.asarray(fn(0.7 + h))))
           - float(np.sum(w * np.asarray(fn(0.7 - h))))) / (2 * h)
     assert g == pytest.approx(fd, rel=1e-6, abs=1e-10)
+
+
+def test_grad_3d_stiffness():
+    # 3-axis contraction chains: value parity + grad vs FD on a tiny 3D case
+    import jax
+
+    kvs = 3 * (make_knots(2, 0.0, 1.0, 3),)
+    geo = geometry.twisted_box()
+    asm = StiffnessAssembler(kvs, geo)
+    fn, coeffs0 = assembly_coeff_fn(asm)
+
+    ref = asm.assemble().data
+    assert np.allclose(np.asarray(fn(coeffs0)), ref,
+                       rtol=0, atol=1e-14 * np.abs(ref).max())
+
+    w = _weights_for(fn, coeffs0)
+    g = np.asarray(
+        jax.grad(lambda c: jax.numpy.sum(jax.numpy.asarray(w) * fn(c)))(
+            jax.numpy.asarray(coeffs0, dtype=jax.numpy.float64)))
+    assert np.abs(g).max() > 1e-3
+    idx = np.unravel_index(coeffs0.size // 2, coeffs0.shape)
+    fd = _fd_grad_entry(fn, w, coeffs0, idx)
+    assert g[idx] == pytest.approx(fd, rel=2e-5, abs=1e-8)
