@@ -36,8 +36,59 @@ scale.
 
 import numpy as np
 
-__all__ = ['assembly_coeff_fn', 'assembly_input_fn',
+__all__ = ['assembly_coeff_fn', 'assembly_input_fn', 'implicit_cg_solve',
            'user_coeffs_to_internal']
+
+
+def implicit_cg_solve(matvec, b, tol=1e-12, maxiter=None, precond=None):
+    """Solve ``A x = b`` (A symmetric positive definite, given as the
+    traceable function `matvec`) by conjugate gradients, with gradients
+    by *implicit differentiation*: ``jax.lax.custom_linear_solve``
+    replaces reverse-mode through the Krylov loop by ONE adjoint solve
+    with the same operator — the memory- and FLOP-correct way to
+    differentiate an optimization objective through a large linear solve
+    (the dense alternative in ``examples/shape_derivative.py`` is for
+    small systems only).
+
+    `matvec` may close over differentiable quantities (e.g. the
+    assembled data tensor from :func:`assembly_coeff_fn`); gradients
+    flow to them through the implicit function theorem.  `precond`
+    (optional traceable SPD preconditioner apply) accelerates both the
+    forward and the adjoint solve."""
+    import jax
+    import jax.numpy as jnp
+
+    if maxiter is None:
+        maxiter = 10 * b.shape[-1]
+
+    def cg(mv, rhs):
+        M = precond if precond is not None else (lambda r: r)
+        x0 = jnp.zeros_like(rhs)
+        r0 = rhs - mv(x0)
+        z0 = M(r0)
+        target = (tol * jnp.linalg.norm(rhs)) ** 2
+
+        def cond(state):
+            _x, r, _z, _p, _rz, k = state
+            return (jnp.vdot(r, r) > target) & (k < maxiter)
+
+        def body(state):
+            x, r, z, p, rz, k = state
+            Ap = mv(p)
+            alpha = rz / jnp.vdot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = M(r)
+            rz_new = jnp.vdot(r, z)
+            p = z + (rz_new / rz) * p
+            return (x, r, z, p, rz_new, k + 1)
+
+        x, _r, _z, _p, _rz, _k = jax.lax.while_loop(
+            cond, body, (x0, r0, z0, z0, jnp.vdot(r0, z0),
+                         jnp.asarray(0)))
+        return x
+
+    return jax.lax.custom_linear_solve(matvec, b, cg, symmetric=True)
 
 
 def user_coeffs_to_internal(coeffs, is_nurbs, sdim):

@@ -259,3 +259,60 @@ def test_grad_3d_stiffness():
     idx = np.unravel_index(coeffs0.size // 2, coeffs0.shape)
     fd = _fd_grad_entry(fn, w, coeffs0, idx)
     assert g[idx] == pytest.approx(fd, rel=2e-5, abs=1e-8)
+
+
+def test_implicit_cg_solve_grad_matches_dense():
+    # shape gradient of a compliance through an ITERATIVE solve (implicit
+    # differentiation, one adjoint CG) == through a dense solve
+    import jax
+    import jax.numpy as jnp
+
+    from pyiga_tpu.diff import implicit_cg_solve
+    from pyiga_tpu.ops.fastdiag import interior_dofs
+
+    kvs = _kvs2(p=2, n=4)
+    geo = geometry.bspline_quarter_annulus()
+    asm = StiffnessAssembler(kvs, geo)
+    fn, coeffs0 = assembly_coeff_fn(asm)
+
+    N = int(np.prod([kv.numdofs for kv in kvs]))
+    free = np.asarray(interior_dofs(kvs))
+    I, J = asm.structure.nonzero()
+    f = np.random.RandomState(3).rand(len(free))
+
+    def dense_obj(c):
+        data = fn(c)
+        A = jnp.zeros((N, N), dtype=data.dtype).at[I, J].set(
+            data.reshape(-1))[np.ix_(free, free)]
+        return jnp.dot(jnp.asarray(f), jnp.linalg.solve(A, jnp.asarray(f)))
+
+    def cg_obj(c):
+        data = fn(c)
+        A = jnp.zeros((N, N), dtype=data.dtype).at[I, J].set(
+            data.reshape(-1))[np.ix_(free, free)]
+        u = implicit_cg_solve(lambda x: A @ x, jnp.asarray(f), tol=1e-13)
+        return jnp.dot(jnp.asarray(f), u)
+
+    c0 = jnp.asarray(coeffs0, dtype=jnp.float64)
+    v_d, g_d = jax.value_and_grad(dense_obj)(c0)
+    v_c, g_c = jax.value_and_grad(cg_obj)(c0)
+    assert float(v_c) == pytest.approx(float(v_d), rel=1e-10)
+    assert np.allclose(np.asarray(g_c), np.asarray(g_d),
+                       rtol=1e-6, atol=1e-10)
+    assert float(jnp.abs(g_d).max()) > 1e-4
+
+
+def test_implicit_cg_solve_preconditioned():
+    import jax.numpy as jnp
+
+    from pyiga_tpu.diff import implicit_cg_solve
+
+    rng = np.random.RandomState(0)
+    Q = rng.rand(30, 30)
+    A = Q @ Q.T + 30 * np.eye(30)
+    b = rng.rand(30)
+    x = implicit_cg_solve(lambda v: jnp.asarray(A) @ v, jnp.asarray(b),
+                          tol=1e-13,
+                          precond=lambda r: r / jnp.asarray(np.diag(A)))
+    assert np.allclose(np.asarray(x), np.linalg.solve(A, b),
+                       rtol=1e-9, atol=1e-11)
