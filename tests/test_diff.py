@@ -316,3 +316,38 @@ def test_implicit_cg_solve_preconditioned():
                           precond=lambda r: r / jnp.asarray(np.diag(A)))
     assert np.allclose(np.asarray(x), np.linalg.solve(A, b),
                        rtol=1e-9, atol=1e-11)
+
+
+def test_grad_composes_with_sharding():
+    # differentiable assembly composes with multi-device sharding: grad of
+    # a vmapped objective with the batch sharded over the device mesh
+    # equals the unsharded gradient
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 4:
+        import pytest as _pytest
+        _pytest.fail('test environment must provide >= 4 devices')
+
+    kvs = _kvs2(p=2, n=4)
+    geo = geometry.bspline_quarter_annulus()
+    asm = MassAssembler(kvs, geo)
+    fn, coeffs0 = assembly_coeff_fn(asm)
+    w = _weights_for(fn, coeffs0)
+
+    def obj(c):
+        return jnp.sum(jnp.asarray(w) * fn(c))
+
+    rng = np.random.RandomState(7)
+    batch = np.stack([coeffs0 + 0.01 * rng.randn(*coeffs0.shape)
+                      for _ in range(4)])
+
+    g_ref = np.asarray(jax.vmap(jax.grad(obj))(jnp.asarray(batch)))
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ('b',))
+    sharding = NamedSharding(mesh, P('b'))
+    batch_sh = jax.device_put(jnp.asarray(batch), sharding)
+    g_sh = np.asarray(jax.jit(jax.vmap(jax.grad(obj)))(batch_sh))
+
+    assert np.allclose(g_sh, g_ref, rtol=1e-12, atol=1e-14)
