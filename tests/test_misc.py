@@ -120,3 +120,61 @@ def test_str2asm_cli(capsys):
     out = capsys.readouterr().out
     assert 'assembly plan' in out
     assert 'stablehlo' in out
+
+
+def test_approx_vector_matrix_valued():
+    # reference test/test_approx.py:20-45 — scalar/vector/matrix-valued
+    # interpolation and L2 projection reproduce BSplineFunc coefficients,
+    # both from the spline function object and from a plain callable.
+    kvs = [bspline.make_knots(p, 0.0, 1.0, 6 + p) for p in (2, 3)]
+    N = [kv.numdofs for kv in kvs]
+    rng = np.random.default_rng(42)
+    for extra in ([], [3], [2, 2]):
+        coeffs = rng.random(N + extra)
+        func = geometry.BSplineFunc(kvs, coeffs)
+        for fun in (approx.interpolate, approx.project_L2):
+            assert np.allclose(coeffs, fun(kvs, func))
+
+            def f(X, Y):
+                return func.grid_eval([np.squeeze(w) for w in (Y, X)])
+            assert np.allclose(coeffs, fun(kvs, f))
+
+
+def test_approx_interpolate_array_nodes():
+    # reference test/test_approx.py:55-63 — interpolation from a value
+    # array at user-supplied nodes.
+    def f(x, y):
+        return (x + y) ** 2
+    kvs = 2 * (bspline.make_knots(2, 0.0, 1.0, 10),)
+    nodes = tuple(kv.greville() for kv in kvs)
+    fvals = utils.grid_eval(f, nodes)
+    coeffs = approx.interpolate(kvs, fvals, nodes=nodes)
+    spl = geometry.BSplineFunc(kvs, coeffs)
+    X = np.linspace(0.0, 1.0, 12)
+    assert np.allclose(utils.grid_eval(f, (X, X)), spl.grid_eval((X, X)))
+
+
+def test_approx_exact_poly_multiplicity():
+    # reference test/test_approx.py:77-84 — L2 projection reproduces
+    # polynomials exactly for every knot multiplicity.
+    for p in range(1, 5):
+        for mult in range(1, p + 1):
+            kv = bspline.make_knots(p, 0.0, 1.0, 5, mult=mult)
+            f = lambda x: (x + 1) ** p
+            u = approx.project_L2(kv, f)
+            x = np.linspace(0, 1, 25)
+            assert np.allclose(f(x), bspline.ev(kv, u, x))
+
+
+def test_approx_compare_intproj_physical():
+    # reference test/test_approx.py:64-74 — interpolation and physical
+    # L2 projection agree to approximation accuracy.
+    f = lambda x, y: np.cos(x) * np.exp(y)
+    kvs = 2 * (bspline.make_knots(3, 0.0, 1.0, 50),)
+    x1 = approx.interpolate(kvs, f)
+    x2 = approx.project_L2(kvs, f)
+    assert abs(x1 - x2).max() < 1e-5
+    geo = geometry.bspline_quarter_annulus()
+    x1 = approx.interpolate(kvs, f, geo=geo)
+    x2 = approx.project_L2(kvs, f, f_physical=True, geo=geo)
+    assert abs(x1 - x2).max() < 1e-5
