@@ -106,11 +106,24 @@ def array_outer(*xs):
 
 def pad(X, pad_width):
     """Zero-pad `X`; `pad_width` has one ``(before, after)`` entry (or
-    ``None`` for no padding) per axis."""
+    ``None`` for no padding) per axis.
+
+    Works for plain arrays and for structured tensors (Tucker/canonical/
+    sums), where padding acts on the per-axis factors via embedding
+    operators (reference behavior: tensor.py:237)."""
     if len(pad_width) != X.ndim:
         raise ValueError('invalid length of pad_width')
     widths = [(0, 0) if w is None else tuple(w) for w in pad_width]
-    return np.pad(X, widths)
+    if hasattr(X, 'nway_prod'):
+        ops = []
+        for (before, after), n in zip(widths, X.shape):
+            if before == 0 and after == 0:
+                ops.append(None)
+            else:
+                ops.append(scipy.sparse.eye(
+                    n + before + after, n, k=-before, format='csr'))
+        return X.nway_prod(ops)
+    return np.pad(np.asanyarray(X), widths)
 
 
 def _normalize_indices(I, shape):
@@ -228,7 +241,9 @@ def als1(A, tol=1e-15, maxiter=5000):
 def als(A, R, tol=1e-10, maxiter=10000, startval=None):
     """Rank-`R` CP approximation of the dense tensor `A` by alternating
     least squares in the Khatri-Rao / Hadamard-Gram formulation
-    (Kolda & Bader 2009; reference behavior: tensor.py:313)."""
+    (Kolda & Bader 2009; reference behavior: tensor.py:313).  Structured
+    tensors (Tucker/canonical/sums) are accepted and densified."""
+    A = A if isinstance(A, np.ndarray) else asarray(A)
     A = np.asarray(A)
     d = A.ndim
     if startval is None:

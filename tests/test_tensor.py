@@ -175,3 +175,36 @@ def test_canonical_operator():
     assert np.allclose((Op * Op).asmatrix().toarray(), ref @ ref)
     E = CanonicalOperator.eye((3, 4))
     assert np.allclose(E.asmatrix().toarray(), np.eye(12))
+
+
+def test_pad_structured():
+    # reference test/test_tensor.py:149 — pad acts on Tucker (and
+    # canonical) tensors through per-axis embedding operators.
+    rng = np.random.default_rng(3)
+    X = TuckerTensor(tuple(rng.random((n, 2)) for n in (3, 4, 5)),
+                     rng.random((2, 2, 2)))
+    Y = pad(X, [(2, 2), None, (0, 1)])
+    assert Y.shape == (7, 4, 6)
+    YA = asarray(Y)
+    assert np.allclose(YA[2:-2, :, :-1], asarray(X))
+    assert np.linalg.norm(YA[:2].ravel()) < 1e-10
+    assert np.linalg.norm(YA[-2:].ravel()) < 1e-10
+    assert np.linalg.norm(YA[:, :, -1:].ravel()) < 1e-10
+    C = CanonicalTensor(tuple(rng.random((n, 2)) for n in (3, 4)))
+    Z = pad(C, [None, (1, 0)])
+    ZA = asarray(Z)
+    assert np.allclose(ZA[:, 1:], asarray(C))
+    assert np.linalg.norm(ZA[:, 0]) < 1e-10
+
+
+def test_als_structured_input():
+    # reference test/test_tensor.py:287 — als accepts canonical and
+    # Tucker tensors, not just dense arrays.
+    rng = np.random.default_rng(5)
+    A = CanonicalTensor(tuple(rng.random((n, 2)) for n in (3, 4, 5)))
+    B = als(A, R=2, maxiter=200)
+    assert np.allclose(asarray(A), asarray(B), atol=1e-6)
+    X = np.zeros((2, 2, 2)); X[0, 0, 0] = X[1, 1, 1] = 1.0
+    T = TuckerTensor(tuple(rng.random((n, 2)) for n in (3, 4, 5)), X)
+    B2 = als(T, R=2, maxiter=500)
+    assert np.allclose(asarray(T), asarray(B2), atol=1e-6)
