@@ -496,3 +496,10 @@ def __getattr__(name):
         from . import geometry
         return getattr(geometry, name)
     raise AttributeError(name)
+
+
+# star-import parity with the reference (whose bspline module defines these
+# classes directly): list every public name so `from ... import *` also
+# resolves the lazy re-exports through __getattr__ (PEP 562).
+__all__ = [_n for _n in list(globals()) if not _n.startswith('_')] + \
+          ['BSplineFunc', 'NurbsFunc', 'PhysicalGradientFunc']

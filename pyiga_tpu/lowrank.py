@@ -73,8 +73,8 @@ class TensorGenerator:
             full = True
             for k, ik in enumerate(I):
                 if len(ik) == 1:
-                    fixed[k] = ik.start
-                elif ik == range(self.shape[k]):
+                    fixed[k] = ik.start if isinstance(ik, range) else int(ik[0])
+                elif isinstance(ik, range) and ik == range(self.shape[k]):
                     pass
                 else:
                     full = False

@@ -36,6 +36,9 @@ __all__ = [
     'als1', 'als', 'grou', 'als1_ls', 'als1_ls_structured', 'gta', 'gta_ls',
     'CanonicalTensor', 'TuckerTensor', 'TensorSum', 'TensorProd',
     'CanonicalOperator', 'join_tucker_bases',
+    # star-import parity: the reference module has no __all__, so
+    # `from pyiga.tensor import *` also yields its numpy/scipy imports
+    'np', 'scipy',
 ]
 
 

@@ -111,3 +111,17 @@ def test_aca_3d_device_matches_host():
     scale = np.abs(ref).max()
     assert np.abs(X_dev - ref).max() / scale < 1e-9
     assert np.abs(X_host - ref).max() / scale < 1e-9
+
+
+def test_tensorgenerator_fancy_index():
+    # reference test/test_lowrank.py:6 — fancy-index arrays mix with
+    # slices and scalars in TensorGenerator.__getitem__.
+    rng = np.random.default_rng(7)
+    X = rng.random((3, 4, 5))
+    tgen = TensorGenerator.from_array(X)
+    assert np.allclose(X, tgen.asarray())
+    assert np.allclose(X[1, 2, 3], tgen.entry((1, 2, 3)))
+    assert np.allclose(X[1, :, 2], tgen[1, :, 2])
+    assert np.allclose(X[:, [0, 2], 1:4], tgen[:, [0, 2], 1:4])
+    # multiple fancy indices combine as a cartesian product (not zipped)
+    assert np.allclose(X[2][np.ix_([3], [0, 4])], tgen[2, [3], [0, 4]])
