@@ -30,7 +30,9 @@ import copy
 import numpy as np
 import scipy.sparse
 
-from . import bspline, utils
+from . import assemble, bspline, utils  # noqa: F401  (assemble re-exported
+#   for star-import parity with the reference, whose hierarchical module
+#   imports it at module level)
 from ._hdiscr import HDiscretization  # noqa: F401  (re-export)
 
 _EMPTY = np.empty(0, dtype=np.intp)

@@ -133,8 +133,12 @@ class Expr:
         return self
 
     def __pow__(self, y):
-        if not (isinstance(y, numbers.Integral) and y >= 0):
-            raise TypeError('only nonnegative integer powers supported')
+        if isinstance(y, ConstExpr) and float(y.value).is_integer():
+            y = int(y.value)
+        if not isinstance(y, numbers.Integral):
+            raise TypeError('only integer powers supported')
+        if y < 0:
+            return ConstExpr(1.0) / self ** (-y)
         if y == 0:
             return ConstExpr(1.0)
         return reduce(operator.mul, y * [self])
@@ -143,6 +147,16 @@ class Expr:
         return BuiltinFuncExpr('abs', self)
 
     # -- derivatives -------------------------------------------------------------
+
+    def is_zero(self):
+        return False
+
+    def is_constant(self, val):
+        return False
+
+    def fold_constants(self):
+        """Local constant folding at this node (children assumed folded)."""
+        return self
 
     def dx(self, k, times=1, parametric=False):
         """Partial derivative along the `k`-th coordinate axis."""
@@ -162,6 +176,15 @@ class Expr:
 class ConstExpr(Expr):
     def __init__(self, value):
         self.value = float(value)
+
+    def is_zero(self):
+        return self.value == 0.0
+
+    def is_constant(self, val):
+        return abs(self.value - val) < 1e-15
+
+    def _dx_impl(self, k, times, parametric):
+        return ConstExpr(0.0) if times > 0 else self
 
     def hash_key(self):
         return ('const', self.value)
@@ -216,6 +239,10 @@ class ParamExpr(Expr):
     def eval(self, ctx):
         return ctx.field(('param', self.param.name, self.index))
 
+    def _dx_impl(self, k, times, parametric):
+        # parameters are constants, so any derivative vanishes
+        return ConstExpr(0.0) if times > 0 else self
+
     def __str__(self):
         return '%s[%s]' % (self.param.name, self.index)
 
@@ -245,6 +272,8 @@ class InputFieldExpr(Expr):
         return sum(self.D)
 
     def _dx_impl(self, k, times, parametric):
+        if times == 0:
+            return self
         D = list(self.D)
         D[k] += times
         if sum(self.D) > 0 and bool(parametric) == self.physical:
@@ -267,23 +296,47 @@ class InputFieldExpr(Expr):
             out.add(('input_deriv', self.inp.name, self.comp, self.D))
 
     def _transformed(self):
-        """Physical derivative of a parametric field, via the JacInv chain
-        rule (first order only, like the reference for input fields)."""
+        """Physical derivative of a parametric field via the JacInv chain
+        rule; order 2 adds the geometry-curvature terms (same transform as
+        :meth:`PartialDerivExpr._transformed`; reference vform.py:593)."""
         vf = self.inp.vform
+        d = vf.dim
         order = sum(self.D)
         assert order >= 1
-        if order > 1:
-            raise NotImplementedError('higher-order physical derivatives of '
-                                      'input fields not implemented')
-        k = self.D.index(1)
-        terms = []
-        for m in range(vf.dim):
-            Dm = vf.dim * [0]
-            Dm[m] = 1
-            terms.append(FieldExpr(('jacinv', m, k))
-                         * InputFieldExpr(self.inp, self.comp, Dm,
-                                          physical=False))
-        return reduce(operator.add, terms)
+
+        def para(D):
+            return InputFieldExpr(self.inp, self.comp, tuple(D),
+                                  physical=False)
+
+        if order == 1:
+            k = self.D.index(1)
+            terms = []
+            for m in range(d):
+                Dm = d * [0]
+                Dm[m] = 1
+                terms.append(FieldExpr(('jacinv', m, k)) * para(Dm))
+            return reduce(operator.add, terms)
+
+        if order == 2:
+            idx = [k for k, nk in enumerate(self.D) for _ in range(nk)]
+            i, j = idx
+            terms = []
+            for m in range(d):
+                for n in range(d):
+                    Dmn = d * [0]
+                    Dmn[m] += 1
+                    Dmn[n] += 1
+                    terms.append(FieldExpr(('jacinv', m, i))
+                                 * FieldExpr(('jacinv', n, j))
+                                 * para(Dmn))
+            for a in range(d):
+                Da = d * [0]
+                Da[a] = 1
+                terms.append(_geo_hess_trf_expr(vf, a, i, j) * para(Da))
+            return reduce(operator.add, terms)
+
+        raise NotImplementedError('physical derivatives of order > 2 of '
+                                  'input fields not implemented')
 
     def eval(self, ctx):
         if sum(self.D) == 0:
@@ -504,6 +557,20 @@ class AddExpr(Expr):
     def eval(self, ctx):
         return self.children[0].eval(ctx) + self.children[1].eval(ctx)
 
+    def _dx_impl(self, k, times, parametric):
+        a, b = self.children
+        return Dx(a, k, times, parametric) + Dx(b, k, times, parametric)
+
+    def fold_constants(self):
+        a, b = self.children
+        if a.is_zero():
+            return b
+        if b.is_zero():
+            return a
+        if isinstance(a, ConstExpr) and isinstance(b, ConstExpr):
+            return ConstExpr(a.value + b.value)
+        return self
+
     def __str__(self):
         return '(%s + %s)' % self.children
 
@@ -514,6 +581,17 @@ class NegExpr(Expr):
 
     def eval(self, ctx):
         return -self.children[0].eval(ctx)
+
+    def _dx_impl(self, k, times, parametric):
+        return NegExpr(Dx(self.children[0], k, times, parametric))
+
+    def fold_constants(self):
+        (a,) = self.children
+        if isinstance(a, ConstExpr):
+            return ConstExpr(-a.value)
+        if isinstance(a, NegExpr):
+            return a.children[0]
+        return self
 
     def __str__(self):
         return '(-%s)' % self.children
@@ -531,6 +609,25 @@ class MulExpr(Expr):
     def eval(self, ctx):
         return self.children[0].eval(ctx) * self.children[1].eval(ctx)
 
+    def _dx_impl(self, k, times, parametric):
+        if times == 0:
+            return self
+        a, b = self.children
+        d = Dx(a, k, 1, parametric) * b + a * Dx(b, k, 1, parametric)
+        return Dx(d, k, times - 1, parametric) if times > 1 else d
+
+    def fold_constants(self):
+        a, b = self.children
+        if a.is_zero() or b.is_zero():
+            return ConstExpr(0.0)
+        if a.is_constant(1):
+            return b
+        if b.is_constant(1):
+            return a
+        if isinstance(a, ConstExpr) and isinstance(b, ConstExpr):
+            return ConstExpr(a.value * b.value)
+        return self
+
     def __str__(self):
         return '(%s * %s)' % self.children
 
@@ -541,6 +638,26 @@ class DivExpr(Expr):
 
     def eval(self, ctx):
         return self.children[0].eval(ctx) / self.children[1].eval(ctx)
+
+    def _dx_impl(self, k, times, parametric):
+        if times == 0:
+            return self
+        a, b = self.children
+        d = (Dx(a, k, 1, parametric) * b - a * Dx(b, k, 1, parametric)) \
+            / (b * b)
+        return Dx(d, k, times - 1, parametric) if times > 1 else d
+
+    def fold_constants(self):
+        a, b = self.children
+        if b.is_zero():
+            raise ZeroDivisionError('division by zero in expr %s' % self)
+        if a.is_zero():
+            return ConstExpr(0.0)
+        if b.is_constant(1):
+            return a
+        if isinstance(a, ConstExpr) and isinstance(b, ConstExpr):
+            return ConstExpr(a.value / b.value)
+        return self
 
     def __str__(self):
         return '(%s / %s)' % self.children
@@ -580,6 +697,27 @@ class BuiltinFuncExpr(Expr):
               'sin': jnp.sin, 'cos': jnp.cos, 'tan': jnp.tan,
               'abs': jnp.abs}[self.func]
         return fn(x)
+
+    def _dx_impl(self, k, times, parametric):
+        if times == 0:
+            return self
+        x = self.children[0]
+        dx_ = Dx(x, k, 1, parametric)
+        if self.func == 'sqrt':
+            d = dx_ / (ConstExpr(2.0) * self)
+        elif self.func == 'exp':
+            d = self * dx_
+        elif self.func == 'log':
+            d = dx_ / x
+        elif self.func == 'sin':
+            d = BuiltinFuncExpr('cos', x) * dx_
+        elif self.func == 'cos':
+            d = NegExpr(BuiltinFuncExpr('sin', x)) * dx_
+        elif self.func == 'tan':
+            d = (ConstExpr(1.0) + self * self) * dx_
+        else:
+            raise TypeError('do not know how to differentiate %r' % self.func)
+        return Dx(d, k, times - 1, parametric) if times > 1 else d
 
     def __str__(self):
         return '%s(%s)' % (self.func, self.children[0])
@@ -631,13 +769,23 @@ class VectorExpr:
 
     def __add__(self, other):
         other = as_expr(other)
+        if other.is_scalar():       # scalar broadcast, as in the reference
+            return VectorExpr([a + other for a in self])
         assert other.is_vector() and other.shape == self.shape
         return VectorExpr([a + b for a, b in zip(self, other)])
 
+    def __radd__(self, other):
+        return self + as_expr(other)
+
     def __sub__(self, other):
         other = as_expr(other)
+        if other.is_scalar():
+            return VectorExpr([a - other for a in self])
         assert other.is_vector() and other.shape == self.shape
         return VectorExpr([a - b for a, b in zip(self, other)])
+
+    def __rsub__(self, other):
+        return (-self) + as_expr(other)
 
     def __neg__(self):
         return VectorExpr([-e for e in self.entries])
@@ -664,6 +812,24 @@ class VectorExpr:
 
     def dt(self, times=1):
         return VectorExpr([Dt(e, times) for e in self.entries])
+
+    @property
+    def children(self):
+        return self.entries
+
+    @children.setter
+    def children(self, new):
+        self.entries = tuple(new)
+
+    def fold_constants(self):
+        return self
+
+    def hash_key(self):
+        return ('vector', self.shape)
+
+    def exprhash(self):
+        return hash(self.hash_key()
+                    + tuple(e.exprhash() for e in self.entries))
 
     @property
     def T(self):
@@ -726,15 +892,25 @@ class MatrixExpr:
 
     def __add__(self, other):
         other = as_expr(other)
+        if other.is_scalar():       # scalar broadcast, as in the reference
+            return MatrixExpr([[a + other for a in r] for r in self.rows])
         assert other.is_matrix() and other.shape == self.shape
         return MatrixExpr([[a + b for a, b in zip(r1, r2)]
                            for r1, r2 in zip(self.rows, other.rows)])
 
+    def __radd__(self, other):
+        return self + as_expr(other)
+
     def __sub__(self, other):
         other = as_expr(other)
+        if other.is_scalar():
+            return MatrixExpr([[a - other for a in r] for r in self.rows])
         assert other.is_matrix() and other.shape == self.shape
         return MatrixExpr([[a - b for a, b in zip(r1, r2)]
                            for r1, r2 in zip(self.rows, other.rows)])
+
+    def __rsub__(self, other):
+        return (-self) + as_expr(other)
 
     def __neg__(self):
         return MatrixExpr([[-e for e in r] for r in self.rows])
@@ -758,6 +934,26 @@ class MatrixExpr:
 
     def dot(self, other):
         return dot(self, as_expr(other))
+
+    @property
+    def children(self):
+        return tuple(e for r in self.rows for e in r)
+
+    @children.setter
+    def children(self, new):
+        new = list(new)
+        n = self.shape[1]
+        self.rows = [new[i * n:(i + 1) * n] for i in range(self.shape[0])]
+
+    def fold_constants(self):
+        return self
+
+    def hash_key(self):
+        return ('matrix', self.shape)
+
+    def exprhash(self):
+        return hash(self.hash_key()
+                    + tuple(e.exprhash() for e in self.children))
 
     @property
     def T(self):
@@ -811,6 +1007,9 @@ def Dx(expr, k, times=1, parametric=False):
         return expr._dx_impl(k, times, parametric)
     if expr.is_vector():
         return VectorExpr([Dx(z, k, times, parametric) for z in expr])
+    if expr.is_matrix():
+        return MatrixExpr([[Dx(z, k, times, parametric) for z in row]
+                           for row in expr.rows])
     raise TypeError('do not know how to differentiate %s' % type(expr))
 
 
@@ -1269,6 +1468,26 @@ class VForm:
 
     # -- analysis ---------------------------------------------------------------
 
+    def finalize(self, do_precompute=True):
+        """Freeze the form (reference vform.py:705).
+
+        The reference rewrites the tree here (measures -> weight functions,
+        physical -> parametric derivatives) in preparation for source-code
+        generation.  In this rebuild those rewrites happen numerically
+        during seed-probe lowering (:mod:`pyiga_tpu.compile`), so finalize
+        only validates the expression trees, computes the cached hash and
+        locks the form against further modification.  `do_precompute` is
+        accepted for API parity."""
+        if getattr(self, '_finalized', False):
+            raise RuntimeError('VForm has already been finalized')
+        for e in self.exprs:
+            if not e.is_scalar():
+                raise TypeError('all integrands must be scalar expressions')
+            e.collect_field_keys(set())     # validates field references
+        self.hash()
+        self._finalized = True
+        return self
+
     def hash(self):
         """Deterministic hash of the form (for plan caching)."""
         if self.__hash is None:
@@ -1522,3 +1741,10 @@ def transform_exprs(exprs, fun, type=None, deep=False):
 def transform_expr(expr, fun, type=None, deep=False):
     """Single-tree variant of :func:`transform_exprs`."""
     return transform_exprs((expr,), fun, type=type, deep=deep)[0]
+
+
+def _to_literal_vec_mat(e):
+    """Reference-API shim (vform.py uses it to lower symbolic vector/matrix
+    nodes to literal containers): our vectors and matrices are *already*
+    literal containers of scalars, so this is the identity."""
+    return e

@@ -451,3 +451,74 @@ def test_expr_tree_utilities():
                    type=vf_mod.MulExpr)
     assert all(isinstance(e, vf_mod.MulExpr) for e in hits)
     assert hits
+
+
+def test_symbolic_differentiation():
+    # reference test/test_vform.py test_parameter/test_symderiv — sum,
+    # product, quotient and chain rules; parameter derivatives vanish.
+    from pyiga_tpu.vform import (Dx, exprhash, transform_expr, cos,
+                                 _to_literal_vec_mat, div, curl, as_expr)
+
+    def simpl(e):
+        e = transform_expr(e, _to_literal_vec_mat)
+        return transform_expr(e, lambda x: x.fold_constants())
+
+    def eq(e1, e2, simplify=False):
+        if simplify:
+            e1, e2 = simpl(e1), simpl(e2)
+        assert exprhash(e1) == exprhash(e2), '%s != %s' % (e1, e2)
+
+    vf = VForm(3, arity=1)
+    u = vf.basisfuns()
+    f = vf.input('f')
+    G = vf.input('G', shape=(3,))
+    a = vf.parameter('a')
+    B = vf.parameter('B', (2, 3))
+    assert Dx(a, 1).shape == ()
+    eq(Dx(B[1, 2] * u, 1), B[1, 2] * Dx(u, 1), simplify=True)
+    eq(grad(2 * f, parametric=True), 2 * grad(f, parametric=True),
+       simplify=True)
+    eq(div(G - 3, parametric=True), div(G, parametric=True), simplify=True)
+    eq((f * u).dx(0, parametric=True),
+       f.dx(0, parametric=True) * u + f * u.dx(0, parametric=True))
+    eq((1 / f).dx(1, parametric=True),
+       -f.dx(1, parametric=True) / (f * f), simplify=True)
+    eq(curl(2 + grad(u)), curl(grad(u)), simplify=True)
+    # powers, incl. expression exponents and reciprocals
+    eq(f ** as_expr(3), f * f * f)
+    eq(f ** -1, 1.0 / f)
+    # finalize freezes the form
+    vf2 = VForm(2, arity=1)
+    v2 = vf2.basisfuns()
+    g2 = vf2.input('g')
+    vf2.add(cos(g2) * v2 * dx)
+    vf2.finalize()
+    with pytest.raises(RuntimeError):
+        vf2.finalize()
+
+
+def test_input_field_hessian_assembly():
+    # Physical second derivatives of input fields (hess(f)): assemble the
+    # Laplacian functional of an interpolated field on a curved geometry
+    # and check O(h^2) convergence to the exact physical Laplacian
+    # (reference vform.py:593 order-2 transform incl. curvature terms).
+    from pyiga_tpu import approx, assemble
+    from pyiga_tpu.vform import hess
+
+    errs = []
+    for n in (8, 16):
+        kvs = 2 * (bspline.make_knots(3, 0.0, 1.0, n),)
+        geo = geometry.quarter_annulus()
+        fcoef = approx.interpolate(kvs, lambda x, y: x**2*y + y**3, geo=geo)
+        ffun = geometry.BSplineFunc(kvs, fcoef)
+        V = VForm(2, arity=1)
+        v = V.basisfuns()
+        f = V.input('f')
+        H = hess(f)
+        V.add((H[0, 0] + H[1, 1]) * v * dx)
+        b = np.asarray(assemble.assemble(V, kvs, geo=geo, f=ffun)).ravel()
+        b_ex = np.asarray(assemble.inner_products(
+            kvs, lambda x, y: 8 * y, f_physical=True, geo=geo)).ravel()
+        errs.append(abs(b - b_ex).max() / abs(b_ex).max())
+    assert errs[1] < errs[0] / 3.0      # ~4x drop for O(h^2)
+    assert errs[1] < 2e-4
