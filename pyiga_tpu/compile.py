@@ -375,8 +375,24 @@ class VFormAssembler:
         return {p.name: p.shape for p in cls.vf.params
                 if p.name != 'Jac_to_boundary'}
 
-    def __init__(self, kvs, kvs2=None, boundary=None, bbox=None, **args):
+    def __init__(self, kvs, *posargs, kvs2=None, boundary=None, bbox=None,
+                 **args):
         vf = self.vf
+        # call-compatibility with the reference's generated assemblers,
+        # whose __init__ is fully positional: (kvs0[, kvs1], geo/inputs...,
+        # params...) — see reference codegen/cython.py:518
+        if posargs:
+            posargs = list(posargs)
+            if (kvs2 is None and len(set(bf.space for bf in vf.basis_funs))
+                    == 2):
+                kvs2 = posargs.pop(0)
+            names = (['geo'] if 'geo' not in args else []) \
+                + [inp.name for inp in vf.inputs if inp.name not in args] \
+                + [p.name for p in vf.params
+                   if p.name not in args and p.name != 'Jac_to_boundary']
+            if len(posargs) > len(names):
+                raise TypeError('too many positional arguments')
+            args.update(zip(names, posargs))
         if isinstance(kvs, KnotVector):
             kvs = (kvs,)
         kvs = tuple(kvs)

@@ -171,3 +171,17 @@ def test_boundary_dofs():
     assert np.array_equal(bd, np.arange(N[0]) * N[1])
     bd = boundary_dofs(kvs, 'top', ravel=True)
     assert np.array_equal(bd, (N[0] - 1) * N[1] + np.arange(N[1]))
+
+
+def test_assembler_positional_args():
+    # reference generated assemblers take (kvs, geo, inputs...) positionally
+    # (codegen/cython.py:518); our compiled classes accept the same calls.
+    from pyiga_tpu import assemblers
+    kv_t = bspline.make_knots(2, 0.0, 2.0, 6)
+    kv = bspline.make_knots(3, 0.0, 1.0, 8)
+    geo = geometry.unit_cube(dim=1).cylinderize(0.0, 2.0, support=(0.0, 2.0))
+    asm_pos = assemblers.HeatAssembler_ST2D((kv_t, kv), geo)
+    asm_kw = assemblers.HeatAssembler_ST2D((kv_t, kv), geo=geo)
+    A1 = assemble_entries(asm_pos)
+    A2 = assemble_entries(asm_kw)
+    assert abs(A1 - A2).max() < 1e-15
