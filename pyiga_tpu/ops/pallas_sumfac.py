@@ -34,6 +34,7 @@ same combine order).
 """
 
 import functools
+import os
 
 import numpy as np
 
@@ -518,8 +519,9 @@ def _tail_fused_call(x1T_pairs, tc2_list, ts2_list, idx2,
 
 # Fused-tail path for 3-axis chains (stage1_T + _tail_fused_call).  OFF by
 # default until hardware-validated; interpret tests assert bitwise parity
-# with the two-call pipeline either way.
-_TAIL_FUSED = False
+# with the two-call pipeline either way.  Env toggle for on-hardware A/B:
+# PYIGA_TAIL_FUSED=1.
+_TAIL_FUSED = os.environ.get('PYIGA_TAIL_FUSED', '0') not in ('0', '', 'false')
 
 
 def _tail_supported(tables_prepped_per_term, field_pairs):
