@@ -522,6 +522,75 @@ def _with_retries(fn, what, tries=3, wait=45):
     return None
 
 
+def run_localmg(device, p=3, n0=24, disparity=1, num_levels=3):
+    """BASELINE config 5: HB-spline hierarchy + local multigrid solve
+    (reference test/test_localmg.py workload at a larger size).  Assembly
+    through the on-demand hierarchical discretization; the smoother is the
+    order-exact wavefront Gauss-Seidel (ops/relax.py), device-resident on
+    accelerators."""
+    import jax
+    from pyiga_tpu import assemble, geometry, solvers, vform
+    from pyiga_tpu.bspline import make_knots
+    from pyiga_tpu.hierarchical import HDiscretization, HSpace
+
+    with jax.default_device(device):
+        bdspecs = [(0, 0), (0, 1), (1, 0), (1, 1)]
+        hs = HSpace(2 * (make_knots(p, 0.0, 1.0, n0),),
+                    disparity=disparity, bdspecs=bdspecs)
+        # refine towards the (1, 1) corner, like the reference hierarchies
+        for lv in range(num_levels - 1):
+            thr = 1.0 - 2.0 ** (-lv - 1)
+            hs.refine_region(lv, lambda *X: min(X) > thr)
+        ndofs = hs.numdofs
+
+        def build():
+            hd = HDiscretization(hs, vform.stiffness_vf(dim=2),
+                                 {'geo': geometry.unit_square(),
+                                  'f': lambda *x: 1.0})
+            return hd.assemble_matrix(), hd.assemble_rhs()
+
+        build()                         # warm the per-shape jit caches
+        t0 = time.perf_counter()
+        A, f = build()
+        t_asm = time.perf_counter() - t0
+
+        backend = 'host' if device.platform == 'cpu' else 'device'
+        # warm the smoother/jit caches outside the timing
+        solvers.solve_hmultigrid(hs, A, f, tol=1e-2, relax_backend=backend)
+        t0 = time.perf_counter()
+        _u, iters = solvers.solve_hmultigrid(hs, A, f, tol=1e-8,
+                                             relax_backend=backend)
+        t_slv = time.perf_counter() - t0
+    return ndofs, t_asm, t_slv, iters
+
+
+def run_ns(device, n_el=(16, 32), p=2, tau=5e-2, t_end=0.25):
+    """BASELINE config 4: instationary Navier-Stokes (mixed Taylor-Hood
+    splines, ROWDAIND2 Rosenbrock DAE stepping; the reference's
+    solve-navier-stokes notebook workload).  The convection blocks are
+    reassembled on device each evaluation through updatable assemblers."""
+    import importlib.util as ilu
+    spec = ilu.spec_from_file_location(
+        'bench_ns_example',
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     'examples', 'navier_stokes.py'))
+    mod = ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    import jax
+
+    with jax.default_device(device):
+        ns = mod.NavierStokes(n_el=n_el, p=p, Re=20.0)
+        ndofs = ns.n_u + ns.n_p
+        x0 = ns.initial_state()
+        # warm-up step compiles the updatable convection assemblers
+        ns.integrate(x0=x0, tau=tau, t_end=tau)
+        t0 = time.perf_counter()
+        times, _states = ns.integrate(x0=x0, tau=tau, t_end=t_end)
+        t = time.perf_counter() - t0
+        nsteps = len(times) - 1
+    return ndofs, nsteps, t
+
+
 def main():
     import pyiga_tpu
     import jax
@@ -631,6 +700,55 @@ def main():
         })
         lines.append(line)
         print(line, flush=True)
+
+    if not os.environ.get('PYIGA_BENCH_NO_LOCALMG'):
+        # BASELINE config 5: hierarchical space + local multigrid
+        pyiga_tpu.set_dtype(np.float64)
+        res = _with_retries(lambda: run_localmg(dev), 'localmg')
+        if res is not None:
+            ndofs, t_asm, t_slv, iters = res
+            vs = None
+            if cpu is not None and not os.environ.get('PYIGA_BENCH_NO_CPU'):
+                _, ta_c, ts_c, _ = run_localmg(cpu)
+                vs = round((ta_c + ts_c) / (t_asm + t_slv), 3)
+            line = json.dumps({
+                'metric': '2d_p3_hb_localmg_solve[float64,mg_iters=%d]'
+                          % iters,
+                'value': round(ndofs / (t_asm + t_slv), 1),
+                'unit': 'dof/s',
+                'vs_baseline': vs,
+                't_assembly_ms': round(1e3 * t_asm, 1),
+                't_solve_ms': round(1e3 * t_slv, 1),
+                'iters': iters,
+                'comparator': 'matched-size JAX-on-CPU (see bench.py '
+                              'docstring)',
+            })
+            lines.append(line)
+            print(line, flush=True)
+
+    if not os.environ.get('PYIGA_BENCH_NO_NS'):
+        # BASELINE config 4: instationary Navier-Stokes time stepping
+        pyiga_tpu.set_dtype(np.float64)
+        res = _with_retries(lambda: run_ns(dev), 'navier-stokes')
+        if res is not None:
+            ndofs, nsteps, t = res
+            vs = None
+            if cpu is not None and not os.environ.get('PYIGA_BENCH_NO_CPU'):
+                _, nsteps_c, t_c = run_ns(cpu)
+                vs = round((t_c / max(nsteps_c, 1))
+                           / (t / max(nsteps, 1)), 3)
+            line = json.dumps({
+                'metric': '2d_navier_stokes_rosenbrock[float64,steps=%d]'
+                          % nsteps,
+                'value': round(ndofs * nsteps / t, 1),
+                'unit': 'dof-steps/s',
+                'vs_baseline': vs,
+                't_per_step_ms': round(1e3 * t / max(nsteps, 1), 1),
+                'comparator': 'matched-size JAX-on-CPU (see bench.py '
+                              'docstring)',
+            })
+            lines.append(line)
+            print(line, flush=True)
 
     if len(lines) > 1:
         print(lines[0], flush=True)     # headline again as the last line

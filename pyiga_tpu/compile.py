@@ -356,6 +356,12 @@ def _physical_field_derivs(f, geo, grid, comp_shape, with_hessian=False):
 # Assembler class
 ################################################################################
 
+# probe results (pruned combos + symmetric-fold plan) per (form, input
+# signature); the probe runs on a tiny fixed grid, so one entry serves
+# every space size — repeated instantiations skip its trace+compile
+_PRUNE_CACHE = {}
+
+
 class VFormAssembler:
     """Assembler for a compiled :class:`~pyiga_tpu.vform.VForm`.
 
@@ -894,11 +900,45 @@ class VFormAssembler:
                  out[2 * c + 1].reshape(grid_shape))
                 for c in range(len(combos))]
 
+    def _prune_key(self):
+        """Cache key for the probe results: everything the probe values
+        depend on EXCEPT the space sizes (the probe runs on a tiny fixed
+        grid, so one probe serves every kvs with the same form/inputs)."""
+        def sig(k, a):
+            shape = tuple(np.shape(a))
+            if k.startswith('param:'):
+                return (k, shape)
+            # grid-shaped inputs: only the leading (component) axes matter,
+            # the probe replaces the grid part with a tiny fixed grid
+            return (k, shape[:max(len(shape) - self.dim, 0)])
+
+        hsig = tuple(sorted(sig(k, a) for k, a in self._host_arrays.items()
+                            if k != 'weights'))
+        return (self.vf.hash(), self.dim, self.vf.geo_dim, self.arity,
+                bool(self.vf.vec), repr(self.bdspec), self.bbox is not None,
+                self._needs_geo_hessian(), hsig, self.kvs0 == self.kvs1)
+
     def _prune_combos(self):
         """Drop structurally-zero seed combinations using a random probe on a
-        tiny grid (one jitted evaluation)."""
+        tiny grid (one jitted evaluation).  Results are cached per
+        (form, input-signature) so repeated assembler instantiations — e.g.
+        the per-level builds of a hierarchical discretization — skip the
+        probe's trace+compile entirely."""
         import jax
         import jax.numpy as jnp
+
+        cache_key = self._prune_key()
+        cached = _PRUNE_CACHE.get(cache_key)
+        if cached is not None and len(cached[0]) == len(self.combos):
+            keep, plan = cached
+            self.combos = [c for c, k in zip(self.combos, keep) if k]
+            self._fold_plan = self._fold_tperms = None
+            if plan is not None:        # plan recorded => mirrored folding
+                from .mlmatrix import transpose_idx_for_bidx
+                self._fold_plan = list(plan)
+                self._fold_tperms = [transpose_idx_for_bidx(bx)
+                                     for bx in self.structure.bidx]
+            return
 
         rng = np.random.RandomState(987123)
         tiny_grid = 2
@@ -972,6 +1012,9 @@ class VFormAssembler:
         if not self.combos:
             raise ValueError('variational form is identically zero')
         self._detect_symmetry(values[keep], maxima[keep])
+        _PRUNE_CACHE[cache_key] = (
+            tuple(bool(k) for k in keep),
+            tuple(self._fold_plan) if self._fold_plan is not None else None)
 
     def _detect_symmetry(self, probe_values, probe_maxima):
         """Probe-based symmetric-term folding (scalar forms on a single

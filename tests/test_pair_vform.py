@@ -163,3 +163,26 @@ def test_pair_fields_pallas_interpret():
         r = np.asarray(rh, np.float64) + np.asarray(rl, np.float64)
         g = np.asarray(gh, np.float64) + np.asarray(gl, np.float64)
         assert np.abs(r - g).max() / scale < 1e-5
+
+
+def test_prune_probe_cached_across_instances():
+    # the combo-prune/symmetry probe runs once per (form, input signature)
+    # and is reused across assembler instances and space sizes — repeated
+    # assembly (hierarchical levels, adaptive loops) must not re-trace it
+    from pyiga_tpu import compile as C
+    from pyiga_tpu.compile import compile_vform
+    from pyiga_tpu.vform import stiffness_vf
+
+    C._PRUNE_CACHE.clear()
+    kvs1 = 2 * (bspline.make_knots(2, 0.0, 1.0, 6),)
+    kvs2 = 2 * (bspline.make_knots(2, 0.0, 1.0, 11),)
+    geo = geometry.quarter_annulus()
+    cls = compile_vform(stiffness_vf(2))
+    A1 = assemble.assemble_entries(cls(kvs1, geo=geo))
+    assert len(C._PRUNE_CACHE) == 1
+    A2 = assemble.assemble_entries(cls(kvs2, geo=geo))
+    assert len(C._PRUNE_CACHE) == 1        # second size reused the probe
+    # cached-plan assembly matches a fresh-probe assembly entrywise
+    C._PRUNE_CACHE.clear()
+    A2b = assemble.assemble_entries(cls(kvs2, geo=geo))
+    assert abs(A2 - A2b).max() < 1e-14
