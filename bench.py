@@ -707,6 +707,7 @@ def main():
         res = _with_retries(lambda: run_localmg(dev), 'localmg')
         if res is not None:
             ndofs, t_asm, t_slv, iters = res
+            iters = int(iters) if np.isfinite(iters) else -1
             vs = None
             if cpu is not None and not os.environ.get('PYIGA_BENCH_NO_CPU'):
                 _, ta_c, ts_c, _ = run_localmg(cpu)

@@ -393,7 +393,8 @@ class VFormAssembler:
                     == 2):
                 kvs2 = posargs.pop(0)
             names = (['geo'] if 'geo' not in args else []) \
-                + [inp.name for inp in vf.inputs if inp.name not in args] \
+                + [inp.name for inp in vf.inputs
+                   if inp.name not in args and inp.name != 'geo'] \
                 + [p.name for p in vf.params
                    if p.name not in args and p.name != 'Jac_to_boundary']
             if len(posargs) > len(names):

@@ -521,7 +521,8 @@ def _tail_fused_call(x1T_pairs, tc2_list, ts2_list, idx2,
 # default until hardware-validated; interpret tests assert bitwise parity
 # with the two-call pipeline either way.  Env toggle for on-hardware A/B:
 # PYIGA_TAIL_FUSED=1.
-_TAIL_FUSED = os.environ.get('PYIGA_TAIL_FUSED', '0') not in ('0', '', 'false')
+_TAIL_FUSED = os.environ.get('PYIGA_TAIL_FUSED', '').lower() \
+    in ('1', 'true', 'yes', 'on')
 
 
 def _tail_supported(tables_prepped_per_term, field_pairs):

@@ -246,8 +246,7 @@ def als(A, R, tol=1e-10, maxiter=10000, startval=None):
     least squares in the Khatri-Rao / Hadamard-Gram formulation
     (Kolda & Bader 2009; reference behavior: tensor.py:313).  Structured
     tensors (Tucker/canonical/sums) are accepted and densified."""
-    A = A if isinstance(A, np.ndarray) else asarray(A)
-    A = np.asarray(A)
+    A = np.asarray(asarray(A))
     d = A.ndim
     if startval is None:
         rng = np.random.RandomState(51243)

@@ -185,3 +185,21 @@ def test_assembler_positional_args():
     A1 = assemble_entries(asm_pos)
     A2 = assemble_entries(asm_kw)
     assert abs(A1 - A2).max() < 1e-15
+
+
+def test_assembler_positional_non_geo_input():
+    # positional binding must skip the implicit 'geo' entry in vf.inputs:
+    # (kvs, geo, coef) binds coef to the declared input, not to geo again
+    from pyiga_tpu.compile import compile_vform
+    from pyiga_tpu.vform import VForm, inner, grad, dx
+    kvs = 2 * (bspline.make_knots(2, 0.0, 1.0, 6),)
+    geo = geometry.quarter_annulus()
+    V = VForm(2)
+    u, v = V.basisfuns()
+    coef = V.input('coef')
+    V.add(coef * inner(grad(u), grad(v)) * dx)
+    cls = compile_vform(V)
+    cf = lambda x, y: 1.0 + x * y
+    A_pos = assemble_entries(cls(kvs, geo, cf))
+    A_kw = assemble_entries(cls(kvs, geo=geo, coef=cf))
+    assert abs(A_pos - A_kw).max() < 1e-15
