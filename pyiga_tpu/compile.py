@@ -1255,12 +1255,14 @@ class VFormAssembler:
         fold = getattr(self, '_fold_plan', None)
         plan = (tuple(fold) if fold is not None
                 else tuple((t, False) for t in range(len(combos))))
-        key = (self.vf.hash(), tuple(map(repr, combos)), plan,
+        last_idx = ps.last_table_dedup_idx(prepped, plan)
+        key = (self.vf.hash(), tuple(map(repr, combos)), plan, last_idx,
                self._geo_tables is None,
                getattr(self, '_geo_is_nurbs', None), 'pallas_pair', Ms,
                tuple(t.shape for t in (self._geo_tables or ())))
         fuse_geo = (self._geo_tables is not None and
-                    ps.geo_jac_fields_supported(self._geo_tables, None))
+                    ps.geo_jac_fields_supported(self._geo_tables,
+                                                self._geo_coeffs))
         fn = VFormAssembler._JIT_CACHE.get(key)
         if fn is None:
             def fn_(inputs, parrs, tperms):
@@ -1285,7 +1287,8 @@ class VFormAssembler:
                 tp = [[(c, s, M) for ((c, s), M) in zip(ta, Ma)]
                       for ta, Ma in zip(parrs, Ms)]
                 Y = ps.assemble_terms_folded_pallas(tp, pairs, plan,
-                                                    tperms or [])
+                                                    tperms or [],
+                                                    last_idx=last_idx)
                 return {(None, None): Y}
             import jax.numpy as jnp
             fn = jax.jit(fn_)

@@ -28,9 +28,13 @@ fields to ``(M_1, ..., M_d)`` compact tensors with no transposes anywhere.
 The band axis is zero-padded to a multiple of 128 lanes and sliced once at
 the end of the chain.
 
-The kernel requires a real TPU (or ``interpret=True``); numerical behavior
-is identical to the XLA pair chain (same splitting, same dot schedule,
-same combine order).
+The kernel requires a real TPU (or ``interpret=True``).  Numerical behavior
+follows the same pair accuracy model as the XLA pair chain and the same
+exact-f32 MXU accumulation bound, but the magic-constant nearest-rounding
+split (``_slice_pair_cols``) sits on a different rounding grid than
+sumfac._ozaki_slice_pair's truncating split, so individual chunks (and thus
+bitwise output) may differ while the reconstructed pair agrees to the pair
+error bound (measured 1e-13 relative on the 3D n=48 stiffness).
 """
 
 import functools
@@ -50,10 +54,13 @@ _NH = 3         # chunks taken from `hi` (3 x 8 = f32 mantissa)
 
 
 def _pow2_at_least(a):
-    """Exact power of two >= a (a > 0), via exponent bit-masking."""
+    """Exact power of two >= a (a > 0), via exponent bit-masking.
+    Subnormal `a` (all exponent bits zero) clamps to the minimum normal
+    2^-126 so the downstream reciprocal scale stays finite."""
     bits = jax.lax.bitcast_convert_type(a, jnp.uint32)
     p = jax.lax.bitcast_convert_type(bits & jnp.uint32(0x7F800000),
                                      jnp.float32)
+    p = jnp.maximum(p, jnp.float32(2.0 ** -126))
     return jnp.where(a > p, 2.0 * p, p)
 
 
@@ -67,9 +74,14 @@ def _slice_pair_cols(hi, lo, interpret=False):
     round-to-nearest onto the chunk's ``2^-8(i+1)`` grid and the remainder
     ``r - q`` is exact — 2 ops replace the mul/trunc/mul of the truncating
     form, and division by the power-of-two column scale becomes one exact
-    reciprocal multiply.  Nearest-rounded chunks are signed ints of
-    magnitude <= 129 (vs 255 truncating), so the exact-f32 MXU
-    accumulation bound is kept with margin; the final remainder halves."""
+    reciprocal multiply.  Nearest-rounded chunks are typically signed ints
+    of magnitude <= 129 (vs 255 truncating); the first chunk can reach 256
+    and the ``i == _NH`` lo-fold up to ~384 when the column max sits at an
+    exact power of two, which is why ``_K_MAX`` keeps the 2w+log2(K) <= 24
+    exact-f32 MXU accumulation bound rather than relying on the tighter
+    typical margin.  Note the rounding grid differs from
+    sumfac._ozaki_slice_pair's truncating split: reconstruction agrees to
+    the pair's accuracy model, not bitwise."""
     a = jnp.max(jnp.abs(hi), axis=0, keepdims=True)
     s = _pow2_at_least(jnp.where(a > 0, a, 1.0))
     rs = 1.0 / s                    # exact: s is a power of two
@@ -194,8 +206,12 @@ def _vmem_bytes(K, r, m):
 
 # largest contraction block per kernel invocation; longer K axes (large 2D
 # quadrature grids) split into blocks accumulated in-VMEM across the
-# innermost grid dimension
-_K_MAX = 384
+# innermost grid dimension.  Bounded by the exact-f32 accumulation margin
+# (2w + log2(K) <= 24 with w=8-bit chunks => K <= 256), matching the XLA
+# pipeline's sumfac._OZAKI_MAX_K; the headline configs use K=192 (3D) and
+# 512->2x256 splits (2D), so the tightening only affects exotic K in
+# (256, 384] that the old bound ran unsplit past the margin.
+_K_MAX = 256
 
 
 def _pick_kblock(K):
@@ -278,7 +294,10 @@ def _stage_call(xh, xl, t_chunks, t_scale, acc_h=None, acc_l=None,
                 r_block=512, interpret=False):
     """One contraction stage: ``(K, R)`` pair x table chunks ``(L, M, K)``
     -> ``(R, M)`` pair.  With an `acc` pair, the result is added onto it
-    in-kernel (exact two-float add; the acc buffers are donated)."""
+    in-kernel (exact two-float add; input_output_aliases avoids a separate
+    accumulator pass *inside* the kernel — under an enclosing jit XLA can
+    reuse the buffer, but an eager top-level call still copies it since
+    this jit does not donate its arguments)."""
     from jax.experimental import pallas as pl
 
     K, R = xh.shape
@@ -529,6 +548,7 @@ def _tail_supported(tables_prepped_per_term, field_pairs):
     """Static gate: 3 axes, no K-splits, uniform table widths, VMEM fits."""
     if not _TAIL_FUSED:
         return False
+    widths = [set(), set(), set()]
     for tabs, (hi, _lo) in zip(tables_prepped_per_term, field_pairs):
         if len(tabs) != 3 or hi.ndim != 3:
             return False
@@ -536,6 +556,10 @@ def _tail_supported(tables_prepped_per_term, field_pairs):
             K = tc.shape[2]
             if K != hi.shape[k] or _pick_kblock(K) != K:
                 return False
+            widths[k].add(tuple(tc.shape))
+    # the fused call sizes every BlockSpec from the first term's tables
+    if any(len(w) > 1 for w in widths):
+        return False
     return True
 
 
@@ -591,6 +615,11 @@ def _pad_lanes(m):
 _PREP_CACHE = {}
 
 
+@jax.jit
+def _prep_slice_jit(T):
+    return sumfac._ozaki_slice(T, 1, _L)
+
+
 def prepare_table(table):
     """Host-side: split a float64 ``(M, K)`` pair table into bf16 chunks
     (row-scaled, M zero-padded to a lane multiple).  Returns
@@ -600,8 +629,9 @@ def prepare_table(table):
     (e.g. the value*value table of every off-diagonal stiffness term)
     share one prepped array — the folded final stage dedups its in-VMEM
     table stacks by object identity."""
+    import hashlib
     table = np.asarray(table, dtype=np.float64)
-    key = (table.shape, hash(table.tobytes()))
+    key = (table.shape, hashlib.sha256(table.tobytes()).digest())
     hit = _PREP_CACHE.get(key)
     if hit is not None:
         return hit
@@ -609,8 +639,7 @@ def prepare_table(table):
     Mp = _pad_lanes(M)
     padded = np.zeros((Mp, K))
     padded[:M] = table
-    chunks, s = jax.jit(lambda T: sumfac._ozaki_slice(T, 1, _L))(
-        jnp.asarray(padded))
+    chunks, s = _prep_slice_jit(jnp.asarray(padded))
     chunks = jnp.stack([c for c in chunks])
     scale = jnp.asarray(s, jnp.float32).reshape(1, Mp)
     if len(_PREP_CACHE) > 256:
@@ -949,6 +978,13 @@ def _fields_fused(geo_inputs, kind='stiffness', interpret=False,
     is_nurbs = 'geo_tables_nurbs' in geo_inputs
     tables = geo_inputs['geo_tables_nurbs' if is_nurbs else 'geo_tables_bsp']
     coeffs = geo_inputs['geo_coeffs']
+    if (kind != 'jac'
+            and not geo_jac_fields_supported(tables, coeffs)):
+        # untiled grid or in-kernel unroll too long: XLA pair fallback
+        from .. import assemblers
+        fallback = (assemblers.mass_fields_df_pair if kind == 'mass'
+                    else assemblers.stiffness_fields_df_pair)
+        return fallback(geo_inputs)
     d = len(tables)
     C = coeffs.shape[0]
     n_last = coeffs.shape[d]
@@ -1067,6 +1103,10 @@ def stiffness_fields_pallas(geo_inputs, interpret=False, r_rows=256):
     rows = N // 128
     while rows % r_rows:
         r_rows //= 2
+    if r_rows % 8 and r_rows != rows:
+        # Mosaic blocks must tile (8, 128) in the last two dims or equal
+        # the array dims; e.g. rows=6 or 12 cannot be blocked legally
+        return assemblers.stiffness_fields_df_pair(geo_inputs)
 
     jac_flat = jnp.stack([c.reshape(rows, 128)
                           for a in range(d) for b in range(d)
@@ -1174,22 +1214,41 @@ def _chain_group_folded(tables_prepped_per_term, field_pairs, idxs,
     return acc, dims
 
 
+def last_table_dedup_idx(tables_prepped_per_term, fold_plan):
+    """Canonical dedup index of each plan entry's LAST prepped table.
+
+    Must be computed on the HOST side (concrete arrays): inside a jit the
+    pytree leaves are distinct tracers, so the ``id()``-based fallback in
+    :func:`_chain_group_folded` never dedups and the fold kernel's VMEM
+    estimate inflates until the tiling is rejected.  ``id()`` equality is
+    valid here because :func:`prepare_table` interns equal tables via its
+    content cache.  Pass the result as ``last_idx=`` (a static arg)."""
+    seen, out = {}, []
+    for t, _m in fold_plan:
+        k = id(tables_prepped_per_term[t][-1][0])
+        out.append(seen.setdefault(k, len(seen)))
+    return tuple(out)
+
+
 def assemble_terms_folded_pallas(tables_prepped_per_term, field_pairs,
                                  fold_plan, tperms, r_block=512,
-                                 interpret=False):
+                                 interpret=False, last_idx=None):
     """Folded sum of fused-Pallas pair chains (drop-in for
     :func:`~pyiga_tpu.ops.sumfac.assemble_terms_folded_pair`).  Each
     group's final contractions fold into one kernel writing the group
     accumulator once (:func:`_chain_group_folded`)."""
-    def chain_sum(idxs):
+    def chain_sum(positions):
+        idxs = [fold_plan[i][0] for i in positions]
+        li = (tuple(last_idx[i] for i in positions)
+              if last_idx is not None else None)
         acc, dims = _chain_group_folded(
             tables_prepped_per_term, field_pairs, idxs,
-            r_block=r_block, interpret=interpret)
+            r_block=r_block, interpret=interpret, last_idx=li)
         index = tuple(slice(0, M) for M, _ in dims)
         return acc[0][index], acc[1][index]
 
-    direct = [t for t, m in fold_plan if not m]
-    mirrored = [t for t, m in fold_plan if m]
+    direct = [i for i, (t, m) in enumerate(fold_plan) if not m]
+    mirrored = [i for i, (t, m) in enumerate(fold_plan) if m]
     out = chain_sum(direct) if direct else None
     if mirrored:
         sym = chain_sum(mirrored)
@@ -1289,10 +1348,20 @@ def geo_jac_fields_pallas(tables, coeffs, weights, is_nurbs,
     return _fields_fused(gi, 'jac', interpret=interpret)
 
 
+# the fused-fields kernel unrolls the last-axis geometry contraction
+# in-kernel (n_last two-float mul/adds per component/axis entry); beyond
+# this bound the unroll explodes Mosaic compile time and stack-temporary
+# VMEM (the ~4x estimate inflation), while the XLA pair path handles the
+# shape fine.  Typical geometry maps have n_last <= 10.
+_FUSED_FIELDS_NLAST_MAX = 32
+
+
 def geo_jac_fields_supported(tables, coeffs):
     """Static tiling check for :func:`geo_jac_fields_pallas`."""
     d = len(tables)
     if d < 2:
+        return False
+    if coeffs is not None and np.shape(coeffs)[d] > _FUSED_FIELDS_NLAST_MAX:
         return False
     Q12 = int(np.prod([t.shape[1] for t in tables[:d - 1]]))
     return Q12 % 8 == 0

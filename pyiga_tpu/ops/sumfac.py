@@ -714,14 +714,16 @@ def run_matrix_assembly_pair(pair_field_fn, geo_inputs, term_tables,
                        for tabs in term_tables]
             parrs = [[(c, s) for (c, s, _M) in tabs] for tabs in prepped]
             Ms = tuple(tuple(M for (_c, _s, M) in tabs) for tabs in prepped)
-            key = (field_fn, plan, 'pallas', L, Ms)
+            last_idx = ps.last_table_dedup_idx(prepped, plan)
+            key = (field_fn, plan, 'pallas', L, Ms, last_idx)
             fn = _KERNEL_CACHE.get(key)
             if fn is None:
                 def kernel(geo_inputs, parrs, tperms):
                     tp = [[(c, s, M) for ((c, s), M) in zip(ta, Ma)]
                           for ta, Ma in zip(parrs, Ms)]
                     return ps.assemble_terms_folded_pallas(
-                        tp, field_fn(geo_inputs), plan, tperms)
+                        tp, field_fn(geo_inputs), plan, tperms,
+                        last_idx=last_idx)
                 fn = jax.jit(kernel)
                 _KERNEL_CACHE[key] = fn
             return np.asarray(fn(geo_inputs, parrs, tperms))

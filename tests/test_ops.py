@@ -383,10 +383,11 @@ def test_pair_assembly_mass_and_nurbs():
 def test_pallas_chain_interpret():
     # fused Pallas pair-chain (interpret mode): validates the kernel's
     # slicing/dot/combine plumbing against the exact f64 chain.  On real
-    # TPU hardware the kernel is bit-identical to the XLA pair chain
-    # (verified on v5e: rel diff 0.0; n=48 stiffness parity 1e-13); the
-    # interpreter tolerance is loose because the CPU backend compiles
-    # error-free f32 transformations unreliably (see conftest).
+    # TPU hardware the kernel matches the XLA pair chain to the pair
+    # error bound (n=48 stiffness parity 1e-13; the nearest-rounding
+    # split means bitwise equality is NOT guaranteed); the interpreter
+    # tolerance is loose because the CPU backend compiles error-free f32
+    # transformations unreliably (see conftest).
     from pyiga_tpu.ops import pallas_sumfac as ps
     from pyiga_tpu.ops import sumfac, twofloat as tf
 
@@ -689,3 +690,44 @@ def test_tail_fused_bitwise_interpret():
     assert dims0 == dims1
     assert np.array_equal(np.asarray(h0), np.asarray(h1))
     assert np.array_equal(np.asarray(l0), np.asarray(l1))
+
+
+def test_folded_pallas_dedup_reaches_fold():
+    # last_table_dedup_idx must be computed host-side and threaded into the
+    # fold kernel: under jit the id()-based fallback sees only tracers and
+    # dedups nothing, inflating the fold's VMEM estimate until the tiling
+    # is rejected (silently disabling the single-write fold).
+    from pyiga_tpu.ops import pallas_sumfac as ps
+    from pyiga_tpu.ops import twofloat as tf
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(1)
+    Q, M = 64, 24
+    tabA, tabB = rng.rand(M, Q), rng.rand(M, Q)
+    terms = [[tabA, tabA], [tabA, tabB], [tabB, tabA]]
+    prepped = [[ps.prepare_table(T) for T in tabs] for tabs in terms]
+    plan = ((0, False), (1, False), (2, False))
+    last_idx = ps.last_table_dedup_idx(prepped, plan)
+    assert last_idx == (0, 1, 0)
+
+    calls = []
+    orig = ps._stage_call_fold
+
+    def spy(x_pairs, tc_list, ts_list, term_idx, **kw):
+        calls.append((len(x_pairs), len(tc_list), tuple(term_idx)))
+        return orig(x_pairs, tc_list, ts_list, term_idx, **kw)
+
+    ps._stage_call_fold = spy
+    try:
+        F = [tf.df_from_f64(jnp.asarray(rng.rand(Q, Q))) for _ in range(3)]
+        out = ps.assemble_terms_folded_pallas(prepped, F, plan, [],
+                                              interpret=True,
+                                              last_idx=last_idx)
+    finally:
+        ps._stage_call_fold = orig
+    assert calls and calls[0] == (3, 2, (0, 1, 0))
+    exact = 0
+    for i, tabs in enumerate(terms):
+        f = np.asarray(tf.df_to_f64(F[i]))
+        exact = exact + tabs[0] @ f @ tabs[1].T
+    assert abs(np.asarray(out) - exact).max() / abs(exact).max() < 1e-12
