@@ -131,7 +131,8 @@ def banded_matvec(D, x, bws, ns):
         xwin = jax.lax.dynamic_slice(xp, mus, tuple(ns))
         return y + Dslice * xwin
 
-    y = jax.lax.fori_loop(0, nmu, body, jnp.zeros(ns, dtype=x.dtype))
+    y = jax.lax.fori_loop(
+        0, nmu, body, jnp.zeros(ns, dtype=jnp.result_type(D.dtype, x.dtype)))
     return y.reshape(-1)
 
 
@@ -140,6 +141,9 @@ class BandedOperator:
     :class:`~pyiga_tpu.mlmatrix.MLMatrix` (or directly from banded data)."""
 
     def __init__(self, D, bws, ns):
+        # keep D device-resident: a host numpy D would re-upload the full
+        # banded tensor (~(2p+1)^d * prod(ns) * itemsize) on every matvec
+        D = jax.device_put(D) if isinstance(D, np.ndarray) else D
         self.D = D
         self.bws = tuple(bws)
         self.ns = tuple(ns)
@@ -159,7 +163,7 @@ class BandedOperator:
             return None
         ns = tuple(b[0] for b in mlm.structure.bs)
         if data is None:
-            data = jnp.asarray(mlm.data)
+            data = mlm.data      # host scatter below; __init__ device_puts
         D = banded_from_compact(data, mlm.structure, bws)
         return BandedOperator(D, bws, ns)
 
@@ -226,6 +230,7 @@ class BandedOperatorPair:
             return tf.df_to_f64((yh, yl))
 
         self.apply_with_operands = apply_with_operands
+        self._jit_apply = jax.jit(apply_with_operands)
 
     def set_data_f64(self, D):
         """Split a float64 banded data array into the stored pair."""
@@ -235,8 +240,7 @@ class BandedOperatorPair:
         self.operands['Dl'] = lo
 
     def matvec(self, x):
-        import jax as _jax
-        return _jax.jit(self.apply_with_operands)(self.operands, x)
+        return self._jit_apply(self.operands, x)
 
     def __call__(self, x):
         return self.matvec(x)
@@ -287,7 +291,6 @@ def flat_banded_layout(bws, ns):
         offs.append(sum((m - b) * s for m, b, s in zip(mu, bws, strides)))
     offs = np.asarray(offs, np.int64)
     lead = int(-offs.min())             # zeros prepended to x
-    shifts = (offs + lead).astype(np.int64)
 
     def _rows8(rows):
         # sublane-aligned row counts: 8-row-aligned DMAs are measurably
@@ -295,8 +298,6 @@ def flat_banded_layout(bws, ns):
         return -(-rows // 8) * 8
 
     R = _rows8(-(-F // 128))
-    # x rows: lead + F + max shift tail, in whole lanes
-    RX = _rows8(-(-int(lead + F + offs.max() + 1) // 128) + 1)
     # grid decomposition: the kernel iterates the LEADING band dimension as
     # its grid (the mu_1 part of the shift is absorbed into per-step
     # pre-sliced copies of x), so only the prod(bsz[1:]) inner combos are
@@ -309,8 +310,7 @@ def flat_banded_layout(bws, ns):
         inner.append(int(sum(m * s for m, s in zip(mu, strides[1:]))))
     max_inner = max(inner)
     RXi = _rows8(-(-int(F + max_inner + 1) // 128) + 1)
-    return {'np_': np_, 'F': F, 'R': R, 'RX': RX, 'lead': lead,
-            'shifts': [int(s) for s in shifts], 'bsz': bsz,
+    return {'F': F, 'R': R, 'lead': lead, 'bsz': bsz,
             'C1': C1, 'C23': C23, 'inner': inner, 'RXi': RXi,
             'S1': strides[0]}
 
@@ -522,7 +522,8 @@ def _extract_y(lay, bws, ns, y2):
 class FlatBandedOperator:
     """f32 banded operator on the flat-offset Pallas kernel (any dimension;
     the data tensor streams HBM exactly once per matvec, x/y stay in VMEM).
-    Requires ``(RX + 3R + small) * 512`` bytes of VMEM — fine up to ~1M dofs."""
+    Requires ``(RXi + 3R + small) * 512`` bytes of VMEM — fine up to ~1M
+    dofs."""
 
     def __init__(self, D, bws, ns, interpret=None):
         from .. import config
@@ -548,9 +549,11 @@ class FlatBandedOperator:
         self._jit_apply = jax.jit(apply_with_operands)
 
     def set_data_banded_device(self, D_banded):
-        """Traced/on-device update: scatter a ``(b..., n...)`` banded array
-        into the flat layout (for use inside a fused assemble+solve jit use
-        :func:`flat_banded_embed_device`)."""
+        """Host-side update from a ``(b..., n...)`` banded device array
+        (the embed itself runs on device).  Do NOT call inside a jitted
+        function — that would store a tracer into ``operands``; inside a
+        fused assemble+solve jit use :func:`flat_banded_embed_device`
+        directly and thread the result as an operand."""
         self.operands['D3'] = flat_banded_embed_device(
             D_banded, self.bws, self.ns, self.lay)
 
@@ -606,7 +609,7 @@ class FlatBandedOperatorPair:
                                        interpret=intp)
             yh = _extract_y(lay, bws_t, ns_t, yh2)
             yl = _extract_y(lay, bws_t, ns_t, yl2)
-            return yh.astype(jnp.float64) + yl.astype(jnp.float64)
+            return tf.df_to_f64((yh, yl))
 
         self.apply_with_operands = apply_with_operands
         self._jit_apply = jax.jit(apply_with_operands)

@@ -89,7 +89,10 @@ def test_flat_banded_matvec_interpret():
                                       banded_gather_maps,
                                       banded_from_compact_device)
 
-    for d, p, n in ((3, 1, 4), (2, 2, 6)):
+    # the (3, 2, 31) case drives the inner flat shift past 128
+    # (max_inner = 2*2*33 + 4 = 136), exercising the sublane-roll branch
+    # of _flat_shift_tiles that the small cases never reach
+    for d, p, n in ((3, 1, 4), (2, 2, 6), (3, 2, 31)):
         kvs, geo = _setup(p=p, n=n, d=d)
         asm = StiffnessAssembler(kvs, geo)
         mlm = asm.assemble()
