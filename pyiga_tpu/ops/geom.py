@@ -210,6 +210,19 @@ def det_and_inv_df(J):
     return det_and_inv_df_pairs(j)
 
 
+def _det3_cofactors_df(j):
+    """First-column cofactors and determinant of a 3x3 two-float matrix
+    (shared by the det-only and det+inverse paths; the formulas are
+    sign-sensitive and must stay in exactly one place)."""
+    from . import twofloat as tf
+    m, sub = tf.df_mul, tf.df_sub
+    c00 = sub(m(j[1][1], j[2][2]), m(j[1][2], j[2][1]))
+    c01 = sub(m(j[1][2], j[2][0]), m(j[1][0], j[2][2]))
+    c02 = sub(m(j[1][0], j[2][1]), m(j[1][1], j[2][0]))
+    det = tf.df_sum([m(j[0][0], c00), m(j[0][1], c01), m(j[0][2], c02)])
+    return (c00, c01, c02), det
+
+
 def det_df_pairs(j):
     """Determinant only (two-float), for field pipelines that do not need
     the inverse (mass assembly)."""
@@ -221,11 +234,7 @@ def det_df_pairs(j):
     if d == 2:
         return sub(m(j[0][0], j[1][1]), m(j[0][1], j[1][0]))
     if d == 3:
-        c00 = sub(m(j[1][1], j[2][2]), m(j[1][2], j[2][1]))
-        c01 = sub(m(j[1][2], j[2][0]), m(j[1][0], j[2][2]))
-        c02 = sub(m(j[1][0], j[2][1]), m(j[1][1], j[2][0]))
-        return tf.df_sum([m(j[0][0], c00), m(j[0][1], c01),
-                          m(j[0][2], c02)])
+        return _det3_cofactors_df(j)[1]
     raise NotImplementedError('det_df_pairs only implemented for d <= 3')
 
 
@@ -253,10 +262,7 @@ def det_and_inv_df_pairs(j):
                for a in range(2)]
         return det, inv
     if d == 3:
-        c00 = sub(m(j[1][1], j[2][2]), m(j[1][2], j[2][1]))
-        c01 = sub(m(j[1][2], j[2][0]), m(j[1][0], j[2][2]))
-        c02 = sub(m(j[1][0], j[2][1]), m(j[1][1], j[2][0]))
-        det = tf.df_sum([m(j[0][0], c00), m(j[0][1], c01), m(j[0][2], c02)])
+        (c00, c01, c02), det = _det3_cofactors_df(j)
         adj = [
             [c00,
              sub(m(j[0][2], j[2][1]), m(j[0][1], j[2][2])),

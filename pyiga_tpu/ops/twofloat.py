@@ -14,6 +14,12 @@ A value x is represented as ``(hi, lo)`` with ``x ~= hi + lo``,
 geometry field pipeline (det/inv/weight products); the Ozaki-split
 contraction (sumfac) consumes the results.
 
+Range limit: Dekker splitting scales by 4097, so |x| must stay below
+~2^128/4097 ~= 8.3e34 (and below f32's ~3.4e38 for the pair encoding
+itself); larger magnitudes — valid in plain f64 — overflow to inf/NaN.
+Well-scaled PDE data is far inside this; rescale pathological inputs
+before using the pair fast path (``mode='exact'`` has no such limit).
+
 Reference: Dekker (1971), "A floating-point technique for extending the
 available precision"; the classic double-double algorithms (Hida-Li-Bailey).
 """
