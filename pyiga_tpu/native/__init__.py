@@ -83,10 +83,24 @@ def _csr_arrays(A):
     return indptr, indices, data
 
 
+def _x_buffer(x):
+    """A float64 C-contiguous buffer for the in-place update.  Returns
+    ``(buf, writeback)``: `buf` aliases `x` when it already has the right
+    dtype/layout; otherwise a converted copy that the caller must copy
+    back (passing a float32 or strided buffer straight to the C kernel
+    would reinterpret it as double* — heap corruption)."""
+    if (isinstance(x, np.ndarray) and x.dtype == np.float64
+            and x.flags.c_contiguous):
+        return x, False
+    return np.ascontiguousarray(x, dtype=np.float64), True
+
+
 def gauss_seidel_sweep(A, x, b, reverse=False):
-    """One forward/backward Gauss-Seidel sweep on CSR matrix `A`, in place."""
+    """One forward/backward Gauss-Seidel sweep on CSR matrix `A`, in place
+    (non-contiguous/non-f64 `x` is updated through a copy-back)."""
     indptr, indices, data = _csr_arrays(A)
-    x = np.ascontiguousarray(x) if not x.flags.c_contiguous else x
+    x_in = x
+    x, writeback = _x_buffer(x)
     b = np.ascontiguousarray(b, dtype=np.float64)
     N = A.shape[0]
     lib = get_lib()
@@ -94,37 +108,46 @@ def gauss_seidel_sweep(A, x, b, reverse=False):
         start, end, step = (N - 1, -1, -1) if reverse else (0, N, 1)
         lib.gauss_seidel_csr(_i64(indptr), _i64(indices), _f64(data),
                              _f64(x), _f64(b), start, end, step)
-        return x
-    rng = range(N - 1, -1, -1) if reverse else range(N)
-    for i in rng:
-        lo, hi = indptr[i], indptr[i + 1]
-        cols = indices[lo:hi]
-        vals = data[lo:hi]
-        z = vals @ x[cols]
-        diag = vals[cols == i][0]
-        x[i] = (b[i] - (z - diag * x[i])) / diag
+    else:
+        rng = range(N - 1, -1, -1) if reverse else range(N)
+        for i in rng:
+            lo, hi = indptr[i], indptr[i + 1]
+            cols = indices[lo:hi]
+            vals = data[lo:hi]
+            z = vals @ x[cols]
+            diag = vals[cols == i][0]
+            x[i] = (b[i] - (z - diag * x[i])) / diag
+    if writeback:
+        x_in[...] = x
+        return x_in
     return x
 
 
 def gauss_seidel_sweep_indexed(A, x, b, rows, reverse=False):
-    """Gauss-Seidel sweep over the given row subset, in the given order."""
+    """Gauss-Seidel sweep over the given row subset, in the given order
+    (non-contiguous/non-f64 `x` is updated through a copy-back)."""
     indptr, indices, data = _csr_arrays(A)
     rows = np.ascontiguousarray(rows, dtype=np.int64)
+    x_in = x
+    x, writeback = _x_buffer(x)
     b = np.ascontiguousarray(b, dtype=np.float64)
     lib = get_lib()
     if lib is not None:
         lib.gauss_seidel_csr_indexed(_i64(indptr), _i64(indices), _f64(data),
                                      _f64(x), _f64(b), _i64(rows), len(rows),
                                      int(reverse))
-        return x
-    order = rows[::-1] if reverse else rows
-    for i in order:
-        lo, hi = indptr[i], indptr[i + 1]
-        cols = indices[lo:hi]
-        vals = data[lo:hi]
-        z = vals @ x[cols]
-        diag = vals[cols == i][0]
-        x[i] = (b[i] - (z - diag * x[i])) / diag
+    else:
+        order = rows[::-1] if reverse else rows
+        for i in order:
+            lo, hi = indptr[i], indptr[i + 1]
+            cols = indices[lo:hi]
+            vals = data[lo:hi]
+            z = vals @ x[cols]
+            diag = vals[cols == i][0]
+            x[i] = (b[i] - (z - diag * x[i])) / diag
+    if writeback:
+        x_in[...] = x
+        return x_in
     return x
 
 

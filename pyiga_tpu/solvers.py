@@ -12,8 +12,6 @@ TPU additions: a matrix-free jitted conjugate-gradient solver
 mlmatrix / Kronecker matvecs), used by the benchmark path.
 """
 
-from functools import reduce
-
 import numpy as np
 import scipy.linalg
 import scipy.sparse
@@ -67,7 +65,21 @@ def _as_operand_fn(op):
     fn = getattr(op, 'apply_with_operands', None)
     if fn is not None:
         return op.operands, fn
-    return None, (lambda operands, v: op(v))
+    # weak reference: the wrapper ends up as a VALUE in the weak-key solver
+    # caches, and a strong `op` capture would keep its own key alive forever
+    # (leaking the compiled executable plus every array the closure holds)
+    import weakref
+    try:
+        op_ref = weakref.ref(op)
+    except TypeError:
+        return None, (lambda operands, v: op(v))
+
+    def call(operands, v):
+        f = op_ref()
+        if f is None:       # unreachable while the cache entry exists
+            raise RuntimeError('operator was garbage-collected')
+        return f(v)
+    return None, call
 
 
 def _op_key(op):
@@ -365,11 +377,15 @@ def gmres_jit(matvec, b, x0=None, tol=1e-8, restart=30, max_restarts=100,
             def body(j, state):
                 V, H, cs, sn, g, done, j_eff = state
                 w = mv_fn(mv_ops, pc_fn(pc_ops, V[j]))
-                # masked modified Gram-Schmidt (contract against all rows,
-                # zero out the not-yet-computed ones)
+                # masked classical Gram-Schmidt with one reorthogonalization
+                # pass (CGS2, "twice is enough"): matmul-shaped like CGS but
+                # with MGS-grade orthogonality in floating point
                 mask = (jnp.arange(m + 1) <= j)
                 h = (V @ w) * mask
                 w = w - V.T @ h
+                h2 = (V @ w) * mask
+                w = w - V.T @ h2
+                h = h + h2
                 wnorm = jnp.linalg.norm(w)
                 h = h.at[j + 1].set(wnorm)
                 V_new = V.at[j + 1].set(w / jnp.maximum(wnorm, eps_break))
@@ -414,8 +430,13 @@ def gmres_jit(matvec, b, x0=None, tol=1e-8, restart=30, max_restarts=100,
             g_m = jnp.where(idx < j_eff, g[:m], 0.0)
             y = jax.scipy.linalg.solve_triangular(Hm, g_m, lower=False)
             x = x0 + pc_fn(pc_ops, V[:m].T @ y)
-            res = jnp.abs(g[j_eff])
-            return x, res, j_eff
+            # TRUE residual, not the Givens recurrence estimate |g[j_eff]|
+            # (the estimate drifts below the true residual once
+            # orthogonality degrades); packed with j_eff so the host pays
+            # ONE ~28 ms fetch per cycle
+            res_true = jnp.linalg.norm(b - mv_fn(mv_ops, x))
+            return x, jnp.stack([res_true,
+                                 j_eff.astype(jnp.result_type(b.dtype))])
 
         per_op[key] = cycle
 
@@ -424,7 +445,8 @@ def gmres_jit(matvec, b, x0=None, tol=1e-8, restart=30, max_restarts=100,
     x = x0
     total = 0
     for _ in range(max_restarts):
-        x, res, j_eff = cycle(x, b, mv_ops, pc_ops, abs_tol)
+        x, info = cycle(x, b, mv_ops, pc_ops, abs_tol)
+        res, j_eff = np.asarray(info)
         total += int(j_eff)
         if float(res) <= tol * norm_b:
             return x, total
@@ -568,11 +590,12 @@ def local_mg_step(hs, A, f, Ps, lv_inds, smoother='symmetric_gs',
     direct = {lv: make_solver(As[lv][lv_inds[lv]][:, lv_inds[lv]], spd=True)
               for lv in exact_on}
 
+    if relax_backend not in ('host', 'device', 'auto'):
+        raise ValueError("relax_backend must be 'host', 'device' or 'auto'")
     if relax_backend == 'auto':
         import jax
         relax_backend = ('device' if jax.default_backend() != 'cpu'
                          else 'host')
-    assert relax_backend in ('host', 'device')
 
     if relax_backend == 'device' and smoother != 'exact':
         from .ops.relax import DeviceIndexedGS

@@ -212,3 +212,47 @@ def test_gmres_cache_key_not_id():
                               restart=n)
     assert len(per_op) == 2, 'rebuilt preconditioner must get its own cycle'
     assert np.allclose(A @ np.asarray(x2), rhs, atol=1e-8)
+
+
+def test_solver_cache_evicts_plain_callables():
+    # the fallback matvec wrapper must hold the operator weakly: a strong
+    # capture keeps the weak-key cache entry (and the operator's device
+    # arrays) alive forever
+    import gc
+    import weakref
+    from pyiga_tpu.solvers import cg_jit
+
+    import jax.numpy as jnp
+    n = 40
+    A = np.diag(np.arange(1.0, n + 1))
+    Ad = jnp.asarray(A)
+    mv = lambda v: Ad @ v
+    b = jnp.asarray(np.ones(n))
+    x, _ = cg_jit(mv, b, tol=1e-10)
+    assert np.linalg.norm(A @ np.asarray(x) - 1.0) < 1e-8
+    ref = weakref.ref(mv)
+    del mv, x
+    gc.collect()
+    assert ref() is None
+
+
+def test_gauss_seidel_noncontiguous_x():
+    # non-contiguous / non-f64 x must still be updated (the native kernel
+    # works on a converted buffer and copies back)
+    import scipy.sparse
+    from pyiga_tpu.solvers import gauss_seidel
+
+    n = 30
+    rng = np.random.default_rng(0)
+    A = scipy.sparse.csr_matrix(np.diag(np.full(n, 4.0))
+                                + scipy.sparse.random(n, n, 0.1,
+                                                      random_state=0))
+    b = rng.random(n)
+    x_ref = np.zeros(n)
+    gauss_seidel(A, x_ref, b, iterations=5)
+    X = np.zeros((n, 2))
+    gauss_seidel(A, X[:, 0], b, iterations=5)
+    assert np.array_equal(X[:, 0], x_ref)
+    x32 = np.zeros(n, dtype=np.float32)
+    gauss_seidel(A, x32, b, iterations=5)
+    assert np.allclose(x32, x_ref, atol=1e-6)
