@@ -529,7 +529,7 @@ def run_localmg(device, p=3, n0=24, disparity=1, num_levels=3):
     order-exact wavefront Gauss-Seidel (ops/relax.py), device-resident on
     accelerators."""
     import jax
-    from pyiga_tpu import assemble, geometry, solvers, vform
+    from pyiga_tpu import geometry, solvers, vform
     from pyiga_tpu.bspline import make_knots
     from pyiga_tpu.hierarchical import HDiscretization, HSpace
 

@@ -12,7 +12,6 @@ and 'packed' (interleaved) layouts.
 """
 
 import itertools
-import math
 
 import numpy as np
 import scipy.sparse

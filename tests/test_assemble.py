@@ -2,14 +2,13 @@ import os.path
 
 import numpy as np
 import scipy.sparse
-from scipy.sparse import kron as spkron
 
 from pyiga_tpu import assemblers, bspline, geometry
 from pyiga_tpu.assemble import (
     assemble_entries, boundary_dofs, bsp_mass_1d, bsp_mass_1d_asym,
     bsp_mixed_deriv_biform_1d, bsp_mixed_deriv_biform_1d_asym,
     bsp_stiffness_1d, bsp_stiffness_1d_asym, bsp_stiffness_2d,
-    bsp_stiffness_3d, combine_bcs, compute_dirichlet_bc, compute_dirichlet_bcs,
+    bsp_stiffness_3d, compute_dirichlet_bcs,
     inner_products, integrate, mass, stiffness, RestrictedLinearSystem,
 )
 from pyiga_tpu.approx import interpolate

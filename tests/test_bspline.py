@@ -2,7 +2,7 @@ import numpy as np
 
 from pyiga_tpu.bspline import (
     KnotVector, make_knots, numdofs, ev, deriv, single_ev, active_ev,
-    active_deriv, collocation, collocation_derivs, interpolate, project_L2,
+    collocation, collocation_derivs, interpolate, project_L2,
     prolongation, knot_insertion, findspans, tp_bsp_eval_pointwise,
     tp_bsp_jac_pointwise,
 )

@@ -3,7 +3,6 @@ import scipy.sparse
 from numpy.random import rand
 
 from pyiga_tpu import utils
-from pyiga_tpu.mlmatrix import MLStructure
 
 
 def test_grid_eval():

@@ -11,8 +11,8 @@ from pyiga_tpu.assemble import (
 )
 from pyiga_tpu.compile import compile_vform
 from pyiga_tpu.vform import (
-    VForm, divdiv_vf, dx, grad, heat_st_vf, inner, mass_vf, parse_vf,
-    stiffness_vf, wave_st_vf, L2functional_vf,
+    VForm, dx, grad, heat_st_vf, inner, mass_vf, parse_vf,
+    stiffness_vf, wave_st_vf,
 )
 
 

@@ -1,5 +1,3 @@
-import numpy as np
-
 from pyiga_tpu import bspline
 from pyiga_tpu.hierarchical import HSpace
 
