@@ -362,6 +362,17 @@ def _physical_field_derivs(f, geo, grid, comp_shape, with_hessian=False):
 _PRUNE_CACHE = {}
 
 
+def _effective_platform():
+    """Platform computation actually lands on: honors an explicit
+    jax.default_device pin (e.g. the bench's CPU comparator runs with the
+    TPU still registered as the default backend).  The pair fast path must
+    never run as ONE fused jit on CPU — the pinned-CPU pipeline miscompiles
+    the error-free f32 transforms (see CLAUDE.md)."""
+    import jax
+    pin = jax.config.jax_default_device
+    return pin.platform if pin is not None else jax.default_backend()
+
+
 class VFormAssembler:
     """Assembler for a compiled :class:`~pyiga_tpu.vform.VForm`.
 
@@ -503,6 +514,13 @@ class VFormAssembler:
         setup = geom.geo_eval_tables(self.geo, self.grid, numderiv=geo_derivs)
         if setup is None:
             # unstructured geometry: evaluate on host
+            if geo_derivs >= 2:
+                # fail clearly up front instead of a KeyError mid-trace
+                raise NotImplementedError(
+                    'this form needs second geometry derivatives, which are '
+                    'only available for spline/NURBS geometries; wrap the '
+                    'geometry as a BSplineFunc/NurbsFunc (e.g. via '
+                    'approx.interpolate) to use it here')
             arrays['geo_jac_lvl'] = geom.host_jacobian_levelorder(
                 self.geo, self.grid)
             val = geom.host_eval(self.geo, self.grid)       # grid x dim
@@ -600,6 +618,11 @@ class VFormAssembler:
             self._build_arrays()
         if hasattr(self, '_full_mlm'):
             del self._full_mlm
+        # the ACA slice paths cache device-resident coefficient fields and
+        # term tables; they reflect the OLD inputs/geometry after an update
+        self._fields_cache = None
+        self._pair_fields_cache = None
+        self._tables_cache = None
 
     # -- evaluation -------------------------------------------------------------
 
@@ -1167,47 +1190,26 @@ class VFormAssembler:
         return inputs, term_tables, tperms
 
     def _run(self, mode='exact'):
-        import jax
-        import jax.numpy as jnp
-        from . import config
-
-        if mode == 'ozaki' and self.arity == 2 and self._supports_pair_eval():
-            # emulation-free upgrade: two-float fields + pair-chained Ozaki
-            mode = 'pair'
-
-        # The local XLA:CPU pipeline of this JAX version miscompiles the
-        # error-free f32 transformations when fused into one jit program
-        # (measured here: pair fields 1e-14 -> 5e-8); on CPU the pair path
-        # exists only for validation, so run it op-by-op (same workaround
-        # as sumfac.run_matrix_assembly_pair).
-        eager = (mode == 'pair' and jax.default_backend() == 'cpu')
-
-        fold = getattr(self, '_fold_plan', None)
-        key = (self.vf.hash(), tuple(map(repr, self.combos)),
-               tuple(fold) if fold is not None else None,
-               self._geo_tables is None,
-               getattr(self, '_geo_is_nurbs', None),
-               self._needs_geo_hessian(), mode, eager)
-        fn = VFormAssembler._JIT_CACHE.get(key)
-        if fn is None:
-            fn = self._assembly_fn(mode)
-            if not eager:
-                fn = jax.jit(fn)
-            VFormAssembler._JIT_CACHE[key] = fn
-
-        inputs, term_tables, tperms = self._device_operands(mode)
-        blocks = fn(inputs, term_tables, tperms)
+        """Host-side assembly: :meth:`run_device` + one transfer."""
+        blocks = self.run_device(mode)
         return {k: np.asarray(v, dtype=np.float64) for k, v in blocks.items()}
 
     def run_device(self, mode='exact'):
-        """Like :meth:`_run` but returns the device-resident block arrays
-        (no host transfer) — for device-side pipelines and benchmarks."""
+        """Assemble to device-resident block arrays.
+
+        ``mode='ozaki'`` upgrades to the emulation-free two-float pair path
+        when the form supports it, preferring the fused Pallas stage kernels
+        (:meth:`_run_pallas_pair`) when the shapes tile.  On an effective
+        CPU platform the pair path runs op-by-op: the local XLA:CPU pipeline
+        of this JAX version miscompiles the error-free f32 transformations
+        when fused into one jit program (measured: pair fields 1e-14 ->
+        5e-8; same workaround as sumfac.run_matrix_assembly_pair)."""
         import jax
 
         fold = getattr(self, '_fold_plan', None)
         if mode == 'ozaki' and self.arity == 2 and self._supports_pair_eval():
             mode = 'pair'
-        eager = (mode == 'pair' and jax.default_backend() == 'cpu')
+        eager = (mode == 'pair' and _effective_platform() == 'cpu')
         if mode == 'pair' and not eager:
             out = self._run_pallas_pair()
             if out is not None:
@@ -1336,6 +1338,15 @@ class VFormAssembler:
         if not self.vf.vec:
             return blocks[(None, None)]
         ncomp = self.vf.basis_funs[0].numcomp
+        # components whose combos were all pruned as structural zeros
+        # (e.g. f * v[0] * dx on a 2-component space) assemble to zero
+        zero = None
+        for c in range(ncomp):
+            if (None, c) not in blocks:
+                if zero is None:
+                    shape = next(iter(blocks.values())).shape
+                    zero = np.zeros(shape)
+                blocks[(None, c)] = zero
         return np.stack([blocks[(None, c)] for c in range(ncomp)], axis=-1)
 
     # -- reference-compat helpers -------------------------------------------------
@@ -1345,19 +1356,20 @@ class VFormAssembler:
     def _device_fields(self):
         """Compute (once) the per-combo coefficient fields on device and keep
         them resident; used by the slice evaluator."""
-        if getattr(self, '_fields_cache', None) is None:
+        from . import config
+        dtype = np.dtype(config.get_dtype())
+        cache = getattr(self, '_fields_cache', None)
+        if cache is None or cache[0] != dtype:
             import jax
             import jax.numpy as jnp
-            from . import config
-            dtype = config.get_dtype()
             inputs = jax.tree_util.tree_map(
                 lambda x: jnp.asarray(x, dtype=dtype)
                 if np.issubdtype(np.asarray(x).dtype, np.floating)
                 else jnp.asarray(x),
                 self._device_inputs())
             fn = jax.jit(lambda inp: self._eval_combo_fields(inp, self.combos))
-            self._fields_cache = fn(inputs)
-        return self._fields_cache
+            self._fields_cache = cache = (dtype, fn(inputs))
+        return cache[1]
 
     def _slice_mode(self):
         """Slice-evaluation mode for ACA: 'pair' (two-float fields +
@@ -1467,16 +1479,18 @@ class VFormAssembler:
         evaluators (cached; fields stay in HBM across ACA pivots)."""
         import jax
         from . import config
-        if getattr(self, '_tables_cache', None) is None:
+        dtype = np.float64 if mode == 'pair' else config.get_dtype()
+        cache = getattr(self, '_tables_cache', None)
+        # keyed by the effective dtype: a mode/config change between slice
+        # calls must not silently reuse tables of the wrong precision
+        if cache is None or cache[0] != np.dtype(dtype):
             import jax.numpy as jnp
-            dtype = config.get_dtype()
-            self._tables_cache = jax.tree_util.tree_map(
-                lambda x: jnp.asarray(x, dtype=np.float64
-                                      if mode == 'pair' else dtype),
-                self._term_tables_for(self.combos))
+            self._tables_cache = cache = (np.dtype(dtype), jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, dtype=dtype),
+                self._term_tables_for(self.combos)))
         fields = (self._device_pair_fields() if mode == 'pair'
                   else self._device_fields())
-        return fields, self._tables_cache
+        return fields, cache[1]
 
     def compact_slice(self, fixed):
         """Evaluate a slice of the compact data tensor with the axes in the
@@ -1506,6 +1520,7 @@ class VFormAssembler:
         """Entry lookup (i, j) -> value for a list of global index pairs
         (used by ACA and hierarchical partial assembly).  Assembles the full
         compact tensor once and gathers."""
+        assert not self.vf.vec, 'use multi_blocks for vector-valued forms'
         if not hasattr(self, '_full_mlm'):
             self._full_mlm = self.assemble().asmatrix('csr')
         indices = np.asarray(indices)

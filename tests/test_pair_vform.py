@@ -186,3 +186,39 @@ def test_prune_probe_cached_across_instances():
     C._PRUNE_CACHE.clear()
     A2b = assemble.assemble_entries(cls(kvs2, geo=geo))
     assert abs(A2 - A2b).max() < 1e-14
+
+
+def test_compact_slice_fresh_after_update():
+    # update() must invalidate the ACA slice caches — a stale cached field
+    # set made compact_slice silently return the OLD geometry's entries
+    from pyiga_tpu.vform import stiffness_vf
+
+    kvs = 2 * (bspline.make_knots(2, 0.0, 1.0, 5),)
+    asm = compile_vform(stiffness_vf(2))(kvs,
+                                         geo=geometry.quarter_annulus())
+    row_before = asm.compact_slice({0: 1})
+    asm.update(geo=geometry.bspline_quarter_annulus())
+    row_after = asm.compact_slice({0: 1})
+    asm2 = compile_vform(stiffness_vf(2))(
+        kvs, geo=geometry.bspline_quarter_annulus())
+    row_ref = asm2.compact_slice({0: 1})
+    assert abs(row_after - row_ref).max() < 1e-10
+    assert abs(row_after - row_before).max() > 1e-6    # geometry did change
+
+
+def test_assemble_vector_pruned_component():
+    # a vector functional that uses only one component: the pruned
+    # component's block assembles to zeros instead of KeyError
+    from pyiga_tpu import assemble
+    from pyiga_tpu.vform import VForm, dx
+
+    kvs = 2 * (bspline.make_knots(2, 0.0, 1.0, 5),)
+    V = VForm(2, arity=1)
+    v = V.basisfuns(components=(2,))
+    f = V.input('f')
+    V.add(f * v[0] * dx)
+    b = compile_vform(V)(kvs, geo=geometry.quarter_annulus(),
+                         f=lambda x, y: 1.0 + 0 * x).assemble_vector()
+    assert b.shape[-1] == 2
+    assert abs(b[..., 0]).max() > 0
+    assert abs(b[..., 1]).max() == 0
