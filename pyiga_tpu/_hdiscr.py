@@ -14,17 +14,23 @@ import numpy as np
 import scipy.sparse
 
 from . import compile as compile_mod
-from . import mlmatrix
 
 _EMPTY = np.empty(0, dtype=np.intp)
 
 
 def _assemble_partial_rows(asm, row_indices):
-    """Assemble only the given rows of the full TP matrix."""
-    S = mlmatrix.MLStructure.from_kvs(*asm.kvs)
-    I, J = S.nonzeros_for_rows(row_indices)
-    data = asm.multi_entries(np.column_stack((I, J)))
-    return scipy.sparse.coo_matrix((data, (I, J)), shape=S.shape).tocsr()
+    """The given rows of the full TP matrix (zeros elsewhere).
+
+    The assembler evaluates over its bbox-restricted Gauss grid and its
+    compact tensor is assembled once; the requested rows are then sliced
+    straight out of the CSR (the former nonzeros_for_rows + per-entry
+    gather re-derived the structural indices in a Python loop only to
+    fetch entries the CSR already held)."""
+    A = asm.assemble().asmatrix('csr')
+    rows = np.asarray(row_indices, dtype=np.intp)
+    sub = A[rows].tocoo()
+    return scipy.sparse.coo_matrix(
+        (sub.data, (rows[sub.row], sub.col)), shape=A.shape).tocsr()
 
 
 class HDiscretization:
@@ -165,6 +171,10 @@ class HDiscretization:
         RhsAsm = compile_mod.compile_vform(vf, on_demand=True)
         args = self._inputs_for(vf)
 
+        if vf.vec:
+            raise NotImplementedError(
+                'vector-valued hierarchical discretization is not supported'
+                ' (the component axis would fold into the flat dof index)')
         hs = self.hs
         pieces = []
         for k, rows in enumerate(hs.active_indices()):

@@ -48,10 +48,12 @@ class TensorGenerator:
 
     @staticmethod
     def from_array(X):
+        # np.array copy: basic indexing would return live views of X, and
+        # ACA drivers mutate the slices they receive (pivot zeroing)
         return TensorGenerator(
             X.shape, lambda I: X[tuple(I)],
-            slicefunc=lambda fixed: X[tuple(
-                fixed.get(k, slice(None)) for k in range(X.ndim))])
+            slicefunc=lambda fixed: np.array(X[tuple(
+                fixed.get(k, slice(None)) for k in range(X.ndim))]))
 
     def entry(self, I):
         if self.slicefunc is not None:
@@ -373,6 +375,9 @@ def aca_3d(A, tol=1e-10, maxiter=100, skipcount=3, tolcount=3, verbose=2,
         if not ctl.advance():
             break
     if lr:
+        if not cols:        # no cross accepted (e.g. zero tensor)
+            return tensor.TensorSum(tensor.TensorProd(
+                np.zeros(A.shape[0]), np.zeros(A.shape[1:])))
         return tensor.TensorSum(*(tensor.TensorProd(c, M)
                                   for c, M in zip(cols, mats)))
     if dense:
@@ -494,6 +499,8 @@ def fast_assemble(asm, kvs, tol=1e-10, maxiter=100, skipcount=3,
     ``method='host'`` forces the materialized-slice host driver."""
     import jax
 
+    if method not in ('auto', 'host'):
+        raise ValueError("method must be 'auto' or 'host'")
     S = asm.structure
     if S.L == 2:
         X = aca(compact_generator(asm), tol=tol, maxiter=maxiter,
