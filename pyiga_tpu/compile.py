@@ -1138,12 +1138,17 @@ class VFormAssembler:
             # scalar symmetric form: folded chains + transpose gather.
             # tperms are traced arguments — the jit cache is shared across
             # space sizes, so nothing size-dependent may be closed over.
+            # (last_idx is structural — which terms share a last table is
+            # set by the derivative indices, identical across sizes.)
             plan = tuple(fold_plan)
+            last_idx = sumfac.last_table_groups(
+                self._term_tables_for(combos))
 
             def fn(inputs, term_tables, tperms):
                 fields = self._eval_combo_fields(inputs, combos)
                 Y = sumfac.assemble_terms_folded(term_tables, fields,
-                                                 plan, tperms, mode=mode)
+                                                 plan, tperms, mode=mode,
+                                                 last_idx=last_idx)
                 return {(None, None): Y}
             return fn
 

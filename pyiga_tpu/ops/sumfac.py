@@ -33,6 +33,17 @@ from .basis import dense_basis_table
 # Contraction chains (traced)
 ################################################################################
 
+def _dot_precision(dtype):
+    """Matmul precision for plain (non-Ozaki) contractions: TPU f32 dots
+    default to ONE bf16 MXU pass (~2^-8 relative); the float32 fast path
+    promises ~1e-7 accuracy vs f64, so f32 dots request full precision
+    (multi-pass bf16).  f64 (emulated) and the bf16 Ozaki dots are
+    unaffected."""
+    import jax
+    return (jax.lax.Precision.HIGHEST
+            if jnp.dtype(dtype) == jnp.float32 else None)
+
+
 def contract_chain(tables, field):
     """Contract ``field (Q_1 x ... x Q_d)`` against per-axis tables
     ``tables[k] (m_k, Q_k)``; returns an ``(m_1, ..., m_d)`` tensor.
@@ -41,7 +52,9 @@ def contract_chain(tables, field):
     X = field
     for k in range(len(tables)):
         # contract axis k (currently holding Q_k), put result axis back at k
-        X = jnp.moveaxis(jnp.tensordot(X, tables[k], axes=(k, 1)), -1, k)
+        X = jnp.moveaxis(jnp.tensordot(X, tables[k], axes=(k, 1),
+                                       precision=_dot_precision(X.dtype)),
+                         -1, k)
     return X
 
 
@@ -74,6 +87,10 @@ def _ozaki_slice(V, axis, L=_OZAKI_L, w=_OZAKI_W, n_hi=3):
     # exp2 is approximate even at integer inputs): f32 rounding of `a` can
     # at worst land r marginally above 1, which the trunc chunks absorb.
     a32 = jnp.where(a > 0, a, 1.0).astype(jnp.float32)
+    # subnormal maxima (f64 values < ~1e-38, valid in plain f64) would give
+    # a zero/denormal scale; clamping to the minimum normal only costs
+    # relative accuracy on rows that are themselves below f32 range
+    a32 = jnp.maximum(a32, jnp.float32(2.0 ** -126))
     _, e = jnp.frexp(a32)
     s = jnp.ldexp(jnp.ones_like(a32), e).astype(V.dtype)
     r = V / s
@@ -148,8 +165,10 @@ def _ozaki_slice_pair(hi, lo, axis, L=_OZAKI_L, w=_OZAKI_W):
     power-of-2 f32 scale."""
     n_hi = 24 // w
     a = jnp.max(jnp.abs(hi), axis=axis, keepdims=True)
-    # exact power-of-2 scale with s >= a (see _ozaki_slice)
-    _, e = jnp.frexp(jnp.where(a > 0, a, 1.0))
+    # exact power-of-2 scale with s >= a (see _ozaki_slice); subnormal
+    # maxima clamp to the minimum normal so the reciprocal stays finite
+    a = jnp.maximum(jnp.where(a > 0, a, 1.0), jnp.float32(2.0 ** -126))
+    _, e = jnp.frexp(a)
     s = jnp.ldexp(jnp.ones_like(a), e)   # exact (f32 exp2 is approximate!)
     r = hi / s                       # exact (power-of-2 divide)
     chunks = []
@@ -161,13 +180,19 @@ def _ozaki_slice_pair(hi, lo, axis, L=_OZAKI_L, w=_OZAKI_W):
     if L > n_hi:
         # the tail: remaining hi bits (elements below the per-vector max
         # still have mantissa below the chunk grid) plus lo
-        r32 = (r + lo / s) * jnp.float32(2.0 ** (w * n_hi))
+        up = jnp.float32(2.0 ** (w * n_hi))
+        r32 = (r + lo / s) * up
         for i in range(n_hi, L):
             scale = jnp.float32(2.0 ** (w * (i + 1 - n_hi)))
             q = jnp.trunc(r32 * scale) / scale
-            chunks.append((q * jnp.float32(2.0 ** (-w * n_hi)))
-                          .astype(jnp.bfloat16))
-            r32 = r32 - q
+            qb = (q * jnp.float32(2.0 ** (-w * n_hi))).astype(jnp.bfloat16)
+            chunks.append(qb)
+            # subtract what was actually STORED: |r32| can reach ~1.5 (the
+            # lo fold), making the first tail chunk 9 bits wide — bf16
+            # rounds it, and subtracting the unrounded q would lose up to
+            # ~2^-32 of the row scale permanently; subtracting the rounded
+            # value lets the next chunk absorb the rounding
+            r32 = r32 - qb.astype(jnp.float32) * up
     return chunks, s
 
 
@@ -262,13 +287,28 @@ def _contract_last(X, table, mode='exact'):
     d = X.ndim - 1
     if mode == 'ozaki':
         return _ozaki_contract_axis(X, d, table)
-    return jnp.moveaxis(jnp.tensordot(X, table, axes=(d, 1)), -1, d)
+    return jnp.moveaxis(jnp.tensordot(X, table, axes=(d, 1),
+                                      precision=_dot_precision(X.dtype)),
+                        -1, d)
 
 
-def _sum_chains_merged(term_tables, fields, idxs, mode='exact'):
+def last_table_groups(term_tables):
+    """Host-side canonical group id of each term's LAST table (by object
+    identity — the pair-table cache interns shared tables).  Must be
+    computed on CONCRETE tables before jit: traced pytree leaves are
+    distinct tracers, so in-trace id() grouping never merges (the same
+    defect class fixed for the Pallas fold in commit f686fd4)."""
+    seen, out = {}, []
+    for tabs in term_tables:
+        out.append(seen.setdefault(id(tabs[-1]), len(seen)))
+    return tuple(out)
+
+
+def _sum_chains_merged(term_tables, fields, idxs, mode='exact',
+                       last_idx=None):
     """Sum of chains over the term subset `idxs`, merging the final
     contraction stage across terms that share the same last-axis pair table
-    (same array object — the pair-table cache guarantees identity): their
+    (`last_idx` from :func:`last_table_groups`, computed host-side): their
     stage-(d-1) results are summed first and the most expensive contraction
     (the one producing the full compact tensor) runs once per distinct table.
     The final stage is the dominant f64-emulation cost (output-proportional),
@@ -276,7 +316,8 @@ def _sum_chains_merged(term_tables, fields, idxs, mode='exact'):
     chain = contract_chain_ozaki if mode == 'ozaki' else contract_chain
     groups = {}
     for t in idxs:
-        groups.setdefault(id(term_tables[t][-1]), []).append(t)
+        key = last_idx[t] if last_idx is not None else id(term_tables[t][-1])
+        groups.setdefault(key, []).append(t)
     out = None
     for key, ts in groups.items():
         partial = None
@@ -288,17 +329,18 @@ def _sum_chains_merged(term_tables, fields, idxs, mode='exact'):
     return out
 
 
-def assemble_terms(term_tables, fields, mode='exact'):
+def assemble_terms(term_tables, fields, mode='exact', last_idx=None):
     """Sum of contraction chains: one term per derivative combination.
-    Terms sharing the last-axis pair table merge their final stage.
+    Terms sharing the last-axis pair table merge their final stage when
+    `last_idx` (host-computed, :func:`last_table_groups`) is given.
     ``mode='ozaki'`` uses the bf16-split f64 contraction (see
     :func:`contract_chain_ozaki`)."""
     return _sum_chains_merged(term_tables, fields, range(len(term_tables)),
-                              mode)
+                              mode, last_idx=last_idx)
 
 
 def assemble_terms_folded(term_tables, fields, fold_plan, tperms,
-                          mode='exact'):
+                          mode='exact', last_idx=None):
     """Symmetric-term folding: compute only one chain per mirrored term pair.
 
     For a symmetric form (e.g. stiffness, where the coefficient field
@@ -316,10 +358,15 @@ def assemble_terms_folded(term_tables, fields, fold_plan, tperms,
     coefficient fields."""
     direct = [t for t, m in fold_plan if not m]
     mirrored = [t for t, m in fold_plan if m]
-    out = (_sum_chains_merged(term_tables, fields, direct, mode)
+    if mirrored and not tperms:
+        raise ValueError('fold_plan has mirrored terms but no tperms — '
+                         'the untransposed sum would be silently wrong')
+    out = (_sum_chains_merged(term_tables, fields, direct, mode,
+                              last_idx=last_idx)
            if direct else None)
     if mirrored:
-        sym = _sum_chains_merged(term_tables, fields, mirrored, mode)
+        sym = _sum_chains_merged(term_tables, fields, mirrored, mode,
+                                 last_idx=last_idx)
         symT = sym
         for k, p in enumerate(tperms):
             symT = jnp.take(symT, p, axis=k)
@@ -368,7 +415,8 @@ def _windowed_stage(X, P, fs, nqp):
     W = jnp.concatenate([X4[c:c + nwin][:, None] for c in range(pspan)],
                         axis=1)
     G = jnp.take(W.reshape((nwin, wsz) + rest), fs, axis=0)
-    Y = jnp.einsum('iw...,iow->...oi', G, P)
+    Y = jnp.einsum('iw...,iow->...oi', G, P,
+                   precision=_dot_precision(X.dtype))
     return Y.reshape(rest + (b * n,))
 
 
@@ -520,6 +568,10 @@ class SpaceTables:
             Bt, Bu = self.test[k][dv], self.trial[k][du]
             n, Q = Bt.shape
             assert Bu.shape[0] == n, 'windowed layout requires square blocks'
+            # the (p+1)-span window is sized by the TRIAL degree; a
+            # higher-degree test space would be silently truncated
+            assert self.kvs1[k].p == p, \
+                'windowed layout requires equal trial/test degrees'
             nspans = Q // nqp
             nwin = nspans - p
             assert nwin >= 1, 'windowed layout needs more spans than degree'
@@ -597,7 +649,9 @@ def run_windowed_assembly(field_fn, geo_inputs, wterm_tables, fss, nqps,
 
     dtype = config.get_dtype()
     geo_inputs = jax.tree_util.tree_map(
-        lambda x: jnp.asarray(x, dtype=dtype), geo_inputs)
+        lambda x: jnp.asarray(x, dtype=dtype)
+        if np.issubdtype(np.asarray(x).dtype, np.floating)
+        else jnp.asarray(x), geo_inputs)
     wterm_tables = jax.tree_util.tree_map(
         lambda x: jnp.asarray(x, dtype=dtype), wterm_tables)
     fss = [jnp.asarray(f) for f in fss]
@@ -639,27 +693,31 @@ def run_matrix_assembly(field_fn, geo_inputs, term_tables, fold_plan=None,
     :func:`assemble_terms_folded` (symmetric mirroring).  Results come back
     as numpy float64/float32 depending on :func:`pyiga_tpu.config.get_dtype`.
     """
+    last_idx = last_table_groups(term_tables)   # host side: concrete tables
     key = (field_fn, tuple(fold_plan) if fold_plan is not None else None,
-           mode)
+           mode, last_idx)
     fn = _KERNEL_CACHE.get(key)
     if fn is None:
         if fold_plan is None:
             def kernel(geo_inputs, term_tables):
                 return assemble_terms(term_tables, field_fn(geo_inputs),
-                                      mode)
+                                      mode, last_idx=last_idx)
         else:
             plan = tuple(fold_plan)
 
             def kernel(geo_inputs, term_tables, tperms):
                 return assemble_terms_folded(term_tables,
                                              field_fn(geo_inputs),
-                                             plan, tperms, mode)
+                                             plan, tperms, mode,
+                                             last_idx=last_idx)
         fn = jax.jit(kernel)
         _KERNEL_CACHE[key] = fn
 
     dtype = config.get_dtype()
     geo_inputs = jax.tree_util.tree_map(
-        lambda x: jnp.asarray(x, dtype=dtype), geo_inputs)
+        lambda x: jnp.asarray(x, dtype=dtype)
+        if np.issubdtype(np.asarray(x).dtype, np.floating)
+        else jnp.asarray(x), geo_inputs)
     term_tables = jax.tree_util.tree_map(
         lambda x: jnp.asarray(x, dtype=dtype), term_tables)
     if fold_plan is None:
@@ -698,10 +756,12 @@ def run_matrix_assembly_pair(pair_field_fn, geo_inputs, term_tables,
     if not on_cpu:
         # accelerator: fused Pallas stage kernels when the chain shapes
         # tile (VMEM chunk slicing + bf16 MXU dots + two-float combine;
-        # bit-identical to the XLA pair chains)
+        # same pair accuracy model as the XLA pair chains).  The kernels
+        # hard-code L=6 chunks; a different L request falls through to the
+        # XLA pair path below, which honors it.
         from . import pallas_sumfac as ps
         gshape = tuple(len(np.asarray(w)) for w in geo_inputs['weights'])
-        if ps.supported(term_tables, gshape):
+        if L == ps._L and ps.supported(term_tables, gshape):
             # fused Pallas field kernel when available for these inputs
             # (table geometries, or flat grids the jac-input kernel tiles)
             field_fn = pair_field_fn

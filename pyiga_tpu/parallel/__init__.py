@@ -81,6 +81,7 @@ def sharded_stiffness_step(asm, mesh, cg_iters=8, num_rhs=None):
     ``(data, X)``.  Used by the multichip dry run and the scaling benchmark.
     """
     from ..ops.mlmatvec import ml_matvec
+    from ..ops import sumfac as sumfac_mod
     from ..ops.sumfac import assemble_terms
 
     S = asm.structure
@@ -92,6 +93,8 @@ def sharded_stiffness_step(asm, mesh, cg_iters=8, num_rhs=None):
 
     field_fn = asm.field_fn
     d = asm.dim
+    # host-side: which terms share a last table (merging is inert in-trace)
+    last_idx = sumfac_mod.last_table_groups(asm.tables.term_tables(asm.terms))
 
     data_spec = _spec(mesh, 'space')            # shard compact data level 0
     dof_spec_names = ('rhs', 'space') if have_rhs_axis else (None, 'space')
@@ -101,7 +104,7 @@ def sharded_stiffness_step(asm, mesh, cg_iters=8, num_rhs=None):
         fields = field_fn(geo_inputs)
         fields = [jax.lax.with_sharding_constraint(C, _spec(mesh, 'space'))
                   for C in fields]
-        data = assemble_terms(term_tables, fields)
+        data = assemble_terms(term_tables, fields, last_idx=last_idx)
         data = jax.lax.with_sharding_constraint(data, data_spec)
 
         # ---- fixed-iteration CG on batched rhs ----
@@ -210,8 +213,9 @@ def sharded_multipatch_data(asms, mesh, mode='exact'):
     from ..ops import sumfac
 
     a0 = asms[0]
-    tt = jax.tree_util.tree_map(jnp.asarray,
-                                a0.tables.term_tables(a0.terms))
+    tt_np = a0.tables.term_tables(a0.terms)
+    last_idx = sumfac.last_table_groups(tt_np)
+    tt = jax.tree_util.tree_map(jnp.asarray, tt_np)
     fold_plan, tperms = a0._fold()
     field_fn = a0.field_fn
     gis = [a._geo_inputs for a in asms]
@@ -237,8 +241,10 @@ def sharded_multipatch_data(asms, mesh, mode='exact'):
             fields = field_fn(gi)
             if plan is not None:
                 return sumfac.assemble_terms_folded(tt, fields, plan,
-                                                    tperms_d, mode=mode)
-            return sumfac.assemble_terms(tt, fields, mode=mode)
+                                                    tperms_d, mode=mode,
+                                                    last_idx=last_idx)
+            return sumfac.assemble_terms(tt, fields, mode=mode,
+                                         last_idx=last_idx)
         out = jax.vmap(one)(gis_stacked)
         return jax.lax.with_sharding_constraint(out, spec)
 
