@@ -344,6 +344,14 @@ class RestrictedLinearSystem:
             b = np.broadcast_to(b, A.shape[0])
         if np.isscalar(values):
             values = np.broadcast_to(values, np.shape(indices)[0])
+        # R_elim's rows are in ascending dof order, so values must be
+        # sorted the same way (unsorted bcs silently mis-assigned values;
+        # the reference carries this exact bug as an open TODO).  Duplicate
+        # indices keep their first occurrence.
+        indices = np.asarray(indices, dtype=np.int64)
+        values = np.asarray(values)
+        uniq, first = np.unique(indices, return_index=True)
+        indices, values = uniq, values[first]
         self.values = values
 
         self.R_free, self.R_elim = self._splitting(A.shape[1], indices)
@@ -431,8 +439,15 @@ def _combine_vector_blocks(asm, blocks, format, layout):
     ncu, ncv = asm.vf.num_components()[:2] if asm.vf.arity == 2 else (1, 1)
     ncu = ncu or 1
     ncv = ncv or 1
-    zero = None
+    if not blocks:
+        raise ValueError('vector form assembled to no blocks')
     if layout == 'blocked':
+        if format == 'mlb':
+            raise ValueError("format='mlb' requires layout='packed' for "
+                             'vector-valued problems')
+        # structurally-zero (pruned) blocks become explicit zero matrices:
+        # bmat cannot size an all-None block row/column
+        zero = scipy.sparse.csr_matrix(asm.structure.shape)
         rows = []
         for cv in range(ncv):
             row = []
@@ -444,7 +459,7 @@ def _combine_vector_blocks(asm, blocks, format, layout):
     # packed: join a trailing dense (ncv, ncu) component level
     S = asm.structure.join(MLStructure.dense((ncv, ncu)))
     some = next(iter(blocks.values()))
-    data = np.zeros(some.data.shape + (ncv * ncu,))
+    data = np.zeros(some.data.shape + (ncv * ncu,), dtype=some.data.dtype)
     for (cu, cv), blk in blocks.items():
         data[..., cv * ncu + cu] = blk.data
     X = S.make_mlmatrix(data=data)
@@ -585,8 +600,7 @@ def assemble(problem, kvs, args=None, bfuns=None, boundary=None,
 def assemble_vf(vf, kvs, symmetric=False, format='csr', layout='blocked',
                 args=None, **kwargs):
     """Assemble a :class:`~pyiga_tpu.vform.VForm` into a matrix or vector."""
-    if args is None:
-        args = dict()
+    args = dict(args) if args is not None else dict()
     args.update(kwargs)
     return assemble(vf, kvs, symmetric=symmetric, format=format,
                     layout=layout, args=args)
@@ -910,8 +924,7 @@ class Multipatch:
         n = self.numdofs
         A = scipy.sparse.csr_matrix((n, n)).asformat(format)
         b = np.zeros(n)
-        if args is None:
-            args = dict()
+        args = dict(args) if args is not None else dict()
         for p in range(self.numpatches):
             X = self.patch_to_global(p)
             kvs, geo = self.patches[p]

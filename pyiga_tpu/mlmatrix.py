@@ -267,8 +267,11 @@ class MLStructure:
         return I, J
 
     def sequential_bidx(self):
-        """Per-level raveled nonzero indices (i * rows + j)."""
-        return [self.bs[j][0] * self.bidx[j][:, 0].astype(np.int64)
+        """Per-level raveled nonzero indices (``i * cols + j`` — the same
+        row-major convention :func:`from_seq`/:func:`reindex_from_multilevel`
+        decode; raveling by the ROW count was silently wrong for non-square
+        levels)."""
+        return [self.bs[j][1] * self.bidx[j][:, 0].astype(np.int64)
                 + self.bidx[j][:, 1] for j in range(self.L)]
 
 
@@ -319,6 +322,7 @@ class MLMatrix(scipy.sparse.linalg.LinearOperator):
         assert X.shape == self.datashape
         self._data = np.ascontiguousarray(X)
         self._csr_cache = None
+        self.dtype = self._data.dtype    # keep the LinearOperator honest
 
     def asmatrix(self, format='csr'):
         """Expand to a scipy sparse matrix."""

@@ -202,3 +202,35 @@ def test_assembler_positional_non_geo_input():
     A_pos = assemble_entries(cls(kvs, geo, cf))
     A_kw = assemble_entries(cls(kvs, geo=geo, coef=cf))
     assert abs(A_pos - A_kw).max() < 1e-15
+
+
+def test_restricted_system_unsorted_bcs():
+    # unsorted/duplicated bc indices must assign values to the RIGHT dofs
+    # (the restriction rows are always in ascending dof order)
+    kv = bspline.make_knots(2, 0.0, 1.0, 6)
+    A = bsp_stiffness_1d(kv) + bsp_mass_1d(kv)
+    b = np.zeros(A.shape[0])
+    rs_sorted = RestrictedLinearSystem(A, b, ([1, 3], [10.0, 20.0]))
+    rs_unsorted = RestrictedLinearSystem(A, b, ([3, 1], [20.0, 10.0]))
+    assert np.allclose(rs_sorted.b, rs_unsorted.b)
+    u1 = rs_sorted.complete(np.zeros(rs_sorted.A.shape[1]))
+    u2 = rs_unsorted.complete(np.zeros(rs_unsorted.A.shape[1]))
+    assert np.allclose(u1, u2)
+    assert u1[1] == 10.0 and u1[3] == 20.0
+    # duplicates keep the first occurrence instead of crashing
+    rs_dup = RestrictedLinearSystem(A, b, ([1, 3, 1], [10.0, 20.0, 99.0]))
+    assert np.allclose(rs_dup.b, rs_sorted.b)
+
+
+def test_vector_assembly_pruned_block():
+    # a vector form touching only one component block: bmat gets explicit
+    # zero blocks instead of an all-None row/column crash
+    from pyiga_tpu import assemble as asm_mod
+    kvs = 2 * (bspline.make_knots(2, 0.0, 1.0, 5),)
+    A = asm_mod.assemble('u[0] * v[0] * dx', kvs,
+                         bfuns=[('u', 2), ('v', 2)],
+                         geo=geometry.unit_square())
+    n = (kvs[0].numdofs * kvs[1].numdofs)
+    assert A.shape == (2 * n, 2 * n)
+    assert abs(A[:n, :n]).max() > 0
+    assert A[n:, n:].nnz == 0 or abs(A[n:, n:]).max() == 0
