@@ -56,8 +56,12 @@ def _as_flat(indices, shape):
 
 def _as_tuples(flat, shape):
     """Set of multi-index tuples from flat indices."""
-    return set(zip(*(ax.tolist()
-                     for ax in np.unravel_index(flat, shape))))
+    return set(_as_tuple_list(flat, shape))
+
+
+def _as_tuple_list(flat, shape):
+    """Multi-index tuples from flat indices, input order preserved."""
+    return list(zip(*(ax.tolist() for ax in np.unravel_index(flat, shape))))
 
 
 def _expand_boxes(lo, hi, shape):
@@ -133,18 +137,6 @@ def _contiguous_ranges_csc(P):
     return out
 
 
-def _position_lut(avail_arrays, total):
-    """Flat-index -> canonical-position lookup built from the per-level
-    availability arrays (concatenated in canonical order)."""
-    luts, offset = [], 0
-    for arr in avail_arrays:
-        lut = np.full(total, -1, dtype=np.intp)
-        lut[arr] = offset + np.arange(len(arr))
-        offset += len(arr)
-        luts.append(lut)
-    return luts
-
-
 ################################################################################
 # Tensor-product mesh
 ################################################################################
@@ -181,12 +173,12 @@ class TPMesh:
         return TPMesh([kv.refine() for kv in self.kvs])
 
     def cells(self):
-        """All cell multi-indices of this mesh."""
-        return list(_as_tuples(np.arange(self.numel), self.numspans))
+        """All cell multi-indices of this mesh (lexicographic order)."""
+        return _as_tuple_list(np.arange(self.numel), self.numspans)
 
     def functions(self):
-        """All basis-function multi-indices of this mesh."""
-        return list(_as_tuples(np.arange(self.numbf), self.numdofs))
+        """All basis-function multi-indices (lexicographic order)."""
+        return _as_tuple_list(np.arange(self.numbf), self.numdofs)
 
     def cell_extents(self, c):
         """Min/max pairs per axis for the cell `c`."""
@@ -337,11 +329,14 @@ class HMesh:
     # -- function hierarchy (flat, via refinement-mask ranges) -------------------
 
     def fn_children_ix(self, lv, funcs):
+        assert 0 <= lv < len(self.meshes) - 1, 'invalid level'
         lo, hi = _range_boxes(self._child_rng[lv], funcs,
                               self.meshes[lv].numdofs)
         return _box_union(lo, hi, self.meshes[lv + 1].numdofs)
 
     def fn_parents_ix(self, lv, funcs):
+        # negative-index wraparound at lv=0 would silently return garbage
+        assert 0 < lv < len(self.meshes), 'invalid level'
         lo, hi = _range_boxes(self._parent_rng[lv - 1], funcs,
                               self.meshes[lv].numdofs)
         return _box_union(lo, hi, self.meshes[lv - 1].numdofs)
@@ -655,7 +650,10 @@ class HSpace:
             if isinstance(ix, np.ndarray):
                 out.append(ix.astype(np.intp))
             else:
-                seq = sorted(ix)
+                # sets have no order; anything order-carrying passes
+                # through unchanged (sweep orders are contractual)
+                seq = sorted(ix) if isinstance(ix, (set, frozenset)) \
+                    else list(ix)
                 if seq:
                     out.append(np.ravel_multi_index(
                         np.asarray(seq, dtype=np.intp).T,
@@ -682,7 +680,7 @@ class HSpace:
         """Map per-level raveled TP indices to canonical matrix indices
         within the virtual hierarchy level `lv` (input order preserved)."""
         avail = self._virtual_avail(lv)
-        luts, offset = [], 0
+        offset = 0
         out = []
         for i in range(self.numlevels):
             ix = np.asarray(indices[i], dtype=np.intp)
@@ -797,9 +795,11 @@ class HSpace:
         for lv in range(self.numlevels):
             desc[lv] = (self._af[lv], _selection_rows(
                 self._af[lv], self.mesh(lv).numbf))
+            pattern = (self.hmesh.child_pattern(lv - 1)
+                       if self._disparity_window(lv) else None)
             for i in self._disparity_window(lv):
                 funcs, D = desc[i]
-                D = (D @ self.hmesh.child_pattern(lv - 1)).tocsr()
+                D = (D @ pattern).tocsr()
                 D.data = np.ones_like(D.data)
                 hit_cols = np.union1d(self._af[lv], self._df[lv])
                 mask = np.zeros(D.shape[1], dtype=bool)
@@ -858,9 +858,12 @@ class HSpace:
 
     def compute_supports(self, functions):
         """Active hierarchical cells covering the supports of the given
-        per-level function collections."""
+        per-level function collections.  Levels beyond this (possibly
+        virtual, hence truncated) space's depth are structurally empty and
+        are skipped (the reference crashes here — an inherited bug)."""
         supports = [self.mesh(l).support_ix(_as_flat(fs, self.mesh(l).numdofs))
-                    for l, fs in enumerate(functions)]
+                    for l, fs in enumerate(functions)
+                    if l < self.numlevels]
         return self.hmesh.hmesh_cells(supports)
 
     def compute_virtual_supports(self, per_level):

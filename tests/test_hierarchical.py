@@ -242,3 +242,25 @@ def test_subspace_relations():
     f1 = HSplineFunc(hs, u)
     f2 = HSplineFunc(hs2, P @ u)
     assert np.allclose(f1.grid_eval(X), f2.grid_eval(X))
+
+
+def test_cell_properties_multilevel():
+    # the cell_* properties build virtual spaces truncated at lv+1 levels;
+    # they must skip the structurally-empty deeper entries instead of
+    # crashing (the reference has this bug)
+    hs = HSpace(2 * (bspline.make_knots(2, 0.0, 1.0, 4),))
+    hs.refine_region(0, lambda x, y: x > 0.5 and y > 0.5)
+    hs.refine_region(1, lambda x, y: x > 0.75 and y > 0.75)
+    for name in ('cell_new', 'cell_dirichlet', 'cell_trunc',
+                 'cell_func_supp', 'cell_cell_supp', 'cell_global'):
+        v = getattr(hs, name)
+        assert len(v) == hs.numlevels
+
+
+def test_tpmesh_lexicographic_order():
+    # cells()/functions() follow the reference's lexicographic order
+    from pyiga_tpu.hierarchical import TPMesh
+    import itertools
+    msh = TPMesh(2 * (bspline.make_knots(2, 0.0, 1.0, 3),))
+    assert msh.cells() == list(itertools.product(range(3), range(3)))
+    assert msh.functions() == list(itertools.product(range(5), range(5)))
