@@ -1358,11 +1358,11 @@ class VFormAssembler:
 
     # -- compact-slice evaluation (for ACA fast assembling) -----------------------
 
-    def _device_fields(self):
+    def _device_fields(self, dtype=None):
         """Compute (once) the per-combo coefficient fields on device and keep
         them resident; used by the slice evaluator."""
         from . import config
-        dtype = np.dtype(config.get_dtype())
+        dtype = np.dtype(dtype if dtype is not None else config.get_dtype())
         cache = getattr(self, '_fields_cache', None)
         if cache is None or cache[0] != dtype:
             import jax

@@ -115,8 +115,10 @@ def gauss_seidel_sweep(A, x, b, reverse=False):
             cols = indices[lo:hi]
             vals = data[lo:hi]
             z = vals @ x[cols]
-            diag = vals[cols == i][0]
-            x[i] = (b[i] - (z - diag * x[i])) / diag
+            dv = vals[cols == i]
+            diag = dv[0] if len(dv) else 0.0
+            if diag != 0.0:             # zero/missing diagonal: skip
+                x[i] = (b[i] - (z - diag * x[i])) / diag
     if writeback:
         x_in[...] = x
         return x_in
@@ -143,8 +145,10 @@ def gauss_seidel_sweep_indexed(A, x, b, rows, reverse=False):
             cols = indices[lo:hi]
             vals = data[lo:hi]
             z = vals @ x[cols]
-            diag = vals[cols == i][0]
-            x[i] = (b[i] - (z - diag * x[i])) / diag
+            dv = vals[cols == i]
+            diag = dv[0] if len(dv) else 0.0
+            if diag != 0.0:             # zero/missing diagonal: skip
+                x[i] = (b[i] - (z - diag * x[i])) / diag
     if writeback:
         x_in[...] = x
         return x_in

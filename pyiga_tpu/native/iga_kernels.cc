@@ -27,7 +27,9 @@ void gauss_seidel_csr(const int64_t* indptr, const int64_t* indices,
             else
                 z += data[k] * x[j];
         }
-        x[i] = (b[i] - z) / diag;
+        if (diag != 0.0)            // zero/missing diagonal: skip the row
+            if (diag != 0.0)            // zero/missing diagonal: skip the row
+            x[i] = (b[i] - z) / diag;
     }
 }
 
@@ -48,7 +50,9 @@ void gauss_seidel_csr_indexed(const int64_t* indptr, const int64_t* indices,
             else
                 z += data[k] * x[j];
         }
-        x[i] = (b[i] - z) / diag;
+        if (diag != 0.0)            // zero/missing diagonal: skip the row
+            if (diag != 0.0)            // zero/missing diagonal: skip the row
+            x[i] = (b[i] - z) / diag;
     }
 }
 

@@ -97,6 +97,19 @@ def matfree_apply(trial_tabs, test_tabs, fields, trial_of_term, test_of_term,
     return y.reshape(-1)
 
 
+# jitted field evaluators per (module-level, stable) field function: a
+# fresh jax.jit per operator instance would re-trace and re-compile the
+# same evaluation for every operator built
+_FIELDS_JIT_CACHE = {}
+
+
+def _jit_fields(fn):
+    g = _FIELDS_JIT_CACHE.get(fn)
+    if g is None:
+        g = _FIELDS_JIT_CACHE[fn] = jax.jit(fn)
+    return g
+
+
 class MatrixFreeOperator:
     """Device-resident matrix-free operator for a sum-factorization
     assembler (``BaseGaussAssembler`` or a compiled VForm assembler for
@@ -112,7 +125,7 @@ class MatrixFreeOperator:
             terms = asm.terms
             fields_fn = asm.field_fn
             geo_inputs = asm._geo_inputs
-            self._fields = jax.jit(fields_fn)(jax.tree_util.tree_map(
+            self._fields = _jit_fields(fields_fn)(jax.tree_util.tree_map(
                 lambda a: jnp.asarray(np.asarray(a), dtype=dtype)
                 if np.issubdtype(np.asarray(a).dtype, np.floating)
                 else jnp.asarray(a), geo_inputs))
@@ -120,7 +133,7 @@ class MatrixFreeOperator:
             assert asm.arity == 2 and not asm.vf.vec
             terms = [(tuple(reversed(su[1])), tuple(reversed(sv[1])))
                      for su, sv in asm.combos]
-            self._fields = asm._device_fields()
+            self._fields = asm._device_fields(dtype=dtype)
 
         # unique trial/test derivative combos -> table chains (Q_k, n_k)
         trial_combos = sorted(set(du for du, dv in terms))

@@ -48,17 +48,36 @@ def ml_matvec(data, bidx, shape_out, shape_in, x, sorted_rows=None):
     return t
 
 
-def make_ml_matvec(mlm):
-    """Build a traced matvec closure over an
-    :class:`~pyiga_tpu.mlmatrix.MLMatrix`: maps raveled vectors to raveled
-    vectors on device (suitable for :func:`pyiga_tpu.solvers.cg_jit`)."""
-    S = mlm.structure
-    shape_out = tuple(b[0] for b in S.bs)
-    shape_in = tuple(b[1] for b in S.bs)
-    bidx = S.bidx
-    data = jnp.asarray(mlm.data)
+class _MLMatvecOperator:
+    """Operand-protocol matvec over a compact data tensor: the (large)
+    data array travels as a jit ARGUMENT.  A plain closure would bake it
+    into the serialized HLO as a constant, which the remote TPU compiler
+    rejects at production sizes (HTTP 413) — see CLAUDE.md."""
 
-    def matvec(x):
-        y = ml_matvec(data, bidx, shape_out, shape_in, x)
-        return jnp.reshape(y, (-1,))
-    return matvec
+    def __init__(self, data, bidx, shape_out, shape_in):
+        self.operands = {'data': data}
+        self.shape = (int(np.prod(shape_out)), int(np.prod(shape_in)))
+
+        def apply_with_operands(operands, x):
+            y = ml_matvec(operands['data'], bidx, shape_out, shape_in, x)
+            return jnp.reshape(y, (-1,))
+
+        self.apply_with_operands = apply_with_operands
+        self._jit_apply = jax.jit(apply_with_operands)
+
+    def matvec(self, x):
+        return self._jit_apply(self.operands, x)
+
+    def __call__(self, x):
+        return self.matvec(x)
+
+
+def make_ml_matvec(mlm):
+    """Device matvec operator over an
+    :class:`~pyiga_tpu.mlmatrix.MLMatrix`: maps raveled vectors to raveled
+    vectors (operand protocol; suitable for
+    :func:`pyiga_tpu.solvers.cg_jit`)."""
+    S = mlm.structure
+    return _MLMatvecOperator(jnp.asarray(mlm.data), S.bidx,
+                             tuple(b[0] for b in S.bs),
+                             tuple(b[1] for b in S.bs))

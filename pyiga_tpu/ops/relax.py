@@ -47,11 +47,21 @@ def level_schedule(A, indices, reverse=False):
     rank[order] = np.arange(len(order))
     level = np.zeros(len(order), dtype=np.int64)
     indptr, cols = A.indptr, A.indices
+    Acsc = A.tocsc()
     for r, i in enumerate(order):
+        # flow dependency: row i reads values updated earlier in the sweep
         rs = rank[cols[indptr[i]:indptr[i + 1]]]
         rs = rs[(rs >= 0) & (rs < r)]
-        if rs.size:
-            level[r] = level[rs].max() + 1
+        lv = level[rs].max() + 1 if rs.size else 0
+        # anti-dependency (WAR): earlier sweep positions whose rows READ
+        # column i must see its OLD value — within a level all reads
+        # precede all writes, so level[r] >= their level suffices.  For
+        # structurally symmetric A this never raises the level further.
+        rd = rank[Acsc.indices[Acsc.indptr[i]:Acsc.indptr[i + 1]]]
+        rd = rd[(rd >= 0) & (rd < r)]
+        if rd.size:
+            lv = max(lv, int(level[rd].max()))
+        level[r] = lv
     return order, level
 
 
@@ -79,11 +89,15 @@ def _pack_sweep(A, order, level):
         l = level[r]
         p = slot[l]
         slot[l] += 1
-        rows[l, p] = i
         c = cols_all[indptr[i]:indptr[i + 1]]
         v = data[indptr[i]:indptr[i + 1]].copy()
         dmask = c == i
-        assert dmask.any(), 'zero diagonal entry in Gauss-Seidel row'
+        if not dmask.any() or v[dmask][0] == 0.0:
+            # zero/missing diagonal: skip the row (reference
+            # relaxation_cy.pyx:62 semantics; rows[l, p] stays at the
+            # padding value so the scatter drops the update)
+            continue
+        rows[l, p] = i
         diag[l, p] = v[dmask][0]
         v[dmask] = 0.0
         cols[l, p, :len(c)] = c

@@ -493,8 +493,11 @@ def gauss_seidel(A, x, b, iterations=1, indices=None, sweep='forward'):
     for _ in range(iterations):
         for reverse in passes:
             for i in (reversed(order) if reverse else order):
-                off_diag = A[i].dot(x) - A[i, i] * x[i]
-                x[i] = (b[i] - off_diag) / A[i, i]
+                diag = A[i, i]
+                if diag == 0.0:         # zero diagonal: skip (reference
+                    continue            # relaxation_cy.pyx:62 semantics)
+                off_diag = A[i].dot(x) - diag * x[i]
+                x[i] = (b[i] - off_diag) / diag
 
 
 def OperatorSmoother(S):

@@ -52,3 +52,38 @@ def test_empty_subset():
     x0 = x.copy()
     DeviceIndexedGS(A, np.array([], dtype=np.int64)).apply(x, b)
     assert np.array_equal(x, x0)
+
+
+def test_device_gs_nonsymmetric_structure():
+    # anti-dependency (WAR) scheduling: a row whose value is READ by an
+    # earlier sweep position must not be overwritten first — structurally
+    # nonsymmetric matrices exposed this in the wavefront schedule
+    import scipy.sparse
+    from pyiga_tpu.ops.relax import DeviceIndexedGS
+    from pyiga_tpu.solvers import gauss_seidel
+
+    A = scipy.sparse.csr_matrix(np.array([[2., 0, 0], [1, 2, 1], [0, 0, 2]]))
+    b = np.array([1., 1, 1])
+    x_host = np.array([1., 1, 1])
+    gauss_seidel(A, x_host, b, indices=np.array([0, 1, 2]))
+    x_dev = np.array([1., 1, 1])
+    DeviceIndexedGS(A, np.array([0, 1, 2])).apply(x_dev, b)
+    assert np.allclose(x_host, x_dev)
+
+
+def test_gs_zero_diagonal_skipped():
+    # zero/missing diagonal rows are skipped on every backend (reference
+    # relaxation_cy.pyx:62 semantics) instead of inf/assert
+    import scipy.sparse
+    from pyiga_tpu.ops.relax import DeviceIndexedGS
+    from pyiga_tpu.solvers import gauss_seidel
+
+    A = scipy.sparse.csr_matrix(np.array([[2., 1, 0], [0, 0., 1],
+                                          [0, 1, 2.]]))
+    b = np.array([1., 1, 1])
+    x_host = np.array([1., 1, 1])
+    gauss_seidel(A, x_host, b, indices=np.array([0, 1, 2]))
+    assert np.isfinite(x_host).all() and x_host[1] == 1.0
+    x_dev = np.array([1., 1, 1])
+    DeviceIndexedGS(A, np.array([0, 1, 2])).apply(x_dev, b)
+    assert np.allclose(x_host, x_dev)
