@@ -59,33 +59,15 @@ def implicit_cg_solve(matvec, b, tol=1e-12, maxiter=None, precond=None):
     import jax.numpy as jnp
 
     if maxiter is None:
-        maxiter = 10 * b.shape[-1]
+        maxiter = 10 * b.size     # total system size, not the last axis
 
     def cg(mv, rhs):
-        M = precond if precond is not None else (lambda r: r)
-        x0 = jnp.zeros_like(rhs)
-        r0 = rhs - mv(x0)
-        z0 = M(r0)
-        target = (tol * jnp.linalg.norm(rhs)) ** 2
-
-        def cond(state):
-            _x, r, _z, _p, _rz, k = state
-            return (jnp.vdot(r, r) > target) & (k < maxiter)
-
-        def body(state):
-            x, r, z, p, rz, k = state
-            Ap = mv(p)
-            alpha = rz / jnp.vdot(p, Ap)
-            x = x + alpha * p
-            r = r - alpha * Ap
-            z = M(r)
-            rz_new = jnp.vdot(r, z)
-            p = z + (rz_new / rz) * p
-            return (x, r, z, p, rz_new, k + 1)
-
-        x, _r, _z, _p, _rz, _k = jax.lax.while_loop(
-            cond, body, (x0, r0, z0, z0, jnp.vdot(r0, z0),
-                         jnp.asarray(0)))
+        # one traceable PCG implementation for the whole library: the
+        # stopping criterion (||r|| <= tol * ||rhs||, x0 = 0) coincides
+        from .solvers import cg_jit_traceable
+        run, mv_ops, pc_ops = cg_jit_traceable(mv, tol=tol, maxiter=maxiter,
+                                               precond=precond)
+        x, _it = run(rhs, jnp.zeros_like(rhs), mv_ops, pc_ops)
         return x
 
     return jax.lax.custom_linear_solve(matvec, b, cg, symmetric=True)
@@ -142,14 +124,20 @@ def _gauss_assembler_fn(asm, mode):
     plan = tuple(fold_plan) if fold_plan is not None else None
     field_fn = asm.field_fn
 
+    last_idx = sumfac.last_table_groups(term_tables)
+
     def fn(coeffs):
+        import jax.numpy as jnp
         ci = user_coeffs_to_internal(coeffs, is_nurbs, sdim)
+        ci = jnp.asarray(ci, dtype=dtype)   # match the production paths
         gi = {'weights': weights, key: tables, 'geo_coeffs': ci}
         fields = field_fn(gi)
         if plan is not None:
             return sumfac.assemble_terms_folded(term_tables, fields, plan,
-                                                tperms, mode=mode)
-        return sumfac.assemble_terms(term_tables, fields, mode=mode)
+                                                tperms, mode=mode,
+                                                last_idx=last_idx)
+        return sumfac.assemble_terms(term_tables, fields, mode=mode,
+                                     last_idx=last_idx)
 
     return fn, coeffs0
 
@@ -164,7 +152,9 @@ def _vform_assembler_fn(asm, mode):
     scalar = not asm.vf.vec
 
     def fn(coeffs):
+        import jax.numpy as jnp
         ci = user_coeffs_to_internal(coeffs, is_nurbs, sdim)
+        ci = jnp.asarray(ci, dtype=inputs0['geo_coeffs'].dtype)
         inputs = dict(inputs0, geo_coeffs=ci)
         blocks = afn(inputs, term_tables, tperms)
         if scalar:                      # scalar form: the single block
@@ -219,6 +209,9 @@ def assembly_input_fn(asm, name, mode='exact'):
             return run(dict(inputs0, **{'param:' + name: arr}))
         return fn, x0
 
+    if name == 'geo':
+        raise ValueError("use assembly_coeff_fn for derivatives w.r.t. the "
+                         'geometry control points')
     inps = [i for i in asm.vf.inputs if i.name == name]
     if not inps:
         raise ValueError('%r is not an input or parameter of this form'
