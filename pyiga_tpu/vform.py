@@ -97,13 +97,19 @@ class Expr:
     # -- arithmetic -------------------------------------------------------------
 
     def __add__(self, other):
-        return AddExpr(self, as_expr(other))
+        other = as_expr(other)
+        if isinstance(other, (VectorExpr, MatrixExpr)):
+            return other + self             # scalar broadcast
+        return AddExpr(self, other)
 
     def __radd__(self, other):
         return AddExpr(as_expr(other), self)
 
     def __sub__(self, other):
-        return AddExpr(self, NegExpr(as_expr(other)))
+        other = as_expr(other)
+        if isinstance(other, (VectorExpr, MatrixExpr)):
+            return (-other) + self          # scalar broadcast
+        return AddExpr(self, NegExpr(other))
 
     def __rsub__(self, other):
         return AddExpr(as_expr(other), NegExpr(self))
@@ -178,7 +184,7 @@ class ConstExpr(Expr):
         self.value = float(value)
 
     def is_zero(self):
-        return self.value == 0.0
+        return self.is_constant(0.0)
 
     def is_constant(self, val):
         return abs(self.value - val) < 1e-15
@@ -296,47 +302,17 @@ class InputFieldExpr(Expr):
             out.add(('input_deriv', self.inp.name, self.comp, self.D))
 
     def _transformed(self):
-        """Physical derivative of a parametric field via the JacInv chain
-        rule; order 2 adds the geometry-curvature terms (same transform as
-        :meth:`PartialDerivExpr._transformed`; reference vform.py:593)."""
+        """Physical derivative of a parametric field via the shared
+        transform (jacinv chain rule; curvature terms at order 2; time
+        stays parametric in space-time forms)."""
         vf = self.inp.vform
-        d = vf.dim
-        order = sum(self.D)
-        assert order >= 1
+        assert sum(self.D) >= 1
 
         def para(D):
             return InputFieldExpr(self.inp, self.comp, tuple(D),
                                   physical=False)
 
-        if order == 1:
-            k = self.D.index(1)
-            terms = []
-            for m in range(d):
-                Dm = d * [0]
-                Dm[m] = 1
-                terms.append(FieldExpr(('jacinv', m, k)) * para(Dm))
-            return reduce(operator.add, terms)
-
-        if order == 2:
-            idx = [k for k, nk in enumerate(self.D) for _ in range(nk)]
-            i, j = idx
-            terms = []
-            for m in range(d):
-                for n in range(d):
-                    Dmn = d * [0]
-                    Dmn[m] += 1
-                    Dmn[n] += 1
-                    terms.append(FieldExpr(('jacinv', m, i))
-                                 * FieldExpr(('jacinv', n, j))
-                                 * para(Dmn))
-            for a in range(d):
-                Da = d * [0]
-                Da[a] = 1
-                terms.append(_geo_hess_trf_expr(vf, a, i, j) * para(Da))
-            return reduce(operator.add, terms)
-
-        raise NotImplementedError('physical derivatives of order > 2 of '
-                                  'input fields not implemented')
+        return _physical_deriv_transform(vf, self.D, para)
 
     def eval(self, ctx):
         if sum(self.D) == 0:
@@ -381,6 +357,8 @@ class PartialDerivExpr(Expr):
         return PartialDerivExpr(self.basisfun, len(self.D) * (0,))
 
     def _dx_impl(self, k, times, parametric):
+        if times == 0:
+            return self
         Dnew = list(self.D)
         if bool(parametric) != (not self.physical) and sum(self.D) != 0:
             raise RuntimeError('cannot mix physical and parametric derivatives')
@@ -398,90 +376,12 @@ class PartialDerivExpr(Expr):
         """Express the physical derivative in terms of parametric seeds and
         geometry fields (reference: vform.py replace_physical_derivs:554)."""
         vf = self.basisfun.vform
-        d = vf.dim
-        order = sum(self.D)
-        assert order >= 1 and self.physical
+        assert sum(self.D) >= 1 and self.physical
 
         def para(D):
-            return PartialDerivExpr(self.basisfun, D, physical=False)
+            return PartialDerivExpr(self.basisfun, tuple(D), physical=False)
 
-        if vf.spacetime:
-            # space-time cylinder: time derivatives stay parametric
-            D_x = self.D[:vf.timedim] + (0,) + self.D[vf.timedim + 1:]
-            n_space = sum(D_x)
-            if n_space == 0:
-                return para(self.D)
-            if n_space == 1:
-                k = D_x.index(1)
-                terms = []
-                for i in vf.spacedims:
-                    Di = list(self.D)
-                    Di[k] -= 1
-                    Di[i] += 1
-                    terms.append(FieldExpr(('jacinv', i, k)) * para(tuple(Di)))
-                return reduce(operator.add, terms)
-            if n_space == 2:
-                # second-order space derivatives on the space-time cylinder:
-                # the (time-independent) spatial map commutes with the
-                # parametric time derivatives, so the standard second-order
-                # transform applies over the space dimensions with the time
-                # part of D carried through each parametric seed.
-                ij = [k for k, nk in enumerate(D_x) for _ in range(nk)]
-                i, j = ij
-                D_t = tuple(Dk - Dxk for Dk, Dxk in zip(self.D, D_x))
-                terms = []
-                for m in vf.spacedims:
-                    for n in vf.spacedims:
-                        Dmn = list(D_t)
-                        Dmn[m] += 1
-                        Dmn[n] += 1
-                        terms.append(FieldExpr(('jacinv', m, i))
-                                     * FieldExpr(('jacinv', n, j))
-                                     * para(tuple(Dmn)))
-                for a in vf.spacedims:
-                    Da = list(D_t)
-                    Da[a] += 1
-                    terms.append(
-                        _geo_hess_trf_expr(self.basisfun.vform, a, i, j)
-                        * para(tuple(Da)))
-                return reduce(operator.add, terms)
-            raise NotImplementedError('space-time: space derivatives of '
-                                      'order > 2 not supported')
-
-        if order == 1:
-            k = self.D.index(1)
-            terms = []
-            for m in range(d):
-                Dm = d * [0]
-                Dm[m] = 1
-                terms.append(FieldExpr(('jacinv', m, k)) * para(tuple(Dm)))
-            return reduce(operator.add, terms)
-
-        if order == 2:
-            idx = []
-            for k, nk in enumerate(self.D):
-                idx.extend(nk * [k])
-            i, j = idx
-            # transformed parametric Hessian
-            terms = []
-            for m in range(d):
-                for n in range(d):
-                    Dmn = d * [0]
-                    Dmn[m] += 1
-                    Dmn[n] += 1
-                    terms.append(FieldExpr(('jacinv', m, i))
-                                 * FieldExpr(('jacinv', n, j))
-                                 * para(tuple(Dmn)))
-            # geometry-curvature contribution (PetIGA formula (A.12), with
-            # corrected sign — see reference vform.py:609)
-            for a in range(d):
-                Da = d * [0]
-                Da[a] = 1
-                terms.append(_geo_hess_trf_expr(self.basisfun.vform, a, i, j)
-                             * para(tuple(Da)))
-            return reduce(operator.add, terms)
-
-        raise NotImplementedError('derivatives of order > 2 not implemented')
+        return _physical_deriv_transform(vf, self.D, para)
 
     def eval(self, ctx):
         if sum(self.D) == 0 or not self.physical:
@@ -515,6 +415,89 @@ def _geo_hess_trf_expr(vf, a, i, j):
                     InputFieldExpr(vf._geo_input, (m,), tuple(D))
                     * Ji(a, m) * Ji(e, i) * Ji(u, j)))
     return reduce(operator.add, terms)
+
+
+def _physical_deriv_transform(vf, D, para):
+    """Express a physical derivative multi-index `D` of a parametric scalar
+    quantity as parametric derivatives ``para(D')`` combined with geometry
+    fields (jacinv chain rule; order 2 adds the curvature terms of PetIGA
+    formula (A.12) with corrected sign — reference vform.py:593,609).
+    Space-time forms keep time derivatives parametric and transform only
+    the space part (the spatial map is time-independent).  Shared by basis
+    functions and input fields — the formulas must live in ONE place."""
+    d = vf.dim
+    D = tuple(D)
+
+    if vf.spacetime:
+        D_x = D[:vf.timedim] + (0,) + D[vf.timedim + 1:]
+        n_space = sum(D_x)
+        if n_space == 0:
+            return para(D)
+        if n_space == 1:
+            k = D_x.index(1)
+            terms = []
+            for i in vf.spacedims:
+                Di = list(D)
+                Di[k] -= 1
+                Di[i] += 1
+                terms.append(FieldExpr(('jacinv', i, k)) * para(tuple(Di)))
+            return reduce(operator.add, terms)
+        if n_space == 2:
+            # the (time-independent) spatial map commutes with the
+            # parametric time derivatives, so the standard second-order
+            # transform applies over the space dimensions with the time
+            # part of D carried through each parametric seed.
+            ij = [k for k, nk in enumerate(D_x) for _ in range(nk)]
+            i, j = ij
+            D_t = tuple(Dk - Dxk for Dk, Dxk in zip(D, D_x))
+            terms = []
+            for m in vf.spacedims:
+                for n in vf.spacedims:
+                    Dmn = list(D_t)
+                    Dmn[m] += 1
+                    Dmn[n] += 1
+                    terms.append(FieldExpr(('jacinv', m, i))
+                                 * FieldExpr(('jacinv', n, j))
+                                 * para(tuple(Dmn)))
+            for a in vf.spacedims:
+                Da = list(D_t)
+                Da[a] += 1
+                terms.append(_geo_hess_trf_expr(vf, a, i, j)
+                             * para(tuple(Da)))
+            return reduce(operator.add, terms)
+        raise NotImplementedError('space-time: space derivatives of '
+                                  'order > 2 not supported')
+
+    order = sum(D)
+    if order == 1:
+        k = D.index(1)
+        terms = []
+        for m in range(d):
+            Dm = d * [0]
+            Dm[m] = 1
+            terms.append(FieldExpr(('jacinv', m, k)) * para(tuple(Dm)))
+        return reduce(operator.add, terms)
+
+    if order == 2:
+        idx = [k for k, nk in enumerate(D) for _ in range(nk)]
+        i, j = idx
+        terms = []
+        for m in range(d):
+            for n in range(d):
+                Dmn = d * [0]
+                Dmn[m] += 1
+                Dmn[n] += 1
+                terms.append(FieldExpr(('jacinv', m, i))
+                             * FieldExpr(('jacinv', n, j))
+                             * para(tuple(Dmn)))
+        for a in range(d):
+            Da = d * [0]
+            Da[a] = 1
+            terms.append(_geo_hess_trf_expr(vf, a, i, j) * para(tuple(Da)))
+        return reduce(operator.add, terms)
+
+    raise NotImplementedError('physical derivatives of order > 2 not '
+                              'implemented')
 
 
 class MeasureExpr(Expr):
@@ -819,7 +802,9 @@ class VectorExpr:
 
     @children.setter
     def children(self, new):
-        self.entries = tuple(new)
+        new = tuple(new)
+        assert len(new) == self.shape[0], 'children length must match shape'
+        self.entries = new
 
     def fold_constants(self):
         return self
@@ -943,6 +928,8 @@ class MatrixExpr:
     def children(self, new):
         new = list(new)
         n = self.shape[1]
+        assert len(new) == self.shape[0] * n, \
+            'children length must match shape'
         self.rows = [new[i * n:(i + 1) * n] for i in range(self.shape[0])]
 
     def fold_constants(self):
