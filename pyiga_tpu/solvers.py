@@ -12,6 +12,9 @@ TPU additions: a matrix-free jitted conjugate-gradient solver
 mlmatrix / Kronecker matvecs), used by the benchmark path.
 """
 
+from functools import reduce  # noqa: F401  (star-import parity: the
+#   reference's solvers module exposes it and downstream code uses it)
+
 import numpy as np
 import scipy.linalg
 import scipy.sparse
