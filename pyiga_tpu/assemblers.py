@@ -20,6 +20,7 @@ entrywise (float64 path: <= ~1e-14 relative).
 
 import numpy as np
 
+from . import config
 from .mlmatrix import MLStructure, transpose_idx_for_bidx
 from .ops import geom, sumfac
 from .bspline import KnotVector
@@ -246,20 +247,88 @@ class BaseGaussAssembler:
         data = np.asarray(flat, dtype=np.float64)[np.ix_(*cmaps)]
         return self.structure.make_mlmatrix(data=data)
 
-    def assemble_banded(self):
+    def assemble_banded(self, mode=None):
         """Assemble directly into the regular banded layout and return a
-        device-resident :class:`~pyiga_tpu.ops.banded.BandedOperator` (the
-        fast path for matrix-free solvers; data never leaves HBM)."""
+        device-resident banded operator (the fast path for matrix-free
+        solvers; data never leaves HBM).
+
+        With the default ``mode`` (:func:`~pyiga_tpu.config.
+        default_assembly_mode`), float64 on accelerators runs the
+        emulation-free pair pipeline (fused Pallas chains over banded pair
+        tables) and returns a
+        :class:`~pyiga_tpu.ops.banded.BandedOperatorPair` (f64-accurate
+        matvecs at f32 speed); otherwise — or when the shapes do not tile —
+        the exact chains run and a plain
+        :class:`~pyiga_tpu.ops.banded.BandedOperator` is returned."""
         from .ops.banded import BandedOperator, band_info
         bws = band_info(self.structure)
         assert bws is not None, \
             'space is not regularly banded (repeated interior knots?)'
         ns = tuple(b[0] for b in self.structure.bs)
         bsz = tuple(2 * bw + 1 for bw in bws)
+        if mode is None:
+            mode = config.default_assembly_mode()
+        if mode == 'ozaki':
+            op = self._assemble_banded_pair(bws, bsz, ns)
+            if op is not None:
+                return op
         tabs = self.tables.banded_term_tables(self.terms, bws)
         D = sumfac.run_banded_assembly(self.field_fn, self._geo_inputs,
                                        tabs, bsz, ns)
         return BandedOperator(D, bws, ns)
+
+    def _assemble_banded_pair(self, bws, bsz, ns):
+        """Emulation-free banded assembly: two-float fields (fused Pallas
+        kernel when available) -> folded pair chains over banded pair
+        tables -> :class:`~pyiga_tpu.ops.banded.BandedOperatorPair`.
+        Returns None when the backend/shapes do not support the kernels
+        (the caller falls back to the exact chains)."""
+        import jax
+        import jax.numpy as jnp
+        from .ops import pallas_sumfac as ps
+        from .ops.banded import BandedOperatorPair
+
+        if jax.default_backend() == 'cpu':
+            return None
+        gshape = tuple(len(np.asarray(w))
+                       for w in self._geo_inputs['weights'])
+        btabs = self.tables.banded_term_tables(self.terms, bws)
+        if not ps.supported(btabs, gshape):
+            return None
+        fold_plan, _tp = self._fold()
+        plan = (tuple(fold_plan) if fold_plan is not None
+                else tuple((t, False) for t in range(len(btabs))))
+        prepped = [[ps.prepare_table(T) for T in tabs] for tabs in btabs]
+        last_idx = ps.last_table_dedup_idx(prepped, plan)
+        tperms = []
+        for bw, n in zip(bws, ns):
+            pcore = sumfac.banded_transpose_perm(n, bw)
+            full = np.arange(ps._pad_lanes(len(pcore)))
+            full[:len(pcore)] = pcore
+            tperms.append(jnp.asarray(full))
+        field_fn = self.pair_field_fn
+        if self.pallas_field_fn is not None and (
+                'geo_tables_bsp' in self._geo_inputs
+                or 'geo_tables_nurbs' in self._geo_inputs
+                or int(np.prod(gshape)) % 128 == 0):
+            field_fn = self.pallas_field_fn
+        parrs = [[(c, s) for (c, s, _M) in tabs] for tabs in prepped]
+        Ms = tuple(tuple(M for (_c, _s, M) in tabs) for tabs in prepped)
+        gi = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(np.asarray(a, np.float64))
+            if np.issubdtype(np.asarray(a).dtype, np.floating)
+            else jnp.asarray(a), self._geo_inputs)
+
+        @jax.jit
+        def run(gi, parrs, tperms):
+            F = field_fn(gi)
+            tp = [[(c, s, M) for ((c, s), M) in zip(ta, Ma)]
+                  for ta, Ma in zip(parrs, Ms)]
+            return ps.assemble_banded_pair_pallas(tp, F, plan, tperms,
+                                                  bsz, ns,
+                                                  last_idx=last_idx)
+        Dh, Dl = run(gi, parrs, tperms)
+        return BandedOperatorPair((Dh, Dl), bws, ns)
 
 
 class MassAssembler(BaseGaussAssembler):
@@ -366,5 +435,10 @@ def __getattr__(name):
     for prefix, factory in table.items():
         if name.startswith(prefix) and name[len(prefix):] in ('1D', '2D', '3D'):
             dim = int(name[len(prefix)])
-            return _vform_asm_alias(factory, dim)
+            cls = _vform_asm_alias(factory, dim)
+            cls.__name__ = cls.__qualname__ = name
+            # cache on the module so repeated accesses (and is-identity
+            # checks) see ONE class object
+            globals()[name] = cls
+            return cls
     raise AttributeError(name)

@@ -20,6 +20,69 @@ import scipy.linalg
 from .. import config
 
 
+def _build_precond(KM, full_shape, free_dofs, dirichlet, dtype, mass_shift):
+    """Shared eigen-tail: per-axis restriction, eigendecomposition,
+    eigenvalue-sum diagonal with singularity guard, and operator build.
+
+    `KM` is the list of full per-axis ``(K_k, M_k)`` dense matrices.  A
+    *box-shaped* `free_dofs` set (e.g. :func:`interior_dofs`) restricts the
+    per-axis eigenproblems exactly — the preconditioner then IS the fast
+    diagonalization of the restricted operator, and free-dof vectors map by
+    plain reshape.  A non-box set falls back to extend-apply-restrict
+    around the unrestricted diagonalization (approximate; combine with
+    ``mass_shift`` if the unrestricted operator is singular)."""
+    from .matfree import box_restriction
+
+    if dirichlet and free_dofs is not None:
+        raise ValueError('pass either dirichlet=True or free_dofs, not both')
+
+    slices = None
+    free = None
+    if free_dofs is not None:
+        free_np = np.asarray(free_dofs, dtype=np.int64)
+        n_full = int(np.prod(full_shape))
+        if free_np.size and (free_np.min() < 0 or free_np.max() >= n_full):
+            raise ValueError('free_dofs out of range for the space '
+                             '(did you combine it with dirichlet=True?)')
+        box = box_restriction(free_np, full_shape)
+        if box is not None:
+            lo, box_shape = box
+            slices = [slice(l, l + s) for l, s in zip(lo, box_shape)]
+        else:
+            free = jnp.asarray(free_np)
+    if dirichlet:
+        slices = [slice(1, -1)] * len(KM)
+
+    Us, UTs, lams, ns = [], [], [], []
+    for k, (K, M) in enumerate(KM):
+        if slices is not None:
+            K = K[slices[k], slices[k]]
+            M = M[slices[k], slices[k]]
+        lam, U = scipy.linalg.eigh(K, M)
+        # M-orthonormal eigenvectors: U^T M U = I, U^T K U = diag(lam)
+        Us.append(jnp.asarray(U, dtype=dtype))
+        UTs.append(jnp.asarray(U.T, dtype=dtype))
+        lams.append(lam)
+        ns.append(U.shape[0])
+
+    d = len(KM)
+    diag = np.full(tuple(ns), float(mass_shift))
+    for k in range(d):
+        shape = [1] * d
+        shape[k] = -1
+        diag = diag + lams[k].reshape(shape)
+    if np.min(np.abs(diag)) < 1e-12 * np.max(np.abs(diag)):
+        import warnings
+        warnings.warn(
+            'fastdiag preconditioner is nearly singular: the pure-Neumann '
+            'operator has a zero eigenvalue on an unrestricted space. Pass '
+            'dirichlet=True or a box-shaped free_dofs set for a Dirichlet '
+            'problem, or mass_shift>0 for an operator with a mass term.')
+    inv_diag = jnp.asarray(1.0 / diag, dtype=dtype)
+    ns = tuple(ns)
+    return _FastDiagPrecond(Us, UTs, inv_diag, ns, int(np.prod(ns)), free)
+
+
 def fastdiag_precond(kvs, free_dofs=None, dirichlet=False, dtype=None,
                      mass_shift=0.0):
     """Build a traced preconditioner function for the Laplace + (optional)
@@ -27,12 +90,12 @@ def fastdiag_precond(kvs, free_dofs=None, dirichlet=False, dtype=None,
 
     Args:
         kvs: knot vectors of the space.
-        free_dofs: optional raveled indices; the preconditioner then maps
-            free-dof vectors (zero-extension / restriction built in).
-            For pure-Dirichlet problems prefer ``dirichlet=True`` which
-            drops the first/last basis function per axis exactly.
+        free_dofs: optional raveled free-dof indices.  A box-shaped set
+            (e.g. :func:`interior_dofs`) restricts the per-axis
+            eigenproblems exactly; other sets use extend-apply-restrict
+            around the unrestricted diagonalization.
         dirichlet: eliminate the boundary dofs per axis before
-            diagonalization (matches a 'all'-Dirichlet restricted system).
+            diagonalization (matches an 'all'-Dirichlet restricted system).
         mass_shift: added to the eigenvalue sum; use a positive value (e.g.
             1.0 for a Laplace + identity operator) on spaces without
             Dirichlet conditions, where the pure Neumann Laplacian is
@@ -44,41 +107,11 @@ def fastdiag_precond(kvs, free_dofs=None, dirichlet=False, dtype=None,
     from ..assemble import bsp_mass_1d, bsp_stiffness_1d
 
     dtype = dtype if dtype is not None else config.get_dtype()
-    Us, UTs, lams, ns = [], [], [], []
-    for kv in kvs:
-        K = bsp_stiffness_1d(kv).toarray()
-        M = bsp_mass_1d(kv).toarray()
-        if dirichlet:
-            K, M = K[1:-1, 1:-1], M[1:-1, 1:-1]
-        lam, U = scipy.linalg.eigh(K, M)
-        # M-orthonormal eigenvectors: U^T M U = I, U^T K U = diag(lam)
-        # inverse application needs M U on the outside:
-        # (sum K x M x M)^-1 = U D^-1 U^T  with U as above
-        Us.append(jnp.asarray(U, dtype=dtype))
-        UTs.append(jnp.asarray(U.T, dtype=dtype))
-        lams.append(lam)
-        ns.append(U.shape[0])
-
-    d = len(kvs)
-    diag = np.full(tuple(ns), float(mass_shift))
-    for k in range(d):
-        shape = [1] * d
-        shape[k] = -1
-        diag = diag + lams[k].reshape(shape)
-    if np.min(np.abs(diag)) < 1e-12 * np.max(np.abs(diag)):
-        import warnings
-        warnings.warn(
-            'fastdiag preconditioner is nearly singular: the pure-Neumann '
-            'Laplacian has a zero eigenvalue on an unrestricted space. Pass '
-            'dirichlet=True / free_dofs for a Dirichlet problem, or '
-            'mass_shift>0 for a Laplace-plus-identity operator.')
-    inv_diag = jnp.asarray(1.0 / diag, dtype=dtype)
-    ns = tuple(ns)
-    n_total = int(np.prod(ns))
-
-    free = (jnp.asarray(np.asarray(free_dofs, dtype=np.int64))
-            if free_dofs is not None else None)
-    return _FastDiagPrecond(Us, UTs, inv_diag, ns, n_total, free)
+    KM = [(bsp_stiffness_1d(kv).toarray(), bsp_mass_1d(kv).toarray())
+          for kv in kvs]
+    full_shape = tuple(kv.numdofs for kv in kvs)
+    return _build_precond(KM, full_shape, free_dofs, dirichlet, dtype,
+                          mass_shift)
 
 
 class _FastDiagPrecond:
@@ -123,8 +156,41 @@ def interior_dofs(kvs):
     return np.ravel_multi_index([g.ravel() for g in grid], shape)
 
 
+# jitted per-axis mean evaluators, cached per dimension (a fresh jit per
+# call would re-trace; returning only the 1D coefficient vectors keeps the
+# device->host transfer to a few KB instead of d+1 grid-sized pulls)
+_AXIS_MEANS_JIT = {}
+
+
+def _axis_means_fn(d):
+    fn = _AXIS_MEANS_JIT.get(d)
+    if fn is not None:
+        return fn
+    from ..assemblers import _geo_weight_jacinv
+
+    def axis_means(gi):
+        W, jacinv = _geo_weight_jacinv(gi)
+        gw = [jnp.asarray(w) for w in gi['weights']]
+        Wg = gw[0]
+        for w in gw[1:]:
+            Wg = jnp.multiply.outer(Wg, w)
+        outs = []
+        for k in range(d):
+            axes = tuple(j for j in range(d) if j != k)
+            Bkk = W * sum(jacinv[k][m] ** 2 for m in range(d))
+            c = (Bkk / Wg).mean(axis=axes) * gw[k] if axes \
+                else (Bkk / Wg) * gw[k]
+            m = (W / Wg).mean(axis=axes) * gw[k] if axes \
+                else (W / Wg) * gw[k]
+            outs.append((c, m))
+        return outs
+
+    fn = _AXIS_MEANS_JIT[d] = jax.jit(axis_means)
+    return fn
+
+
 def fastdiag_precond_weighted(asm, free_dofs=None, dirichlet=False,
-                              dtype=None):
+                              dtype=None, mass_shift=0.0):
     """Fast-diagonalization preconditioner with *geometry-averaged* 1D
     coefficients (cf. Montardini-Sangalli-Tani): for each axis k the 1D
     stiffness matrix is weighted by the mean of the diffusion coefficient
@@ -137,56 +203,29 @@ def fastdiag_precond_weighted(asm, free_dofs=None, dirichlet=False,
     Args:
         asm: a Gauss assembler over the space (provides the geometry
             Jacobian and quadrature; e.g. ``StiffnessAssembler(kvs, geo)``).
-        free_dofs / dirichlet / dtype: as in :func:`fastdiag_precond`.
+        free_dofs / dirichlet / dtype / mass_shift: as in
+            :func:`fastdiag_precond`.
     """
-    import jax
-
-    from ..assemblers import _geo_weight_jacinv
-    from .basis import dense_basis_table
-
     dtype = dtype if dtype is not None else config.get_dtype()
     kvs = asm.kvs0
     d = asm.dim
 
-    # averaged 1D coefficients (host, one-time; f64 for the eigensolve)
+    # averaged 1D coefficients, computed on device in ONE jit; only the
+    # small per-axis vectors come back to host (f64 for the eigensolve)
     gi = jax.tree_util.tree_map(
         lambda a: jnp.asarray(np.asarray(a, np.float64))
         if np.issubdtype(np.asarray(a).dtype, np.floating)
         else jnp.asarray(np.asarray(a)), asm._geo_inputs)
-    W, jacinv = jax.jit(_geo_weight_jacinv)(gi)
-    W = np.asarray(W)
-    gw = [np.asarray(w) for w in asm.gweights]
-    Wg = gw[0]
-    for w in gw[1:]:
-        Wg = np.multiply.outer(Wg, w)
+    cms = _axis_means_fn(d)(gi)
 
-    def axis_mean(A, k):
-        axes = tuple(j for j in range(d) if j != k)
-        return A.mean(axis=axes) if axes else A
-
-    Us, UTs, lams, ns = [], [], [], []
+    KM = []
     for k, kv in enumerate(kvs):
-        Bkk = np.asarray(W * sum(jacinv[k, m] ** 2 for m in range(d)))
-        c = axis_mean(Bkk / Wg, k) * gw[k]
-        m = axis_mean(W / Wg, k) * gw[k]
-        Bt = dense_basis_table(kv, asm.grid[k], 1)
+        c = np.asarray(cms[k][0], dtype=np.float64)
+        m = np.asarray(cms[k][1], dtype=np.float64)
+        Bt = asm.tables.trial[k]        # cached 1D basis tables (derivs>=1)
         K1 = (Bt[1] * c) @ Bt[1].T
         M1 = (Bt[0] * m) @ Bt[0].T
-        if dirichlet:
-            K1, M1 = K1[1:-1, 1:-1], M1[1:-1, 1:-1]
-        lam, U = scipy.linalg.eigh(K1, M1)
-        Us.append(jnp.asarray(U, dtype=dtype))
-        UTs.append(jnp.asarray(U.T, dtype=dtype))
-        lams.append(lam)
-        ns.append(U.shape[0])
-
-    diag = np.zeros(tuple(ns))
-    for k in range(d):
-        shape = [1] * d
-        shape[k] = -1
-        diag = diag + lams[k].reshape(shape)
-    inv_diag = jnp.asarray(1.0 / diag, dtype=dtype)
-    ns = tuple(ns)
-    free = (jnp.asarray(np.asarray(free_dofs, dtype=np.int64))
-            if free_dofs is not None else None)
-    return _FastDiagPrecond(Us, UTs, inv_diag, ns, int(np.prod(ns)), free)
+        KM.append((K1, M1))
+    full_shape = tuple(kv.numdofs for kv in kvs)
+    return _build_precond(KM, full_shape, free_dofs, dirichlet, dtype,
+                          mass_shift)

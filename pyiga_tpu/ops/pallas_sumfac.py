@@ -1263,7 +1263,8 @@ def assemble_terms_folded_pallas(tables_prepped_per_term, field_pairs,
 
 def assemble_banded_pair_pallas(tables_prepped_per_term, field_pairs,
                                 fold_plan, tperms_banded, bsz, ns,
-                                r_block=512, interpret=False):
+                                r_block=512, interpret=False,
+                                last_idx=None):
     """Folded pair chains over BANDED pair tables: returns the regular
     banded data tensor ``(b_1..b_d, n_1..n_d)`` as an f32 two-float pair —
     never materializing the f64 compact tensor or paying the separate
@@ -1271,14 +1272,19 @@ def assemble_banded_pair_pallas(tables_prepped_per_term, field_pairs,
 
     `tperms_banded`: per-axis transpose permutations of the PADDED
     banded-flat axes (:func:`~pyiga_tpu.ops.sumfac.banded_transpose_perm`
-    extended with identity on the padding rows)."""
-    def chain_sum(idxs):
+    extended with identity on the padding rows).  `last_idx` as in
+    :func:`assemble_terms_folded_pallas` (host-computed dedup indices,
+    aligned with `fold_plan` positions)."""
+    def chain_sum(positions):
+        idxs = [fold_plan[i][0] for i in positions]
+        li = (tuple(last_idx[i] for i in positions)
+              if last_idx is not None else None)
         return _chain_group_folded(tables_prepped_per_term, field_pairs,
                                    idxs, r_block=r_block,
-                                   interpret=interpret)
+                                   interpret=interpret, last_idx=li)
 
-    direct = [t for t, m in fold_plan if not m]
-    mirrored = [t for t, m in fold_plan if m]
+    direct = [i for i, (t, m) in enumerate(fold_plan) if not m]
+    mirrored = [i for i, (t, m) in enumerate(fold_plan) if m]
     out = dims = None
     if direct:
         out, dims = chain_sum(direct)
