@@ -106,7 +106,7 @@ def _f64_assembly_fns(asm, dev, use_pallas):
         # term -> distinct-last-table slot, resolved on the concrete host
         # arrays (inside the jit the operands are indistinguishable
         # tracers); lets the folded final stage keep one table per kind
-        last_idx = tuple(id(prepped[t][-1][0]) for t, _m in plan)
+        last_idx = ps.last_table_dedup_idx(prepped, plan)
 
         def full(gi, parrs):
             F = ps.stiffness_fields_pallas(gi)
@@ -207,10 +207,12 @@ def run_on(device, dim, n, dtype, repeats=3, measure_split=True):
                 np.asarray(sumfac.banded_transpose_perm(n, bw)), device)
                 for bw, n in zip(bws_f, ns_f)]
             field_fn = asm.field_fn
+            li32 = sumfac.last_table_groups(btabs)
 
             def full32(gi, tt, tp):
                 data = sumfac.assemble_terms_folded(
-                    tt, field_fn(gi), plan32, tp, mode='exact')
+                    tt, field_fn(gi), plan32, tp, mode='exact',
+                    last_idx=li32)
                 D = sumfac.banded_reorder(data, bsz_f, ns_f)
                 return flat_banded_embed_device(D, bws_f, ns_f, flat_lay)
 
@@ -220,12 +222,15 @@ def run_on(device, dim, n, dtype, repeats=3, measure_split=True):
             fold_plan, tperms = asm._fold()
             tperms_d = [jax.device_put(np.asarray(p), device)
                         for p in tperms]
+            tt_np = asm.tables.term_tables(asm.terms)
+            li = sumfac.last_table_groups(tt_np)
             tt = jax.tree_util.tree_map(
                 lambda a: jax.device_put(np.asarray(a, dtype=dtype), device),
-                asm.tables.term_tables(asm.terms))
+                tt_np)
             field_fn = asm.field_fn
             jfn = jax.jit(lambda gi, tt, tp: sumfac.assemble_terms_folded(
-                tt, field_fn(gi), tuple(fold_plan), tp, mode='exact'))
+                tt, field_fn(gi), tuple(fold_plan), tp, mode='exact',
+                last_idx=li))
             asm_fn = lambda gi: jfn(gi, tt, tperms_d)
 
         # homogeneous-Dirichlet solve on the interior dofs
@@ -751,8 +756,10 @@ def main():
             lines.append(line)
             print(line, flush=True)
 
-    if len(lines) > 1:
-        print(lines[0], flush=True)     # headline again as the last line
+    headline = next((ln for ln in lines
+                     if '3d_p3_poisson' in ln and 'float64' in ln), None)
+    if headline is not None and len(lines) > 1:
+        print(headline, flush=True)     # headline again as the last line
 
 
 if __name__ == '__main__':

@@ -226,7 +226,10 @@ def sharded_multipatch_data(asms, mesh, mode='exact'):
                 'sharded_multipatch_data: patches must share knot vectors '
                 'and geometry structure (unequal geo-input shapes)')
     stacked = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack([jnp.asarray(x, np.float64) for x in xs]),
+        lambda *xs: jnp.stack([
+            jnp.asarray(x, np.float64)
+            if np.issubdtype(np.asarray(x).dtype, np.floating)
+            else jnp.asarray(x) for x in xs]),
         *gis)
     spec = _spec(mesh, 'space')     # leading (patch) axis over devices
     plan = tuple(fold_plan) if fold_plan is not None else None
