@@ -191,8 +191,19 @@ def BlockOperator(ops):
     (None or :class:`NullOperator` for empty positions) — the operator
     analog of :func:`numpy.block`."""
     nrows, ncols = len(ops), len(ops[0])
-    rows = _partition(ops[i][0].shape[0] for i in range(nrows))
-    cols = _partition(ops[0][j].shape[1] for j in range(ncols))
+
+    def _size(line, axis, what, idx):
+        # row heights / column widths from the first non-None block — a
+        # None in the first row/column must not crash
+        for blk in line:
+            if blk is not None:
+                return blk.shape[axis]
+        raise ValueError('%s %d of the block structure is all None' %
+                         (what, idx))
+
+    rows = _partition(_size(ops[i], 0, 'row', i) for i in range(nrows))
+    cols = _partition(_size([ops[i][j] for i in range(nrows)], 1,
+                            'column', j) for j in range(ncols))
     shape = (rows[-1].stop, cols[-1].stop)
 
     kept, kept_rows, kept_cols = [], [], []

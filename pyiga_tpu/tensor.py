@@ -102,9 +102,9 @@ def outer(*xs):
     return reduce(np.multiply.outer, xs)
 
 
-def array_outer(*xs):
-    """Outer product of arbitrary-dimensional arrays (axes concatenate)."""
-    return reduce(np.multiply.outer, xs)
+#: Outer product of arbitrary-dimensional arrays (axes concatenate) —
+#: identical computation, kept as a named alias for reference-API parity.
+array_outer = outer
 
 
 def pad(X, pad_width):
@@ -277,16 +277,17 @@ def grou(B, R, tol=1e-12, return_errors=False):
     """Greedy rank-one updates: repeatedly subtract the best rank-one
     approximation of the residual (reference behavior: tensor.py:367)."""
     E = np.array(asarray(B), dtype=float)
-    ref = np.linalg.norm(E.ravel())
     terms, errors = [], []
     for _ in range(R):
-        err = np.linalg.norm(E.ravel())
-        errors.append(err)
-        if err <= tol * ref:
-            break
         xs = als1(E)
         terms.append(tuple(xs))
         E -= outer(*xs)
+        # error history AFTER each update, absolute tolerance (reference
+        # tensor.py:388-395): errors[-1] is the achieved residual
+        err = np.linalg.norm(E.ravel())
+        errors.append(err)
+        if err < tol:
+            break
     if not terms:
         terms = [tuple(np.zeros(n) for n in B.shape)]
     X = CanonicalTensor.from_terms(terms)
@@ -404,7 +405,9 @@ def gta(A, R, tol=1e-12, rtol=1e-12, return_errors=False):
         E = TensorSum(A, -T)
         err = fro_norm(E)
         errors.append(err)
-        if err <= tol * norm_A or err <= rtol * errors[0]:
+        # reference semantics (tensor.py:558): tol is ABSOLUTE, rtol is
+        # relative to ||A||
+        if err <= tol or err <= rtol * norm_A:
             break
         grew = False
         for k, v in enumerate(als1(E)):
@@ -443,8 +446,9 @@ def gta_ls(A, F, R, tol=1e-12, verbose=0, gs=None, spd=False):
             x0 = np.pad(X, grow).ravel()
             from .solvers import gauss_seidel
             A_gs = scipy.sparse.csr_matrix(A_U)
-            for _ in range(int(gs) if not callable(gs) else 3):
-                x0 = gauss_seidel(A_gs, x0, F_U, sweep='symmetric')
+            # gauss_seidel updates x0 IN PLACE (returns None); `gs`
+            # forward sweeps, like the reference (tensor.py:632)
+            gauss_seidel(A_gs, x0, F_U, iterations=int(gs))
             X = x0.reshape(core_shape)
         else:
             X = np.linalg.solve(A_U, F_U).reshape(core_shape)
@@ -739,6 +743,9 @@ class TensorSum(_FormatBase):
         self.Xs = tuple(Xs)
         self.ndim = self.Xs[0].ndim
         self.shape = self.Xs[0].shape
+        if not all(X.shape == self.shape for X in self.Xs):
+            raise ValueError('all terms of a TensorSum must have the same '
+                             'shape (a mismatch would silently broadcast)')
 
     def __repr__(self):
         return 'TensorSum(%d terms, shape=%s)' % (len(self.Xs), self.shape)
@@ -828,6 +835,7 @@ class CanonicalOperator:
         d = len(terms[0])
         self._axis_ops = [[t[k] for t in terms] for k in range(d)]
         self.R = len(terms)
+        self.ndim = d
         for k in range(d):
             shapes = {op.shape for op in self._axis_ops[k]}
             if len(shapes) != 1:

@@ -208,3 +208,19 @@ def test_als_structured_input():
     T = TuckerTensor(tuple(rng.random((n, 2)) for n in (3, 4, 5)), X)
     B2 = als(T, R=2, maxiter=500)
     assert np.allclose(asarray(T), asarray(B2), atol=1e-6)
+
+
+def test_gta_ls_gauss_seidel_branch():
+    # the gs branch (projected core > 500 unknowns) runs in-place GS
+    # sweeps; it previously rebound the in-place result (None) and crashed
+    n = 12
+    K = (np.diag(np.full(n, 2.0)) + np.diag(np.full(n - 1, -1.0), 1)
+         + np.diag(np.full(n - 1, -1.0), -1))
+    M = np.eye(n)
+    A = [(K, M, M), (M, K, M), (M, M, K)]
+    F = np.random.default_rng(0).random((n, n, n))
+    X = gta_ls(A, F, R=9, gs=2, spd=True)     # core 9^3 = 729 > 500
+    res = fro_norm(sum(apply_tprod(list(Aj), asarray(X)) for Aj in A) - F)
+    X1 = gta_ls(A, F, R=1, spd=True)
+    res1 = fro_norm(sum(apply_tprod(list(Aj), asarray(X1)) for Aj in A) - F)
+    assert np.isfinite(res) and res < res1
