@@ -36,7 +36,7 @@ def _parse_bdspec(bdspec, dim):
         'bottom': (dim - 2, 0), 'top':   (dim - 2, 1),
         'front':  (dim - 3, 0), 'back':  (dim - 3, 1),
     }
-    bd = names.get(bdspec, bdspec)
+    bd = names.get(bdspec, bdspec) if isinstance(bdspec, str) else bdspec
     try:
         axis, side = bd
     except Exception:
@@ -80,8 +80,13 @@ class KnotVector:
                 and np.allclose(self.kv, other.kv, atol=1e-8, rtol=1e-8))
 
     def __hash__(self):
-        # hash by degree + rounded knots so equal knot vectors hash equal
-        return hash((self.p, self.kv.size, float(self.kv[0]), float(self.kv[-1])))
+        # hash by degree + endpoint knots rounded to the __eq__ tolerance
+        # grid, so allclose-equal knot vectors hash equal (values straddling
+        # a rounding-grid edge may still hash apart — a benign missed cache
+        # hit, never a wrong lookup)
+        return hash((self.p, self.kv.size,
+                     round(float(self.kv[0]), 6),
+                     round(float(self.kv[-1]), 6)))
 
     @property
     def numknots(self):
@@ -414,7 +419,7 @@ def knot_insertion(kv, u):
 # Pointwise tensor-product evaluation (unstructured points)
 ################################################################################
 
-def _tp_gather_active(kvs, coeffs, XY):
+def _tp_gather_active(kvs, coeffs, XY, derivs=1):
     """Shared setup for pointwise TP evaluation: per-axis collocation data with
     first derivatives, plus the gathered active coefficient blocks.
 
@@ -422,7 +427,7 @@ def _tp_gather_active(kvs, coeffs, XY):
     """
     sdim = len(kvs)
     n = XY[0].size
-    coll = [collocation_derivs_info(kvs[d], XY[sdim - 1 - d], derivs=1)
+    coll = [collocation_derivs_info(kvs[d], XY[sdim - 1 - d], derivs=derivs)
             for d in range(sdim)]
     # gather active coefficient block per point: shape (n, p0+1, ..., pd+1, ...)
     # via per-axis index arrays broadcast over the block axes
@@ -457,7 +462,7 @@ def tp_bsp_eval_pointwise(kvs, coeffs, points):
         raise ValueError('All coordinate arrays should have the same shape')
     XY = tuple(np.asarray(points[d], dtype=float).ravel() for d in range(len(points)))
     sdim = len(XY)
-    coll, C_active = _tp_gather_active(kvs, coeffs, XY)
+    coll, C_active = _tp_gather_active(kvs, coeffs, XY, derivs=0)
     vals = _tp_contract(coll, C_active, (0,) * sdim)
     input_shape = np.shape(points[0])
     return vals.reshape(input_shape + coeffs.shape[sdim:])
@@ -482,7 +487,8 @@ def tp_bsp_eval_with_jac_pointwise(kvs, coeffs, points):
     for i in range(sdim):   # derivative w.r.t. coefficient axis i
         da = tuple(1 if d == i else 0 for d in range(sdim))
         jacs.append(_tp_contract(coll, C_active, da))
-    # x-derivative (axis sdim-1) is the last component of the Jacobian
+    # components stacked in XYZ order: after the reversal the x-derivative
+    # (level axis sdim-1) is the FIRST component of the Jacobian
     jac = np.stack(jacs[::-1], axis=-1)
     input_shape = np.shape(points[0])
     out_shape = coeffs.shape[sdim:]
