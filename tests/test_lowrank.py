@@ -125,3 +125,27 @@ def test_tensorgenerator_fancy_index():
     assert np.allclose(X[:, [0, 2], 1:4], tgen[:, [0, 2], 1:4])
     # multiple fancy indices combine as a cartesian product (not zipped)
     assert np.allclose(X[2][np.ix_([3], [0, 4])], tgen[2, [3], [0, 4]])
+
+
+def test_compact_slice_dtype_switch():
+    # the slice field/table caches are keyed by the effective dtype: a
+    # config switch between calls must not reuse wrong-precision operands
+    import pyiga_tpu
+    from pyiga_tpu.compile import compile_vform
+    from pyiga_tpu.vform import stiffness_vf
+
+    kvs = 2 * (bspline.make_knots(2, 0.0, 1.0, 5),)
+    asm = compile_vform(stiffness_vf(2))(
+        kvs, geo=geometry.quarter_annulus())
+    try:
+        pyiga_tpu.set_dtype(np.float32)
+        row32 = asm.compact_slice({0: 1})
+        pyiga_tpu.set_dtype(np.float64)
+        row64 = asm.compact_slice({0: 1})
+    finally:
+        pyiga_tpu.set_dtype(np.float64)
+    ref = compile_vform(stiffness_vf(2))(
+        kvs, geo=geometry.quarter_annulus()).compact_slice({0: 1})
+    # f64 after the switch must be f64-accurate, not cached f32
+    assert abs(row64 - ref).max() <= 1e-12 * abs(ref).max()
+    assert abs(row32 - ref).max() <= 1e-4 * abs(ref).max()
