@@ -612,7 +612,24 @@ def main():
         configs = [(3, n3, np.float64), (2, n2, np.float64),
                    (3, n3, np.float32)]
 
+    # Watchdog on the first device touch: a dead axon tunnel makes
+    # jax.devices() hang INDEFINITELY (observed multi-hour outages).
+    # Normal tunnel init is ~5 min; if it has not answered well past
+    # that, print a diagnostic and exit instead of eating the caller's
+    # whole time budget.  No cost when the tunnel is healthy.
+    import threading
+    init_done = threading.Event()
+    budget = float(os.environ.get('PYIGA_BENCH_INIT_TIMEOUT', '900'))
+
+    def _watchdog():
+        if not init_done.wait(budget):
+            print('# bench: device init did not complete within %.0fs '
+                  '(tunnel down?); aborting' % budget, flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     dev = jax.devices()[0]
+    init_done.set()
     try:
         cpu = jax.devices('cpu')[0]
         if cpu == dev:
