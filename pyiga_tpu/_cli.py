@@ -26,12 +26,25 @@ def str2asm_main(argv=None):
                          'kernel (the analog of dumping generated source)')
     args = ap.parse_args(argv)
 
-    import jax
-    try:
-        jax.config.update('jax_default_device', jax.devices('cpu')[0])
-    except RuntimeError:
-        pass
+    import contextlib
+    import sys
 
+    import jax
+    ctx = contextlib.nullcontext()
+    try:
+        # scoped pin (a global jax_default_device mutation would leak the
+        # CPU pin into the calling process — see CLAUDE.md)
+        ctx = jax.default_device(jax.devices('cpu')[0])
+    except RuntimeError:
+        print('note: no CPU backend in this process; the plan dump runs '
+              'on the default backend (use a fresh process with '
+              'JAX_PLATFORMS=cpu for a cheap dump)', file=sys.stderr)
+    with ctx:
+        return _str2asm_body(args)
+
+
+def _str2asm_body(args):
+    import jax
     from pyiga_tpu import bspline, geometry, vform
     from pyiga_tpu.compile import compile_vform
 

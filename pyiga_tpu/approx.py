@@ -56,12 +56,12 @@ def project_L2(kvs, f, f_physical=False, geo=None):
         return _project_L2_hspace(kvs, f, f_physical, geo)
 
     kvs = _as_kv_tuple(kvs)
+    if f_physical and geo is None:
+        raise ValueError('physical-coordinate f requires a geometry')
     rhs = assemble.inner_products(kvs, f, f_physical=f_physical, geo=geo)
     kron_inv = [operators.make_solver(assemble.mass(kv), spd=True)
                 for kv in kvs]
     if geo is None:
-        if f_physical:
-            raise ValueError('physical-coordinate f requires a geometry')
         return tensor.apply_tprod(kron_inv, rhs)
 
     M = assemble.mass(kvs, geo=geo)

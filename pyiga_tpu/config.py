@@ -8,11 +8,17 @@ plus an escape hatch to force all Pallas kernels into interpreter mode
 """
 
 import os
-import threading
 
 import numpy as np
 
-_state = threading.local()
+
+class _State:
+    # process-wide, like the reference's module-global thread count —
+    # settings made on one thread must be visible to worker threads
+    pass
+
+
+_state = _State()
 
 _DEFAULTS = dict(
     # dtype used for device-side assembly/solver computation.  float64 gives
@@ -73,7 +79,14 @@ def get_backend():
 
 
 def set_backend(name):
-    assert name in ("auto", "cpu", "tpu")
+    """Select the backend HINT consumed by :func:`default_device` and
+    :func:`pallas_interpret_mode` (e.g. 'cpu' flips Pallas kernels to the
+    interpreter).  It does NOT re-route jit dispatch by itself — to run on
+    CPU in a TPU-default process, start a fresh process with
+    ``JAX_PLATFORMS=cpu`` (see CLAUDE.md; a jax.default_device CPU pin
+    miscompiles the two-float pipeline on this JAX version)."""
+    if name not in ("auto", "cpu", "tpu"):
+        raise ValueError("backend must be 'auto', 'cpu' or 'tpu'")
     _state.backend = name
 
 

@@ -29,15 +29,9 @@ class Timings:
 
     @contextlib.contextmanager
     def __call__(self, label, sync=None):
-        t0 = time.perf_counter()
-        box = {}
-        try:
+        with _timed_box(sync) as box:
             yield box
-        finally:
-            result = box.get('result', sync)
-            if result is not None:
-                _device_sync(result)
-            self.add(label, time.perf_counter() - t0)
+        self.add(label, box['seconds'])
 
     def report(self, stream=None):
         import sys
@@ -53,13 +47,30 @@ def _device_sync(result):
     (``block_until_ready`` alone returns early on tunneled backends)."""
     import jax
 
-    leaves = [x for x in jax.tree_util.tree_leaves(result)
-              if hasattr(x, 'dtype')]
-    for x in leaves:
-        if np.issubdtype(x.dtype, np.floating) or \
-                np.issubdtype(x.dtype, np.integer):
-            np.asarray(x).ravel()[:1]
+    for x in jax.tree_util.tree_leaves(result):
+        if hasattr(x, 'dtype') and np.ndim(x):
+            # slice ON DEVICE first: np.asarray(x) would pull the whole
+            # buffer through the ~12 MB/s tunnel (e.g. ~25 s for the n=48
+            # compact tensor), dominating the measured time
+            np.asarray(x.ravel()[0] if hasattr(x, 'ravel') else x)
+        elif hasattr(x, 'dtype'):
+            np.asarray(x)
     return result
+
+
+@contextlib.contextmanager
+def _timed_box(sync):
+    """Shared timing protocol of :func:`timed` and :class:`Timings`:
+    device-synchronize on the block's result, record elapsed seconds."""
+    t0 = time.perf_counter()
+    box = {}
+    try:
+        yield box
+    finally:
+        result = box.get('result', sync)
+        if result is not None:
+            _device_sync(result)
+        box['seconds'] = time.perf_counter() - t0
 
 
 @contextlib.contextmanager
@@ -70,18 +81,10 @@ def timed(label='elapsed', sync=None, verbose=True):
     >>> with timed('assembly') as box:
     ...     box['result'] = asm.assemble()
     """
-    t0 = time.perf_counter()
-    box = {}
-    try:
+    with _timed_box(sync) as box:
         yield box
-    finally:
-        result = box.get('result', sync)
-        if result is not None:
-            _device_sync(result)
-        dt = time.perf_counter() - t0
-        box['seconds'] = dt
-        if verbose:
-            print('%s: %.2f ms' % (label, 1e3 * dt))
+    if verbose:
+        print('%s: %.2f ms' % (label, 1e3 * box['seconds']))
 
 
 @contextlib.contextmanager

@@ -80,8 +80,10 @@ def plot_geo(geo, grid=10, gridx=None, gridy=None, res=50,
         raise ValueError('plot_geo handles 2D -> 2D maps (or curves)')
     supp = geo.support
     lines = []
-    for axis, count in ((0, gridy if gridy is not None else grid),
-                        (1, gridx if gridx is not None else grid)):
+    # reference convention (vis.py:42-45): gridx fixes parameter AXIS 0,
+    # gridy fixes axis 1
+    for axis, count in ((0, gridx if gridx is not None else grid),
+                        (1, gridy if gridy is not None else grid)):
         fixed = (np.linspace(supp[axis][0], supp[axis][1], count)
                  if np.isscalar(count) else np.asarray(count))
         lines += _isolines(geo, fixed, res, transpose=(axis == 1))
