@@ -1309,7 +1309,19 @@ class VFormAssembler:
         fold = getattr(self, '_fold_plan', None)
         tperms = ([jnp.asarray(p) for p in self._fold_tperms]
                   if fold is not None else None)
-        return fn(inputs, parrs, tperms)
+        try:
+            return fn(inputs, parrs, tperms)
+        except Exception as e:
+            # e.g. a scoped-VMEM OOM from the remote Mosaic compile that
+            # the static tiling checks could not predict: degrade to the
+            # (always-correct) XLA pair chains instead of failing assembly
+            import warnings
+            VFormAssembler._JIT_CACHE.pop(key, None)
+            self._prepped_tables = False
+            warnings.warn('fused-Pallas pair path failed (%s: %.200s); '
+                          'falling back to the XLA pair chains'
+                          % (type(e).__name__, e))
+            return None
 
     def assemble(self, mode=None):
         """Assemble and return the matrix as an MLMatrix (scalar forms) or a

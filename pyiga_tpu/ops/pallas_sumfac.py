@@ -195,6 +195,23 @@ def _stage_kernel_acc(xh_ref, xl_ref, tc_ref, ts_ref, ah_ref, al_ref,
 _VMEM_BUDGET = 6 * 2 ** 20
 
 
+# physical scoped-VMEM limit the Mosaic allocation is checked against
+_VMEM_TOTAL = 16 * 2 ** 20
+
+
+def _budget_less_output(budget, out_bytes):
+    """XLA's buffer assignment may place a SMALL pallas output pair
+    entirely in scoped VMEM alongside the kernel's own allocation
+    (measured on v5e: a (1024, 1024) f32 output pair cost 8 MB of S(1)
+    and OOM'd a fold kernel whose 6.9 MB estimate fit the budget).
+    Scale the estimate budget down by the fraction of physical VMEM such
+    an output would consume; large outputs (the 3D headline's compact
+    tensors) cannot be VMEM-placed and keep the full budget."""
+    if out_bytes >= _VMEM_TOTAL:
+        return budget
+    return int(budget * (_VMEM_TOTAL - out_bytes) / _VMEM_TOTAL)
+
+
 def _vmem_bytes(K, r, m):
     x_pair = 2 * K * r * 4
     chunks = _L * K * r * 2                 # the (6K, r) bf16 concat
@@ -302,7 +319,12 @@ def _stage_call(xh, xl, t_chunks, t_scale, acc_h=None, acc_l=None,
 
     K, R = xh.shape
     L, M, _ = t_chunks.shape
-    r_blk, m_blk, k_blk = _pick_blocks(K, R, M, r_block)
+    blocks = _pick_blocks(K, R, M, r_block,
+                          budget=_budget_less_output(_VMEM_BUDGET,
+                                                     2 * R * M * 4))
+    if blocks is None:        # keep supported()'s contract: never None here
+        blocks = _pick_blocks(K, R, M, r_block)
+    r_blk, m_blk, k_blk = blocks
     tcat = _stack_tcat(t_chunks, k_blk)
     # K innermost: the output pair block stays VMEM-resident across the
     # K-block accumulation (see _stage_kernel)
@@ -394,7 +416,12 @@ def _stage_call_T(xh, xl, t_chunks, t_scale, r_block=512, interpret=False):
 
     K, R = xh.shape
     L, M, _ = t_chunks.shape
-    r_blk, m_blk, k_blk = _pick_blocks(K, R, M, r_block)
+    blocks = _pick_blocks(K, R, M, r_block,
+                          budget=_budget_less_output(_VMEM_BUDGET,
+                                                     2 * R * M * 4))
+    if blocks is None:        # keep supported()'s contract: never None here
+        blocks = _pick_blocks(K, R, M, r_block)
+    r_blk, m_blk, k_blk = blocks
     tcat = _stack_tcat(t_chunks, k_blk)
     grid = (R // r_blk, M // m_blk, K // k_blk)
     in_specs = [
@@ -704,7 +731,7 @@ def _pick_blocks_fold(K, R, M, r_block, n_terms, n_tabs):
         K, R, M, r_block,
         vmem_bytes=lambda k, r, m: _vmem_bytes_fold(k, r, m, n_terms,
                                                     n_tabs),
-        budget=_VMEM_BUDGET_FOLD)
+        budget=_budget_less_output(_VMEM_BUDGET_FOLD, 2 * R * M * 4))
 
 
 @functools.partial(jax.jit,
