@@ -458,7 +458,7 @@ def _flat_call(lay, D3, x7, interpret=False):
         # tuples fail Mosaic legalization under jax_enable_x64)
         in_specs=[pl.BlockSpec((1, RXi, 128), lambda s: (s, s * 0, s * 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((R, 128), lambda s: (s * 0, s * 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, 128), jnp.float32),
@@ -481,8 +481,8 @@ def _flat_call_pair(lay, Dh3, Dl3, xh7, xl7, interpret=False):
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, RXi, 128), lambda s: (s, s * 0, s * 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec((R, 128), lambda s: (s * 0, s * 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((R, 128), lambda s: (s * 0, s * 0),
