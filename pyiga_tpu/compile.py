@@ -18,8 +18,11 @@ whose ``assemble()`` traces the form's integrand numerically:
    data tensor directly.
 
 Compiled plans are cached by ``vf.hash()`` (the analog of the reference's
-in-process VForm-hash cache, compile.py:82; persistent compilation caching
-is provided by XLA's own compile cache)."""
+in-process VForm-hash cache, compile.py:82).  Persistent cross-process
+caching comes from XLA's compilation cache, wired to a disk directory at
+package import (:func:`pyiga_tpu.config.compile_cache_dir`, the analog of
+the reference's on-disk module cache, compile.py:58-73); wipe it with
+``scripts/clear_cache.py``."""
 
 import itertools
 
@@ -360,6 +363,21 @@ def _physical_field_derivs(f, geo, grid, comp_shape, with_hessian=False):
 # signature); the probe runs on a tiny fixed grid, so one entry serves
 # every space size — repeated instantiations skip its trace+compile
 _PRUNE_CACHE = {}
+
+
+def _pick_pair_block_rows(n_rows_per_block_row, rows, budget=3.5 * 2**20):
+    """Block rows for the fused pair-fields kernel: largest power-of-two
+    ``r_rows <= 256`` whose estimated VMEM block bytes (input leaves +
+    params + outputs, f32, 128 lanes) fit the ~3.5 MB budget and that
+    divides ``rows``.  Mosaic stack temporaries inflate the estimate ~4x
+    toward the 16 MB scoped limit — a 26-leaf/18-output form at
+    ``r_rows=256`` (6 MB estimated) compiled to a 19.8 MB scoped
+    allocation and OOM'd on hardware (BENCH_r03)."""
+    r_rows = 256
+    while r_rows > 8 and (n_rows_per_block_row * r_rows * 128 * 4 > budget
+                          or rows % r_rows):
+        r_rows //= 2
+    return r_rows
 
 
 def _effective_platform():
@@ -784,9 +802,6 @@ class VFormAssembler:
         d = self.dim
         N = int(np.prod(grid_shape))
         rows = N // 128
-        r_rows = 256
-        while rows % r_rows:
-            r_rows //= 2
 
         # ---- gather scalar grid leaves (hi, lo interleaved rows) --------
         leaf_rows = []          # flat list of (rows, 128) f32 arrays
@@ -854,6 +869,7 @@ class VFormAssembler:
 
         vf = self.vf
         n_out = 2 * len(combos)
+        r_rows = _pick_pair_block_rows(NY2 + NP2 + n_out, rows)
         make_ctx = self._make_pair_context
 
         def kernel(y_ref, p_ref, o_ref):
@@ -1429,7 +1445,20 @@ class VFormAssembler:
                         return pairs
                 return self._eval_combo_fields_pair(inp, self.combos)
 
-            self._pair_fields_cache = jax.jit(eval_fields)(inputs)
+            try:
+                self._pair_fields_cache = jax.jit(eval_fields)(inputs)
+            except Exception as e:
+                # backend compile failure (e.g. a scoped-VMEM OOM from the
+                # remote Mosaic compile) surfaces at the jit CALL, outside
+                # the trace-time try above: degrade to the always-correct
+                # XLA pair evaluation (same arithmetic, materialized to HBM)
+                import warnings
+                warnings.warn('fused pair-fields kernel failed to compile '
+                              '(%s: %.200s); falling back to the XLA pair '
+                              'evaluation' % (type(e).__name__, e))
+                self._pair_fields_cache = jax.jit(
+                    lambda inp: self._eval_combo_fields_pair(
+                        inp, self.combos))(inputs)
         return self._pair_fields_cache
 
     def _make_slice_fn(self, fixed_axes, mode):
