@@ -32,6 +32,9 @@ _DEFAULTS = dict(
     backend="auto",
     # force Pallas kernels to interpreter mode (set automatically on CPU)
     pallas_interpret=None,
+    # dof cutoff for routing tiny per-level hierarchical assemblies to the
+    # host CPU backend (see host_assembly_cutoff)
+    host_assembly_cutoff=40000,
 )
 
 
@@ -74,6 +77,23 @@ def default_assembly_mode():
     return "exact" if platform == "cpu" else "ozaki"
 
 
+def host_assembly_cutoff():
+    """Problem-size cutoff (dofs) below which per-level hierarchical
+    assemblies run on the host CPU backend in exact-f64 mode even when an
+    accelerator is the default: at these sizes the per-dispatch latency
+    (~28 ms through the tunnel) and the compact-tensor pull dominate any
+    device speedup.  Override with ``set_host_assembly_cutoff`` or the
+    ``PYIGA_HOST_ASM_CUTOFF`` env var; 0 disables host routing."""
+    env = os.environ.get("PYIGA_HOST_ASM_CUTOFF")
+    if env is not None:
+        return int(env)
+    return _get("host_assembly_cutoff")
+
+
+def set_host_assembly_cutoff(n):
+    _state.host_assembly_cutoff = int(n)
+
+
 def get_backend():
     return _get("backend")
 
@@ -88,6 +108,30 @@ def set_backend(name):
     if name not in ("auto", "cpu", "tpu"):
         raise ValueError("backend must be 'auto', 'cpu' or 'tpu'")
     _state.backend = name
+
+
+def compile_cache_dir():
+    """Directory of the persistent XLA compilation cache (the analog of the
+    reference's on-disk compiled-module cache, compile.py:22,58-73).
+    Override with ``PYIGA_CACHE_DIR``; disable with
+    ``PYIGA_COMPILE_CACHE=0``.  Returns None when disabled."""
+    if os.environ.get("PYIGA_COMPILE_CACHE", "1") in ("0", "false", "off"):
+        return None
+    # pure-CPU processes (tests, comparators) skip the disk cache: CPU
+    # executables AOT-compiled by the accelerator-configured process carry
+    # different machine-feature flags, and loading them back in a pure-CPU
+    # process warns/risks SIGILL; CPU compiles are cheap anyway.
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        return None
+    path = os.environ.get("PYIGA_CACHE_DIR")
+    if path:
+        return path
+    try:
+        from platformdirs import user_cache_dir
+        base = user_cache_dir("pyiga_tpu")
+    except ImportError:
+        base = os.path.join(os.path.expanduser("~"), ".cache", "pyiga_tpu")
+    return os.path.join(base, "xla_cache")
 
 
 def use_x64():
@@ -107,6 +151,24 @@ def use_x64():
     import jax
 
     jax.config.update("jax_enable_x64", True)
+
+    # Persistent cross-process compilation cache: a fresh process reloads
+    # compiled executables instead of re-paying every XLA/Mosaic compile
+    # (the reference persists compiled modules the same way,
+    # /root/reference/pyiga/compile.py:58-73).  scripts/clear_cache.py
+    # wipes it.
+    cache = compile_cache_dir()
+    if cache is not None:
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache)
+            # cache every compile, however quick (the tunnel dispatch floor
+            # makes even small recompiles expensive here)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                              0)
+        except Exception:       # unknown flags on an older jax: best-effort
+            pass
 
 
 def default_device():

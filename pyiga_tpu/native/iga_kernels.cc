@@ -28,7 +28,6 @@ void gauss_seidel_csr(const int64_t* indptr, const int64_t* indices,
                 z += data[k] * x[j];
         }
         if (diag != 0.0)            // zero/missing diagonal: skip the row
-            if (diag != 0.0)            // zero/missing diagonal: skip the row
             x[i] = (b[i] - z) / diag;
     }
 }
@@ -51,7 +50,6 @@ void gauss_seidel_csr_indexed(const int64_t* indptr, const int64_t* indices,
                 z += data[k] * x[j];
         }
         if (diag != 0.0)            // zero/missing diagonal: skip the row
-            if (diag != 0.0)            // zero/missing diagonal: skip the row
             x[i] = (b[i] - z) / diag;
     }
 }
