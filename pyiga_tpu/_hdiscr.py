@@ -10,12 +10,33 @@ two-sided products with ``represent_fine``; the THB matrix is the HB matrix
 transformed by the truncation operator.  All index bookkeeping uses the
 flat-index arrays of the rewritten :mod:`~pyiga_tpu.hierarchical` core."""
 
+import contextlib
+
 import numpy as np
 import scipy.sparse
 
 from . import compile as compile_mod
 
 _EMPTY = np.empty(0, dtype=np.intp)
+
+
+def _level_device_ctx(n_level_dofs):
+    """Execution context for one level's assembly: tiny levels run on the
+    host CPU backend in exact-f64 mode (a ~28 ms-per-dispatch accelerator
+    plus the compact-tensor pull through the tunnel is strictly slower at
+    these sizes; ``config.host_assembly_cutoff`` gates it).  The assembler
+    picks exact mode automatically under the CPU pin
+    (:func:`pyiga_tpu.config.default_assembly_mode`)."""
+    from . import config
+    cutoff = config.host_assembly_cutoff()
+    if cutoff and n_level_dofs <= cutoff:
+        import jax
+        if compile_mod._effective_platform() != 'cpu':
+            try:
+                return jax.default_device(jax.devices('cpu')[0])
+            except RuntimeError:
+                pass
+    return contextlib.nullcontext()
 
 
 def _assemble_partial_rows(asm, row_indices):
@@ -78,12 +99,13 @@ class HDiscretization:
         if self._compiled is None:
             self._compiled = compile_mod.compile_vform(self.vf,
                                                        on_demand=True)
-        asm = self._compiled(self.hs.knotvectors(k), bbox=bbox,
-                             **self._inputs_for(self.vf))
-        if rows is None:
-            from .assemble import assemble_entries
-            return assemble_entries(asm, symmetric=symmetric)
-        return _assemble_partial_rows(asm, rows)
+        with _level_device_ctx(n):
+            asm = self._compiled(self.hs.knotvectors(k), bbox=bbox,
+                                 **self._inputs_for(self.vf))
+            if rows is None:
+                from .assemble import assemble_entries
+                return assemble_entries(asm, symmetric=symmetric)
+            return _assemble_partial_rows(asm, rows)
 
     # -- system matrix ----------------------------------------------------------
 
@@ -181,9 +203,10 @@ class HDiscretization:
             if len(rows) == 0:
                 pieces.append(np.zeros(0))
                 continue
-            asm = RhsAsm(hs.knotvectors(k),
-                         bbox=self._bbox_for_functions(k, rows), **args)
-            pieces.append(asm.assemble_vector().ravel()[rows])
+            with _level_device_ctx(int(np.prod(hs.mesh(k).numdofs))):
+                asm = RhsAsm(hs.knotvectors(k),
+                             bbox=self._bbox_for_functions(k, rows), **args)
+                pieces.append(asm.assemble_vector().ravel()[rows])
         rhs = np.concatenate(pieces)
 
         if self.truncate:

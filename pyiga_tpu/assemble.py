@@ -391,6 +391,34 @@ class RestrictedLinearSystem:
 # Assembly drivers
 ################################################################################
 
+def _host_route_ctx(asm, mode=None):
+    """Execution context for host-returning assembly: problems below
+    ``config.host_assembly_cutoff`` dofs run on the host CPU backend in
+    exact-f64 mode (the accelerator's per-dispatch latency — ~28 ms through
+    the tunnel here — plus the compact-tensor pull dominate any device
+    speedup at tiny sizes; measured on BENCH_r03 configs 4/5).  An explicit
+    ``mode`` disables routing: the caller asked for a specific device
+    pipeline.  Device-resident paths (``run_device``, ``compact_slice``)
+    are never routed."""
+    import contextlib
+    if mode is not None:
+        return contextlib.nullcontext()
+    from . import config
+    from .compile import _effective_platform
+    cutoff = config.host_assembly_cutoff()
+    kvs0 = getattr(asm, 'kvs0', None)
+    if not cutoff or kvs0 is None:
+        return contextlib.nullcontext()
+    ndofs = int(np.prod([kv.numdofs for kv in kvs0]))
+    if ndofs <= cutoff and _effective_platform() != 'cpu':
+        import jax
+        try:
+            return jax.default_device(jax.devices('cpu')[0])
+        except RuntimeError:
+            pass
+    return contextlib.nullcontext()
+
+
 def assemble_entries(asm, symmetric=False, format='csr', layout='blocked',
                      mode=None):
     """Assemble all entries of the given assembler and return the matrix (or
@@ -406,21 +434,22 @@ def assemble_entries(asm, symmetric=False, format='csr', layout='blocked',
     (assemble.py:714): 'blocked' (component-major numbering) and 'packed'
     (components interleaved per dof)."""
     is_vector_valued = getattr(getattr(asm, 'vf', None), 'vec', False)
-    if asm.arity == 1:
-        result = asm.assemble_vector()
-        if is_vector_valued and layout == 'blocked':
-            result = np.moveaxis(result, -1, 0)
-        return result
-    # mode=None lets the assembler pick its default ('ozaki' f64 fast path
-    # on accelerators); only assemblers with a mode kwarg receive it
-    asm_call = ((lambda: asm.assemble(mode=mode)) if mode is not None
-                else asm.assemble)
-    if is_vector_valued:
-        return _combine_vector_blocks(asm, asm_call(), format, layout)
-    mlm = asm_call()
-    if format == 'mlb':
-        return mlm
-    return mlm.asmatrix(format)
+    with _host_route_ctx(asm, mode):
+        if asm.arity == 1:
+            result = asm.assemble_vector()
+            if is_vector_valued and layout == 'blocked':
+                result = np.moveaxis(result, -1, 0)
+            return result
+        # mode=None lets the assembler pick its default ('ozaki' f64 fast
+        # path on accelerators); only assemblers with a mode kwarg get it
+        asm_call = ((lambda: asm.assemble(mode=mode)) if mode is not None
+                    else asm.assemble)
+        if is_vector_valued:
+            return _combine_vector_blocks(asm, asm_call(), format, layout)
+        mlm = asm_call()
+        if format == 'mlb':
+            return mlm
+        return mlm.asmatrix(format)
 
 
 def assemble_entries_vec(asm, symmetric=False, format='csr',
