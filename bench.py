@@ -152,6 +152,44 @@ def _f64_assembly_fns(asm, dev, use_pallas):
     return asm_fn, lay, bws, ns
 
 
+def _dispatch_floor_ms(device, reps=5):
+    """Measured per-dispatch round-trip latency (a trivial jitted scalar
+    op, synced by fetching the result); used to report honest device-time
+    estimates for host-driven configs."""
+    import jax
+    import jax.numpy as jnp
+    f = jax.jit(lambda x: x + 1.0)
+    with jax.default_device(device):
+        x = jnp.float32(0.0)
+        float(f(x))                      # compile
+        t = np.inf
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f(x))
+            t = min(t, time.perf_counter() - t0)
+    return 1e3 * t
+
+
+def _amortized_device_ms(make_rep, reps=8):
+    """Amortized per-iteration device time of a repeatable program:
+    ``make_rep(R)`` returns a zero-arg callable running R dependency-
+    chained repetitions inside ONE jit (the chaining defeats XLA's
+    hoisting of loop-invariant pure calls — see CLAUDE.md) and syncing on
+    a scalar.  Returns ``(t(R) - t(1)) / (R - 1)`` in ms."""
+    r1, rR = make_rep(1), make_rep(reps)
+    r1()
+    rR()                                 # compile both
+    t1 = tR = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r1()
+        t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        rR()
+        tR = min(tR, time.perf_counter() - t0)
+    return 1e3 * max(tR - t1, 0.0) / (reps - 1)
+
+
 def run_on(device, dim, n, dtype, repeats=3, measure_split=True):
     import jax
     import jax.numpy as jnp
@@ -388,7 +426,84 @@ def run_on(device, dim, n, dtype, repeats=3, measure_split=True):
             t2 = time.perf_counter()
             t_asm = min(t_asm, t1 - t0)
             t_slv = min(t_slv, t2 - t1)
-    return ndofs, t_asm, t_slv, t_tot, iters
+
+        # amortized DEVICE time of the fused assembly+solve program
+        # (dependency-chained in-jit repetitions; comparable across rounds
+        # without the dispatch floor or the CPU-comparator caveat)
+        extra = {}
+        if fused_fn is not None and not on_cpu and measure_split:
+            from jax import lax
+            eps = 1e-300 if dtype == np.float64 else np.float32(1e-40)
+
+            if dtype == np.float64:
+                def make_rep(R):
+                    def rep(gi, ops, b, h, l, pc):
+                        def body(i, carry):
+                            nrm, _ = _fused(gi, ops, b + eps * carry,
+                                            h, l, pc)
+                            return nrm
+                        return lax.fori_loop(0, R, body,
+                                             jnp.zeros((), b.dtype))
+                    jr = jax.jit(rep)
+                    return lambda: float(jr(gi, asm_fn.ops, b, hi_ops0,
+                                            lo_ops0, pc_ops0))
+
+                def make_solve_rep(R):
+                    def rep(data, b, h, l, pc):
+                        Dh3, Dl3 = data
+                        h = dict(h, inner=dict(h['inner'],
+                                               Dh3=Dh3, Dl3=Dl3))
+                        l = dict(l, inner=dict(l['inner'], D3=Dh3))
+
+                        def body(i, carry):
+                            u, _ = run_ir(b + eps * carry, h, l, pc)
+                            return jnp.linalg.norm(u)
+                        return lax.fori_loop(0, R, body,
+                                             jnp.zeros((), b.dtype))
+                    jr = jax.jit(rep)
+                    return lambda: float(jr(data, b, hi_ops0, lo_ops0,
+                                            pc_ops0))
+                stream_bytes = iters * data[0].nbytes
+            else:
+                def make_rep(R):
+                    def rep(gi, tt_, tp_, b, mv, pc):
+                        def body(i, carry):
+                            nrm, _ = _fused32(gi, tt_, tp_, b + eps * carry,
+                                              mv, pc)
+                            return nrm
+                        return lax.fori_loop(0, R, body,
+                                             jnp.zeros((), b.dtype))
+                    jr = jax.jit(rep)
+                    return lambda: float(jr(gi, tt, tperms_d, b,
+                                            mv_ops0, pc_ops0))
+
+                def make_solve_rep(R):
+                    def rep(data, b, mv, pc):
+                        mv = dict(mv, inner=dict(mv['inner'], D3=data))
+
+                        def body(i, carry):
+                            u, _ = run32(b + eps * carry,
+                                         jnp.zeros_like(b), mv, pc)
+                            return jnp.linalg.norm(u)
+                        return lax.fori_loop(0, R, body,
+                                             jnp.zeros((), b.dtype))
+                    jr = jax.jit(rep)
+                    return lambda: float(jr(data, b, mv_ops0, pc_ops0))
+                stream_bytes = iters * data.nbytes
+
+            try:
+                extra['device_ms'] = round(_amortized_device_ms(make_rep), 2)
+                slv_ms = _amortized_device_ms(make_solve_rep)
+                extra['solve_device_ms'] = round(slv_ms, 2)
+                # Krylov matvec traffic: the banded data streams HBM once
+                # per inner iteration (x/y stay VMEM-resident)
+                if slv_ms > 0:
+                    extra['solve_gbps'] = round(
+                        stream_bytes / (1e-3 * slv_ms) / 1e9, 1)
+            except Exception:
+                import traceback
+                traceback.print_exc()
+    return ndofs, t_asm, t_slv, t_tot, iters, extra
 
 
 def run_aca(device, dim, n, p=3):
@@ -637,6 +752,14 @@ def main():
     except RuntimeError:
         cpu = None
 
+    # measured per-dispatch round-trip latency (used for honest device-time
+    # estimates of single-dispatch configs; ~28 ms through the tunnel)
+    try:
+        floor_ms = round(_dispatch_floor_ms(dev), 1)
+    except Exception:
+        floor_ms = None
+    print('# bench: dispatch floor %s ms' % floor_ms, flush=True)
+
     lines = []
     for dim, n, dtype in configs:
         pyiga_tpu.set_dtype(dtype)
@@ -644,17 +767,17 @@ def main():
         res = _with_retries(lambda: run_on(dev, dim, n, dtype), what)
         if res is None:
             continue
-        ndofs, t_asm, t_slv, t_tot, iters = res
+        ndofs, t_asm, t_slv, t_tot, iters, extra = res
         dofs_per_s = ndofs / t_tot
 
         vs_baseline = None
         if cpu is not None and not os.environ.get('PYIGA_BENCH_NO_CPU'):
             # matched-size comparator on the host CPU backend
-            _, _, _, t_cpu, _ = run_on(cpu, dim, n, dtype, repeats=1,
-                                       measure_split=False)
+            _, _, _, t_cpu, _, _ = run_on(cpu, dim, n, dtype, repeats=1,
+                                          measure_split=False)
             vs_baseline = round(t_cpu / t_tot, 3)
 
-        line = json.dumps({
+        line = json.dumps(dict({
             'metric': '%dd_p3_poisson_assembly_plus_cg[%s,n=%d,cg_iters=%d]'
                       % (dim, np.dtype(dtype).name, n, iters),
             'value': round(dofs_per_s, 1),
@@ -665,7 +788,7 @@ def main():
             'iters': iters,
             'comparator': 'matched-size JAX-on-CPU (Cython+MKL of the '
                           'reference unavailable; see bench.py docstring)',
-        })
+        }, **extra))
         lines.append(line)
         print(line, flush=True)
 
@@ -691,6 +814,10 @@ def main():
             'vs_baseline': vs,
             't_ms': round(1e3 * t, 1),
             'entry_frac': round(frac, 4),
+            # host-driven pivot loop: the dispatch floor bounds device-side
+            # attribution (one fused step + scalar fetch per pivot)
+            'dispatch_floor_ms': (round(floor_ms * calls, 1)
+                                  if floor_ms else None),
             'comparator': 'matched-size JAX-on-CPU (see bench.py '
                           'docstring)',
         })
@@ -717,6 +844,10 @@ def main():
             'unit': 'dof/s',
             'vs_baseline': vs,
             't_ms': round(1e3 * t, 1),
+            # single-dispatch program: device time = wall minus the
+            # measured dispatch round-trip
+            'device_ms_est': (round(1e3 * t - floor_ms, 1)
+                              if floor_ms else None),
             'comparator': 'matched-size JAX-on-CPU (see bench.py '
                           'docstring)',
         })
@@ -743,6 +874,11 @@ def main():
                 't_assembly_ms': round(1e3 * t_asm, 1),
                 't_solve_ms': round(1e3 * t_slv, 1),
                 'iters': iters,
+                # the whole solve runs as ONE device dispatch
+                # (ops/mg.DeviceMGSolver); assembly is host-routed below
+                # the tiny-problem cutoff by design
+                'solve_device_ms_est': (round(1e3 * t_slv - floor_ms, 1)
+                                        if floor_ms else None),
                 'comparator': 'matched-size JAX-on-CPU (see bench.py '
                               'docstring)',
             })
@@ -767,6 +903,9 @@ def main():
                 'unit': 'dof-steps/s',
                 'vs_baseline': vs,
                 't_per_step_ms': round(1e3 * t / max(nsteps, 1), 1),
+                # tiny problem: assembly + factorization are host-routed
+                # by design (config.host_assembly_cutoff); no device time
+                'device_ms': 0.0,
                 'comparator': 'matched-size JAX-on-CPU (see bench.py '
                               'docstring)',
             })
