@@ -257,6 +257,114 @@ def sharded_multipatch_data(asms, mesh, mode='exact'):
     return np.asarray(out, dtype=np.float64)
 
 
+def sharded_multipatch_vform_data(asms, mesh, mode='exact'):
+    """Per-patch block data of a COMPILED VFORM for many patches in one
+    sharded device call (the generalization of
+    :func:`sharded_multipatch_data` beyond the fixed-form assemblers).
+
+    The compiled assembler's traced assembly function follows the operand
+    protocol (inputs pytree + term tables as arguments), so the per-patch
+    inputs stack along a leading patch axis that shards over the mesh's
+    ``'space'`` dimension and the assembly vmaps over it; the term tables
+    depend only on the (shared) knot vectors and broadcast.
+
+    All assemblers must come from the same compiled vform on the same knot
+    vectors (equal input treedefs and combo sets).  Returns the dict of
+    per-component blocks, each ``(n_patches, nnz_1, ..., nnz_d)``."""
+    a0 = asms[0]
+    if mode == 'ozaki':
+        mode = 'exact'      # the pair/Pallas paths do not vmap; exact f64
+    combos0 = tuple(map(repr, a0.combos))
+    ops = []
+    for a in asms:
+        if tuple(map(repr, a.combos)) != combos0:
+            raise ValueError('sharded_multipatch_vform_data: patches '
+                             'pruned to different combo sets')
+        ops.append(a._device_operands(mode))
+    tds = {jax.tree_util.tree_structure(inp) for (inp, _tt, _tp) in ops}
+    if len(tds) != 1:
+        raise ValueError('sharded_multipatch_vform_data: patches must '
+                         'share knot vectors and geometry structure')
+    fn = a0._assembly_fn(mode)
+    tt, tperms = ops[0][1], ops[0][2]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                     *[inp for (inp, _tt, _tp) in ops])
+    spec = _spec(mesh, 'space')
+
+    def run(stacked, tt, tperms):
+        stacked = jax.tree_util.tree_map(
+            lambda a: jax.lax.with_sharding_constraint(a, spec), stacked)
+        out = jax.vmap(lambda inp: fn(inp, tt, tperms))(stacked)
+        return jax.tree_util.tree_map(
+            lambda a: jax.lax.with_sharding_constraint(a, spec), out)
+
+    with mesh:
+        out = jax.jit(run)(stacked, tt, tperms)
+        jax.block_until_ready(out)
+    return {k: np.asarray(v, dtype=np.float64) for k, v in out.items()}
+
+
+def multipatch_assemble_system(mp, mesh, problem='stiffness', args=None,
+                               mode='exact'):
+    """Global multipatch system matrix for ANY bilinear form, with
+    device-parallel per-patch assembly: the sharded analog of the matrix
+    part of ``Multipatch.assemble_system`` (reference assemble.py:1337-1368;
+    the host accumulates ``sum_p X_p A_p X_p^T`` over the shared-dof union
+    numbering, which becomes a psum over interface dofs when patch results
+    live on different devices).
+
+    `problem` is ``'stiffness'``, ``'mass'``, a :class:`~pyiga_tpu.vform.VForm`,
+    or a form string (parsed against the first patch); `args` are extra
+    assembler inputs applied uniformly (``geo`` is set per patch).  Vector
+    forms scatter with the blocked (component-major) layout."""
+    import scipy.sparse
+
+    from ..compile import compile_vform
+    from .. import vform as vf_mod
+
+    args = dict(args or {})
+    kvs0, geo0 = mp.patches[0]
+    dim = len(kvs0)
+    if isinstance(problem, str) and problem in ('stiffness', 'mass'):
+        vf = (vf_mod.stiffness_vf(dim) if problem == 'stiffness'
+              else vf_mod.mass_vf(dim))
+    elif isinstance(problem, vf_mod.VForm):
+        vf = problem
+    else:
+        vf = vf_mod.parse_vf(problem, kvs0, args=dict(args, geo=geo0))
+    if vf.arity != 2:
+        raise ValueError('multipatch_assemble_system assembles bilinear '
+                         'forms; use assemble() per patch for functionals')
+    cls = compile_vform(vf)
+    asms = [cls(kvs, **dict(args, geo=geo)) for (kvs, geo) in mp.patches]
+    blocks = sharded_multipatch_vform_data(asms, mesh, mode=mode)
+
+    n = mp.numdofs
+    if not vf.vec:
+        A = scipy.sparse.csr_matrix((n, n))
+        for p, asm in enumerate(asms):
+            X = mp.patch_to_global(p)
+            A_p = asm.structure.make_mlmatrix(
+                data=blocks[(None, None)][p]).asmatrix('csr')
+            A = A + X @ A_p @ X.T
+        return A
+
+    ncu, ncv = (c or 1 for c in asms[0].vf.num_components()[:2])
+    A = scipy.sparse.csr_matrix((ncv * n, ncu * n))
+    zero = scipy.sparse.csr_matrix(asms[0].structure.shape)
+    for p, asm in enumerate(asms):
+        X = mp.patch_to_global(p)
+        rows = [[(asm.structure.make_mlmatrix(
+                    data=blocks[(cu, cv)][p]).asmatrix('csr')
+                  if (cu, cv) in blocks else zero)
+                 for cu in range(ncu)] for cv in range(ncv)]
+        A_p = scipy.sparse.bmat(rows, format='csr')
+        X_blk = scipy.sparse.kron(scipy.sparse.eye(ncv), X, format='csr')
+        X_blk_u = scipy.sparse.kron(scipy.sparse.eye(ncu), X, format='csr')
+        A = A + X_blk @ A_p @ X_blk_u.T
+    return A
+
+
 def multipatch_assemble_stiffness(mp, mesh, mode='exact'):
     """Global multipatch stiffness matrix with device-parallel per-patch
     assembly: all patch data tensors assemble in one sharded call

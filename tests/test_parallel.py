@@ -160,3 +160,51 @@ def test_sharded_multipatch_assembly():
                                   f=lambda x, y: 1.0)
     err = abs(A - A_ref).max() / abs(A_ref).max()
     assert err < 1e-12, err
+
+
+def test_sharded_multipatch_generic_vform():
+    # VERDICT r3 item 8: the sharded path must cover assemble_system for
+    # 'mass'/'stiffness'/custom vforms, with parity vs the host loop
+    # (reference assemble.py:1337-1368)
+    _require_cpu_devices(8)
+    from pyiga_tpu.assemble import Multipatch
+    from pyiga_tpu.parallel import make_mesh, multipatch_assemble_system
+    from pyiga_tpu import vform
+
+    kvs = 2 * (make_knots(2, 0.0, 1.0, 5),)
+    squ = geometry.unit_square()
+    geos = (squ, squ.translate((1, 0)), squ.scale((-1, 1)).translate((2, 1)))
+    MP = Multipatch([(kvs, g) for g in geos])
+    MP.join_boundaries(0, 'right', 1, 'left')
+    MP.join_boundaries(1, 'top', 2, 'bottom', flip=(True,))
+    MP.finalize()
+
+    mesh = make_mesh(8, axis_names=('space',))
+    rhs = vform.L2functional_vf(2, physical=True)
+
+    # predefined mass
+    A = multipatch_assemble_system(MP, mesh, 'mass')
+    A_ref, _ = MP.assemble_system(vform.mass_vf(2), rhs, f=lambda x, y: 1.0)
+    assert abs(A - A_ref).max() / abs(A_ref).max() < 1e-12
+
+    # custom string form with a parameter (convection-diffusion-reaction)
+    form = '(inner(grad(u), grad(v)) + dot(b, grad(u)) * v + u * v) * dx'
+    b = np.array([2.0, -1.0])
+    A = multipatch_assemble_system(MP, mesh, form, args={'b': b})
+    A_ref, _ = MP.assemble_system(form, rhs, args={'b': b},
+                                  f=lambda x, y: 1.0)
+    assert abs(A - A_ref).max() / abs(A_ref).max() < 1e-12
+
+    # vector-valued form (blocked layout scatter)
+    A = multipatch_assemble_system(MP, mesh, vform.divdiv_vf(2))
+    n = MP.numdofs
+    import scipy.sparse
+    A_ref = scipy.sparse.csr_matrix((2 * n, 2 * n))
+    from pyiga_tpu.assemble import assemble as assemble_fn
+    for p in range(MP.numpatches):
+        X = MP.patch_to_global(p)
+        A_p = assemble_fn(vform.divdiv_vf(2), MP.patches[p][0],
+                          geo=MP.patches[p][1])
+        Xb = scipy.sparse.kron(scipy.sparse.eye(2), X, format='csr')
+        A_ref = A_ref + Xb @ A_p @ Xb.T
+    assert abs(A - A_ref).max() / abs(A_ref).max() < 1e-12
