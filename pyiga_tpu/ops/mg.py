@@ -73,6 +73,49 @@ def _smooth(passes, iterations, x, b):
     return x
 
 
+def _smooth_dense(passes, iterations, x, b):
+    """GS sweeps as dense triangular-inverse updates (traced; see
+    :func:`_tri_smoother_pack`)."""
+    for _ in range(iterations):
+        for (S, ell, T) in passes:
+            r = b[S] - _ell_mv(ell, x)
+            x = x.at[S].add(T @ r)
+    return x
+
+
+def _tri_smoother_pack(A, indices, reverse=False):
+    """Dense-triangular form of one GS sweep over `indices` (in order;
+    reversed if `reverse`) on CSR ``A``: the sweep is algebraically
+    ``x_S += M^{-1} (b - A x)_S`` with ``M`` the lower (upper, for a
+    reversed sweep) triangle of ``A[S][:, S]`` *in sweep-order basis* —
+    one dense (m, m) apply replaces the ~wavefront-depth sequence of tiny
+    sequential gather/scatter steps, which cost ~31 us each on the TPU
+    (BENCH_r04 run 1: 717 ms device for a 29-iteration solve).
+
+    Zero/missing-diagonal rows keep the reference's skip semantics
+    (relaxation_cy.pyx:62): their update row is zeroed (dx_i = 0), and
+    later rows correctly see the old value through the zero contribution.
+
+    Returns ``(S, ell_rows, T)`` with ``ell_rows`` the padded-ELL rows
+    ``A[S, :]`` and ``T = M^{-1}`` dense."""
+    import scipy.sparse
+    if not scipy.sparse.isspmatrix_csr(A):
+        A = scipy.sparse.csr_matrix(A)
+    S = np.asarray(indices, dtype=np.int64)
+    A_SS = A[S][:, S].toarray()
+    M = np.triu(A_SS) if reverse else np.tril(A_SS)
+    diag = np.diagonal(A_SS).copy()
+    dead = diag == 0.0
+    if dead.any():
+        M[dead, :] = 0.0
+        M[dead, dead] = 1.0
+    T = np.linalg.inv(M)
+    if dead.any():
+        T[dead, :] = 0.0
+    ell = ell_pack(A[S])
+    return S.astype(np.int32), ell, T
+
+
 class DeviceMGSolver:
     """One-dispatch local multigrid solver for a fixed hierarchy.
 
@@ -81,15 +124,23 @@ class DeviceMGSolver:
     ``Ps`` (``Ps[lv]``: level lv -> lv+1), per-level smoothing index sets
     ``lv_inds``, the GS sweep directions ``(pre, post)`` and
     ``smooth_steps``.  ``active_dofs`` masks the convergence residual
-    (:func:`~pyiga_tpu.solvers.iterative_solve` semantics)."""
+    (:func:`~pyiga_tpu.solvers.iterative_solve` semantics).
+
+    ``smoother_impl`` selects the smoothing kernel: ``'dense'`` (default)
+    applies each sweep as one dense triangular-inverse update
+    (:func:`_tri_smoother_pack` — exact GS algebra, fastest on
+    accelerators), ``'wavefront'`` the order-exact dependency-wavefront
+    kernel of :mod:`pyiga_tpu.ops.relax`.  Both reproduce the host path's
+    iteration counts (tests/test_localmg.py)."""
 
     def __init__(self, As, Ps, lv_inds, sweeps, smooth_steps,
-                 active_dofs=None):
+                 active_dofs=None, smoother_impl='dense'):
         import jax.numpy as jnp
         L = len(As)
         assert len(Ps) == L - 1
         pre_sweep, post_sweep = sweeps
         n = As[-1].shape[0]
+        assert smoother_impl in ('dense', 'wavefront')
 
         params = {}
         params['A'] = [tuple(map(jnp.asarray, ell_pack(As[lv])))
@@ -101,14 +152,23 @@ class DeviceMGSolver:
         params['PT'] = [tuple(map(jnp.asarray, ell_pack(
             Ps[lv].T.tocsr()))) for lv in range(L - 1)]
 
-        def packs(lv, sweep):
-            out = []
-            for reverse in _SWEEP_DIRS[sweep]:
-                order, level = level_schedule(As[lv], lv_inds[lv],
-                                              reverse=reverse)
-                out.append(tuple(jnp.asarray(a)
-                                 for a in _pack_sweep(As[lv], order, level)))
-            return tuple(out)
+        if smoother_impl == 'dense':
+            def packs(lv, sweep):
+                return tuple(
+                    tuple(jnp.asarray(a) if not isinstance(a, tuple)
+                          else tuple(map(jnp.asarray, a))
+                          for a in _tri_smoother_pack(As[lv], lv_inds[lv],
+                                                      reverse=reverse))
+                    for reverse in _SWEEP_DIRS[sweep])
+        else:
+            def packs(lv, sweep):
+                out = []
+                for reverse in _SWEEP_DIRS[sweep]:
+                    order, level = level_schedule(As[lv], lv_inds[lv],
+                                                  reverse=reverse)
+                    out.append(tuple(jnp.asarray(a) for a in
+                                     _pack_sweep(As[lv], order, level)))
+                return tuple(out)
 
         params['pre'] = [packs(lv, pre_sweep) for lv in range(1, L)]
         params['post'] = ([] if post_sweep == pre_sweep else
@@ -133,6 +193,7 @@ class DeviceMGSolver:
         self.n0 = As[0].shape[0]
         self.same_sweeps = post_sweep == pre_sweep
         self.smooth_steps = smooth_steps
+        self.smoother_impl = smoother_impl
 
     def solve(self, f, tol=1e-8, maxiter=5000):
         """Run ``x <- vcycle(x)`` until the masked residual drops by
@@ -140,7 +201,7 @@ class DeviceMGSolver:
         non-convergence (host-side semantics of ``iterative_solve``)."""
         import jax.numpy as jnp
         fn = _solve_fn(self.L, self.n0, self.smooth_steps,
-                       self.same_sweeps)
+                       self.same_sweeps, self.smoother_impl)
         x, res, res0, it = fn(self.params, jnp.asarray(f),
                               float(tol), int(maxiter))
         it = int(it)
@@ -151,24 +212,25 @@ class DeviceMGSolver:
 _SOLVE_CACHE = {}
 
 
-def _solve_fn(L, n0, steps, same):
+def _solve_fn(L, n0, steps, same, impl='dense'):
     """The jitted one-dispatch MG solve, cached per static configuration
     (jax.jit caches by function identity: a per-instance closure would
     re-trace/re-compile on every ``solve_hmultigrid`` call)."""
-    key = (L, n0, steps, same)
+    key = (L, n0, steps, same, impl)
     fn = _SOLVE_CACHE.get(key)
     if fn is not None:
         return fn
     import jax
     import jax.numpy as jnp
     from jax import lax
+    smooth = _smooth_dense if impl == 'dense' else _smooth
 
     def vcycle(p, x, f):
         pre, post = p['pre'], (p['pre'] if same else p['post'])
         xs, rhss = [None] * L, [None] * L
         xs[L - 1], rhss[L - 1] = x, f
         for lv in range(L - 1, 0, -1):
-            xs[lv] = _smooth(pre[lv - 1], steps, xs[lv], rhss[lv])
+            xs[lv] = smooth(pre[lv - 1], steps, xs[lv], rhss[lv])
             r = rhss[lv] - _ell_mv(p['A'][lv - 1], xs[lv])
             rhss[lv - 1] = _ell_mv(p['PT'][lv - 1], r)
             xs[lv - 1] = jnp.zeros_like(rhss[lv - 1])
@@ -176,7 +238,7 @@ def _solve_fn(L, n0, steps, same):
         xs[0] = x0.at[p['ind0']].set(p['Cinv'] @ rhss[0][p['ind0']])
         for lv in range(1, L):
             xs[lv] = xs[lv] + _ell_mv(p['P'][lv - 1], xs[lv - 1])
-            xs[lv] = _smooth(post[lv - 1], steps, xs[lv], rhss[lv])
+            xs[lv] = smooth(post[lv - 1], steps, xs[lv], rhss[lv])
         return xs[L - 1]
 
     def solve(p, f, tol, maxiter):
