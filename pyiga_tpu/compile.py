@@ -1279,7 +1279,8 @@ class VFormAssembler:
         plan = (tuple(fold) if fold is not None
                 else tuple((t, False) for t in range(len(combos))))
         last_idx = ps.last_table_dedup_idx(prepped, plan)
-        key = (self.vf.hash(), tuple(map(repr, combos)), plan, last_idx,
+        dedup_idx = ps.stage_table_dedup_idx(prepped, plan)
+        key = (self.vf.hash(), tuple(map(repr, combos)), plan, dedup_idx,
                self._geo_tables is None,
                getattr(self, '_geo_is_nurbs', None), 'pallas_pair', Ms,
                tuple(t.shape for t in (self._geo_tables or ())))
@@ -1311,7 +1312,8 @@ class VFormAssembler:
                       for ta, Ma in zip(parrs, Ms)]
                 Y = ps.assemble_terms_folded_pallas(tp, pairs, plan,
                                                     tperms or [],
-                                                    last_idx=last_idx)
+                                                    last_idx=last_idx,
+                                                    dedup_idx=dedup_idx)
                 return {(None, None): Y}
             import jax.numpy as jnp
             fn = jax.jit(fn_)

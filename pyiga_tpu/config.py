@@ -35,6 +35,9 @@ _DEFAULTS = dict(
     # dof cutoff for routing tiny per-level hierarchical assemblies to the
     # host CPU backend (see host_assembly_cutoff)
     host_assembly_cutoff=40000,
+    # dof cutoff for routing small local-MG solves to the host CSR kernels
+    # (see host_solve_cutoff)
+    host_solve_cutoff=100000,
 )
 
 
@@ -92,6 +95,24 @@ def host_assembly_cutoff():
 
 def set_host_assembly_cutoff(n):
     _state.host_assembly_cutoff = int(n)
+
+
+def host_solve_cutoff():
+    """Problem-size cutoff (dofs) below which the local-MG solve runs the
+    host CSR kernels even when an accelerator is the default.  Measured on
+    the v5e (1593-dof hierarchy): the fully-fused one-dispatch device
+    solve costs 398 ms (every f64 op is emulated and latency/traffic
+    bound at tiny sizes) vs ~84 ms for the host sweep kernels.  Override
+    with ``set_host_solve_cutoff`` / ``PYIGA_HOST_SOLVE_CUTOFF``; 0
+    disables routing (always use the device path on accelerators)."""
+    env = os.environ.get("PYIGA_HOST_SOLVE_CUTOFF")
+    if env is not None:
+        return int(env)
+    return _get("host_solve_cutoff")
+
+
+def set_host_solve_cutoff(n):
+    _state.host_solve_cutoff = int(n)
 
 
 def get_backend():

@@ -73,9 +73,9 @@ def _smooth(passes, iterations, x, b):
     return x
 
 
-def _smooth_dense(passes, iterations, x, b):
-    """GS sweeps as dense triangular-inverse updates (traced; see
-    :func:`_tri_smoother_pack`)."""
+def _smooth_tri(passes, iterations, x, b):
+    """GS sweeps as dense triangular-inverse updates with gather/scatter
+    index selection (traced; see :func:`_tri_smoother_pack`)."""
     for _ in range(iterations):
         for (S, ell, T) in passes:
             r = b[S] - _ell_mv(ell, x)
@@ -83,7 +83,21 @@ def _smooth_dense(passes, iterations, x, b):
     return x
 
 
-def _tri_smoother_pack(A, indices, reverse=False):
+def _smooth_densemat(passes, iterations, x, b):
+    """GS sweeps as pure dense matmul chains: selection and scatter ride
+    0/1 one-hot matrices (exact), so the whole sweep is three matvecs.
+    On TPU an f64-emulated matvec costs ~2 ns per OUTPUT element (~us at
+    these sizes) while each XLA gather/scatter costs ~0.7-1.5 ms — the
+    gather/scatter formulation measured 18.6 ms per V-cycle on hardware,
+    dominated by exactly those ops."""
+    for _ in range(iterations):
+        for (Asel, T, Esc) in passes:
+            r = Esc.T @ b - Asel @ x
+            x = x + Esc @ (T @ r)
+    return x
+
+
+def _tri_smoother_pack(A, indices, reverse=False, dense=False):
     """Dense-triangular form of one GS sweep over `indices` (in order;
     reversed if `reverse`) on CSR ``A``: the sweep is algebraically
     ``x_S += M^{-1} (b - A x)_S`` with ``M`` the lower (upper, for a
@@ -97,7 +111,9 @@ def _tri_smoother_pack(A, indices, reverse=False):
     later rows correctly see the old value through the zero contribution.
 
     Returns ``(S, ell_rows, T)`` with ``ell_rows`` the padded-ELL rows
-    ``A[S, :]`` and ``T = M^{-1}`` dense."""
+    ``A[S, :]`` and ``T = M^{-1}`` dense; with ``dense=True`` returns
+    ``(A[S, :] dense, T, E_scatter)`` for the all-matmul formulation
+    (:func:`_smooth_densemat`)."""
     import scipy.sparse
     if not scipy.sparse.isspmatrix_csr(A):
         A = scipy.sparse.csr_matrix(A)
@@ -112,6 +128,11 @@ def _tri_smoother_pack(A, indices, reverse=False):
     T = np.linalg.inv(M)
     if dead.any():
         T[dead, :] = 0.0
+    if dense:
+        n = A.shape[1]
+        Esc = np.zeros((n, len(S)))
+        Esc[S, np.arange(len(S))] = 1.0
+        return np.asarray(A[S].todense()), T, Esc
     ell = ell_pack(A[S])
     return S.astype(np.int32), ell, T
 
@@ -126,39 +147,50 @@ class DeviceMGSolver:
     ``smooth_steps``.  ``active_dofs`` masks the convergence residual
     (:func:`~pyiga_tpu.solvers.iterative_solve` semantics).
 
-    ``smoother_impl`` selects the smoothing kernel: ``'dense'`` (default)
-    applies each sweep as one dense triangular-inverse update
-    (:func:`_tri_smoother_pack` — exact GS algebra, fastest on
-    accelerators), ``'wavefront'`` the order-exact dependency-wavefront
-    kernel of :mod:`pyiga_tpu.ops.relax`.  Both reproduce the host path's
-    iteration counts (tests/test_localmg.py)."""
+    ``smoother_impl`` selects the kernel set: ``'dense'`` (default below
+    ``dense_cutoff`` finest dofs) lowers the ENTIRE cycle to dense
+    matmuls — triangular-inverse smoothing with one-hot selection/scatter
+    matrices, dense level matrices and transfers — because on TPU an
+    f64-emulated matvec costs ~us at these sizes while every XLA
+    gather/scatter costs ~ms (measured: 18.6 -> ~1 ms per V-cycle);
+    ``'tri'`` keeps padded-ELL matvecs + gather/scatter triangular
+    smoothing (O(nnz) memory, for larger hierarchies); ``'wavefront'``
+    the order-exact dependency-wavefront kernel of
+    :mod:`pyiga_tpu.ops.relax`.  All reproduce the host path's iteration
+    counts (tests/test_localmg.py)."""
 
     def __init__(self, As, Ps, lv_inds, sweeps, smooth_steps,
-                 active_dofs=None, smoother_impl='dense'):
+                 active_dofs=None, smoother_impl='auto',
+                 dense_cutoff=6000):
         import jax.numpy as jnp
         L = len(As)
         assert len(Ps) == L - 1
         pre_sweep, post_sweep = sweeps
         n = As[-1].shape[0]
-        assert smoother_impl in ('dense', 'wavefront')
+        if smoother_impl == 'auto':
+            smoother_impl = 'dense' if n <= dense_cutoff else 'tri'
+        assert smoother_impl in ('dense', 'tri', 'wavefront')
+        dense = smoother_impl == 'dense'
+
+        def op(M):
+            if dense:
+                return jnp.asarray(np.asarray(M.todense()))
+            return tuple(map(jnp.asarray, ell_pack(M.tocsr())))
 
         params = {}
-        params['A'] = [tuple(map(jnp.asarray, ell_pack(As[lv])))
-                       for lv in range(1, L)]
-        params['Afine'] = (params['A'][-1] if L > 1 else
-                           tuple(map(jnp.asarray, ell_pack(As[0]))))
-        params['P'] = [tuple(map(jnp.asarray, ell_pack(
-            Ps[lv].tocsr()))) for lv in range(L - 1)]
-        params['PT'] = [tuple(map(jnp.asarray, ell_pack(
-            Ps[lv].T.tocsr()))) for lv in range(L - 1)]
+        params['A'] = [op(As[lv]) for lv in range(1, L)]
+        params['Afine'] = params['A'][-1] if L > 1 else op(As[0])
+        params['P'] = [op(Ps[lv]) for lv in range(L - 1)]
+        params['PT'] = [op(Ps[lv].T) for lv in range(L - 1)]
 
-        if smoother_impl == 'dense':
+        if smoother_impl in ('dense', 'tri'):
             def packs(lv, sweep):
                 return tuple(
                     tuple(jnp.asarray(a) if not isinstance(a, tuple)
                           else tuple(map(jnp.asarray, a))
                           for a in _tri_smoother_pack(As[lv], lv_inds[lv],
-                                                      reverse=reverse))
+                                                      reverse=reverse,
+                                                      dense=dense))
                     for reverse in _SWEEP_DIRS[sweep])
         else:
             def packs(lv, sweep):
@@ -178,8 +210,13 @@ class DeviceMGSolver:
         # as a matmul (the host path's make_solver(spd=True) up to ~1e-15)
         ind0 = np.asarray(lv_inds[0], dtype=np.int32)
         A0 = As[0][lv_inds[0]][:, lv_inds[0]].toarray()
-        params['ind0'] = jnp.asarray(ind0)
         params['Cinv'] = jnp.asarray(np.linalg.inv(A0))
+        if dense:
+            E0 = np.zeros((As[0].shape[0], len(ind0)))
+            E0[ind0, np.arange(len(ind0))] = 1.0
+            params['E0'] = jnp.asarray(E0)
+        else:
+            params['ind0'] = jnp.asarray(ind0)
 
         mask = np.zeros(n)
         if active_dofs is None:
@@ -223,7 +260,11 @@ def _solve_fn(L, n0, steps, same, impl='dense'):
     import jax
     import jax.numpy as jnp
     from jax import lax
-    smooth = _smooth_dense if impl == 'dense' else _smooth
+    smooth = {'dense': _smooth_densemat, 'tri': _smooth_tri,
+              'wavefront': _smooth}[impl]
+
+    def mv(op, x):
+        return _ell_mv(op, x) if isinstance(op, tuple) else op @ x
 
     def vcycle(p, x, f):
         pre, post = p['pre'], (p['pre'] if same else p['post'])
@@ -231,13 +272,16 @@ def _solve_fn(L, n0, steps, same, impl='dense'):
         xs[L - 1], rhss[L - 1] = x, f
         for lv in range(L - 1, 0, -1):
             xs[lv] = smooth(pre[lv - 1], steps, xs[lv], rhss[lv])
-            r = rhss[lv] - _ell_mv(p['A'][lv - 1], xs[lv])
-            rhss[lv - 1] = _ell_mv(p['PT'][lv - 1], r)
+            r = rhss[lv] - mv(p['A'][lv - 1], xs[lv])
+            rhss[lv - 1] = mv(p['PT'][lv - 1], r)
             xs[lv - 1] = jnp.zeros_like(rhss[lv - 1])
-        x0 = jnp.zeros(n0, rhss[0].dtype)
-        xs[0] = x0.at[p['ind0']].set(p['Cinv'] @ rhss[0][p['ind0']])
+        if impl == 'dense':
+            xs[0] = p['E0'] @ (p['Cinv'] @ (p['E0'].T @ rhss[0]))
+        else:
+            x0 = jnp.zeros(n0, rhss[0].dtype)
+            xs[0] = x0.at[p['ind0']].set(p['Cinv'] @ rhss[0][p['ind0']])
         for lv in range(1, L):
-            xs[lv] = xs[lv] + _ell_mv(p['P'][lv - 1], xs[lv - 1])
+            xs[lv] = xs[lv] + mv(p['P'][lv - 1], xs[lv - 1])
             xs[lv] = smooth(post[lv - 1], steps, xs[lv], rhss[lv])
         return xs[L - 1]
 
@@ -254,7 +298,7 @@ def _solve_fn(L, n0, steps, same, impl='dense'):
         def body(c):
             x, _, it = c
             x = vcycle(p, x, f)
-            res = jnp.linalg.norm((f - _ell_mv(p['Afine'], x)) * mask)
+            res = jnp.linalg.norm((f - mv(p['Afine'], x)) * mask)
             return x, res, it + 1
 
         x = jnp.zeros_like(f)

@@ -500,13 +500,21 @@ def _vmem_bytes_tail(K2, K3, m2b, m3b, n_terms, n2, n3):
     return x1 + chunks2 + scr + chunks3 + tc2 + tc3 + out
 
 
+# the fused tail kernel's Mosaic stack inflation is larger than the stage/
+# fold kernels': the r4 A/B compiled a 6.5 MB estimate to an 18.05 MB
+# scoped allocation (2.8x) and OOM'd the 16 MB limit; 5.5 MB * 2.8 = 15.4
+# (env knob for on-hardware budget sweeps)
+_VMEM_BUDGET_TAIL = int(float(os.environ.get('PYIGA_TAIL_BUDGET_MB',
+                                             '5.5')) * 2 ** 20)
+
+
 def _pick_blocks_tail(K2, K3, M2p, M3p, n_terms, n2, n3,
                       budget=None):
     """(m2b, m3b) for the fused tail kernel, widest m3 first (full-width
     m3 avoids recomputing nothing — y2 rides scratch either way — but
     keeps output writes contiguous)."""
     if budget is None:
-        budget = _VMEM_BUDGET_FOLD
+        budget = _VMEM_BUDGET_TAIL
     for m3b in [m for m in range(M3p, 127, -128) if M3p % m == 0]:
         for m2b in [m for m in range(M2p, 127, -128) if M2p % m == 0]:
             if _vmem_bytes_tail(K2, K3, m2b, m3b, n_terms, n2, n3) \
@@ -591,7 +599,8 @@ def _tail_supported(tables_prepped_per_term, field_pairs):
 
 
 def _chain_group_tail_fused(tables_prepped_per_term, field_pairs, idxs,
-                            r_block=512, interpret=False, last_idx=None):
+                            r_block=512, interpret=False, last_idx=None,
+                            dedup_idx=None):
     """Fused-tail version of :func:`_chain_group_folded` for 3-axis
     chains: per-term transposed stage 1, then ONE kernel for stage 2 +
     the folded final contraction.  Returns ``(padded pair, dims)`` or
@@ -614,7 +623,11 @@ def _chain_group_tail_fused(tables_prepped_per_term, field_pairs, idxs,
         tcs, tss, idx, seen = [], [], [], {}
         for pos, t in enumerate(idxs):
             tc, ts, _M = tables_prepped_per_term[t][stage_k]
-            key = (last_idx[pos] if (last_idx is not None and stage_k == 2)
+            # host-computed dedup indices: in-jit id() sees distinct
+            # tracers and never dedups (see stage_table_dedup_idx)
+            key = (dedup_idx[stage_k][pos] if dedup_idx is not None
+                   else last_idx[pos]
+                   if (last_idx is not None and stage_k == 2)
                    else id(tc))
             if key not in seen:
                 seen[key] = len(tcs)
@@ -1186,7 +1199,8 @@ def supported(term_tables, grid_shape, r_block=512):
 
 
 def _chain_group_folded(tables_prepped_per_term, field_pairs, idxs,
-                        r_block=512, interpret=False, last_idx=None):
+                        r_block=512, interpret=False, last_idx=None,
+                        dedup_idx=None):
     """Sum of full pair chains over the term group `idxs`, with every
     term's FINAL contraction folded into one kernel (one write of the
     group accumulator instead of one read+write per term — HBM writes
@@ -1198,7 +1212,8 @@ def _chain_group_folded(tables_prepped_per_term, field_pairs, idxs,
         out = _chain_group_tail_fused(tables_prepped_per_term, field_pairs,
                                       idxs, r_block=r_block,
                                       interpret=interpret,
-                                      last_idx=last_idx)
+                                      last_idx=last_idx,
+                                      dedup_idx=dedup_idx)
         if out is not None:
             return out
     flats, shape_mid, dims_mid = [], None, None
@@ -1215,7 +1230,8 @@ def _chain_group_folded(tables_prepped_per_term, field_pairs, idxs,
     tc_list, ts_list, term_idx, seen = [], [], [], {}
     for pos, t in enumerate(idxs):
         tc, ts, _M = tables_prepped_per_term[t][-1]
-        k = last_idx[pos] if last_idx is not None else id(tc)
+        k = (dedup_idx[-1][pos] if dedup_idx is not None
+             else last_idx[pos] if last_idx is not None else id(tc))
         if k not in seen:
             seen[k] = len(tc_list)
             tc_list.append(tc)
@@ -1257,9 +1273,29 @@ def last_table_dedup_idx(tables_prepped_per_term, fold_plan):
     return tuple(out)
 
 
+def stage_table_dedup_idx(tables_prepped_per_term, fold_plan):
+    """Host-side canonical dedup indices for EVERY stage's tables (the
+    all-stage generalization of :func:`last_table_dedup_idx`; the fused
+    tail kernel shares stage-2 tables across terms too — without host-side
+    indices its in-jit ``id()`` dedup sees distinct tracers, the table
+    operands triple, and the real scoped-VMEM use blows past the estimate:
+    the r4 A/B compiled an 18.05 MB allocation from a 6.5 MB estimate and
+    OOM'd).  Returns one tuple per stage; pass as ``dedup_idx=``."""
+    n_stages = len(tables_prepped_per_term[fold_plan[0][0]])
+    out = []
+    for k in range(n_stages):
+        seen, idx = {}, []
+        for t, _m in fold_plan:
+            key = id(tables_prepped_per_term[t][k][0])
+            idx.append(seen.setdefault(key, len(seen)))
+        out.append(tuple(idx))
+    return tuple(out)
+
+
 def assemble_terms_folded_pallas(tables_prepped_per_term, field_pairs,
                                  fold_plan, tperms, r_block=512,
-                                 interpret=False, last_idx=None):
+                                 interpret=False, last_idx=None,
+                                 dedup_idx=None):
     """Folded sum of fused-Pallas pair chains (drop-in for
     :func:`~pyiga_tpu.ops.sumfac.assemble_terms_folded_pair`).  Each
     group's final contractions fold into one kernel writing the group
@@ -1268,9 +1304,12 @@ def assemble_terms_folded_pallas(tables_prepped_per_term, field_pairs,
         idxs = [fold_plan[i][0] for i in positions]
         li = (tuple(last_idx[i] for i in positions)
               if last_idx is not None else None)
+        di = (tuple(tuple(d[i] for i in positions) for d in dedup_idx)
+              if dedup_idx is not None else None)
         acc, dims = _chain_group_folded(
             tables_prepped_per_term, field_pairs, idxs,
-            r_block=r_block, interpret=interpret, last_idx=li)
+            r_block=r_block, interpret=interpret, last_idx=li,
+            dedup_idx=di)
         index = tuple(slice(0, M) for M, _ in dims)
         return acc[0][index], acc[1][index]
 
@@ -1291,7 +1330,7 @@ def assemble_terms_folded_pallas(tables_prepped_per_term, field_pairs,
 def assemble_banded_pair_pallas(tables_prepped_per_term, field_pairs,
                                 fold_plan, tperms_banded, bsz, ns,
                                 r_block=512, interpret=False,
-                                last_idx=None):
+                                last_idx=None, dedup_idx=None):
     """Folded pair chains over BANDED pair tables: returns the regular
     banded data tensor ``(b_1..b_d, n_1..n_d)`` as an f32 two-float pair —
     never materializing the f64 compact tensor or paying the separate
@@ -1306,9 +1345,12 @@ def assemble_banded_pair_pallas(tables_prepped_per_term, field_pairs,
         idxs = [fold_plan[i][0] for i in positions]
         li = (tuple(last_idx[i] for i in positions)
               if last_idx is not None else None)
+        di = (tuple(tuple(d[i] for i in positions) for d in dedup_idx)
+              if dedup_idx is not None else None)
         return _chain_group_folded(tables_prepped_per_term, field_pairs,
                                    idxs, r_block=r_block,
-                                   interpret=interpret, last_idx=li)
+                                   interpret=interpret, last_idx=li,
+                                   dedup_idx=di)
 
     direct = [i for i, (t, m) in enumerate(fold_plan) if not m]
     mirrored = [i for i, (t, m) in enumerate(fold_plan) if m]
@@ -1333,7 +1375,7 @@ def assemble_banded_pair_pallas(tables_prepped_per_term, field_pairs,
 def assemble_flat_banded_pair_pallas(tables_prepped_per_term, field_pairs,
                                      fold_plan, bws, ns, lay=None,
                                      r_block=512, interpret=False,
-                                     last_idx=None):
+                                     last_idx=None, dedup_idx=None):
     """Fused solver-layout assembly: ALL terms chain into ONE accumulator
     ``Z`` (with mirrored terms present the caller prescales the
     direct/self-mirrored terms' tables by 0.5), then the flat matvec
@@ -1354,7 +1396,8 @@ def assemble_flat_banded_pair_pallas(tables_prepped_per_term, field_pairs,
     any_mirror = any(m for _t, m in fold_plan)
     acc, _dims = _chain_group_folded(tables_prepped_per_term, field_pairs,
                                      terms, r_block=r_block,
-                                     interpret=interpret, last_idx=last_idx)
+                                     interpret=interpret, last_idx=last_idx,
+                                     dedup_idx=dedup_idx)
     return flat_banded_pair_from_padded_chain(
         acc, bws, ns, lay=lay, add_transpose=any_mirror)
 

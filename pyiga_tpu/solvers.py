@@ -717,7 +717,14 @@ def solve_hmultigrid(hs, A, f, strategy='cell_supp', smoother='gs',
         raise ValueError("relax_backend must be 'host', 'device' or 'auto'")
     if relax_backend == 'auto':
         import jax
-        relax_backend = ('device' if jax.default_backend() != 'cpu'
+        from . import config
+        cutoff = config.host_solve_cutoff()
+        # tiny problems stay on the host CSR kernels: with software-
+        # emulated f64 every device op is latency/traffic bound and the
+        # fused device solve loses (measured 398 vs ~84 ms at 1593 dofs)
+        relax_backend = ('device'
+                         if jax.default_backend() != 'cpu'
+                         and not (cutoff and A.shape[0] <= cutoff)
                          else 'host')
     if relax_backend == 'device' and smoother != 'exact':
         solver = _device_mg_solver(hs, A, strategy, smoother, smooth_steps)

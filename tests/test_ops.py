@@ -653,6 +653,66 @@ def test_pallas_block_picks_headline():
     assert ps._pick_kblock(512) == 256
 
 
+def test_tail_fused_dedup_under_jit():
+    # r4 A/B regression: with prepped tables passed as JIT OPERANDS the
+    # in-kernel id() dedup sees distinct tracers, the tail kernel's table
+    # operands triple, and the real scoped VMEM blows past the estimate
+    # (compiled 18.05MB from a 6.5MB estimate and OOM'd on hardware).
+    # stage_table_dedup_idx threads host-side indices through; the spy
+    # asserts the tail call receives the DEDUPED table lists under jit.
+    import jax
+    import jax.numpy as jnp
+    from pyiga_tpu.assemblers import StiffnessAssembler, \
+        stiffness_fields_df_pair
+    from pyiga_tpu.ops import pallas_sumfac as ps
+    from pyiga_tpu.ops.banded import band_info
+
+    kvs, geo = _setup(p=3, n=8, d=3)
+    asm = StiffnessAssembler(kvs, geo)
+    bws = band_info(asm.structure)
+    plan = tuple(asm._fold()[0])
+    btabs = asm.tables.banded_term_tables(asm.terms, bws)
+    prepped = [[ps.prepare_table(T) for T in tabs] for tabs in btabs]
+    gi = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(np.asarray(a, np.float64))
+        if np.issubdtype(np.asarray(a).dtype, np.floating)
+        else jnp.asarray(a), asm._geo_inputs)
+    F = stiffness_fields_df_pair(gi)
+    terms = [t for t, _m in plan]
+    dedup_idx = ps.stage_table_dedup_idx(prepped, plan)
+    # the headline-form stage tables are genuinely shared across terms
+    assert max(dedup_idx[0]) + 1 < len(plan)
+
+    calls = []
+    orig_call = ps._tail_fused_call
+
+    def spy(x1T, tc2, ts2, idx2, tc3, ts3, idx3, **kw):
+        calls.append((len(tc2), len(tc3)))
+        return orig_call(x1T, tc2, ts2, idx2, tc3, ts3, idx3, **kw)
+
+    old = ps._TAIL_FUSED
+    try:
+        ps._TAIL_FUSED = True
+        ps._tail_fused_call = spy
+        parrs = [[(c, s) for (c, s, _M) in tabs] for tabs in prepped]
+        Ms = [[M for (_c, _s, M) in tabs] for tabs in prepped]
+
+        def run(parrs, F):
+            tp = [[(c, s, M) for ((c, s), M) in zip(ta, Ma)]
+                  for ta, Ma in zip(parrs, Ms)]
+            (h, l), _dims = ps._chain_group_folded(
+                tp, F, terms, interpret=True, dedup_idx=dedup_idx)
+            return h, l
+        jax.jit(run)(parrs, list(F))
+    finally:
+        ps._TAIL_FUSED = old
+        ps._tail_fused_call = orig_call
+    assert calls, 'tail-fused path was not reached'
+    n2, n3 = calls[0]
+    assert n2 == max(dedup_idx[1]) + 1
+    assert n3 == max(dedup_idx[2]) + 1
+
+
 @pytest.mark.slow
 def test_tail_fused_bitwise_interpret():
     # fused stage2+fold kernel vs the two-call pipeline: BITWISE equal
