@@ -21,6 +21,7 @@ tests/test_localmg.py for this backend too.
 
 import numpy as np
 
+from . import twofloat as tf
 from .relax import level_schedule, _pack_sweep
 
 _SWEEP_DIRS = {'forward': (False,), 'backward': (True,),
@@ -97,6 +98,83 @@ def _smooth_densemat(passes, iterations, x, b):
     return x
 
 
+def _df_split(M):
+    """Dense f64 matrix/array -> exact two-float ``(hi, lo)`` f32 pair
+    (host-side numpy; the split is exact for |M| within f32 range)."""
+    M = np.asarray(M, dtype=np.float64)
+    hi = M.astype(np.float32)
+    lo = (M - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
+def _df_mv(Mpair, xpair):
+    """Two-float dense matvec ``M @ x`` (pair in, pair out; traced).
+
+    Exact elementwise products (Dekker two_prod) + compensated tree
+    reduction (:func:`~pyiga_tpu.ops.twofloat.df_sum_axis`) — f64-class
+    (~2^-45) accuracy from pure fusable f32 arithmetic.  The alternative,
+    an emulated-f64 matvec, runs at ~19 GB/s on TPU (measured 1.07 ms for
+    a 1593^2 operand — the whole round-3 device-MG deficit)."""
+    Mhi, Mlo = Mpair
+    xhi, xlo = xpair
+    p, e = tf.two_prod(Mhi, xhi)
+    e = e + (Mhi * xlo + Mlo * (xhi + xlo))
+    return tf.df_sum_axis((p, e), axis=-1)
+
+
+def _onehot_mv(E, xpair):
+    """Matvec of a 0/1 selection/scatter matrix with a two-float vector.
+
+    Exact as two plain f32 matmuls: every row of `E` has at most one
+    nonzero (a one-hot), so no rounding occurs in products or sums (the
+    TPU's 3-pass bf16 f32 matmul reconstructs one-hot products exactly:
+    the bf16 slices of an f32 value are non-overlapping mantissa bits)."""
+    return E @ xpair[0], E @ xpair[1]
+
+
+def _df_norm_masked(v, mask):
+    """`||v * mask||_2` of a two-float vector (0/1 f32 `mask`; exact
+    products) -> f64 scalar for the convergence comparison."""
+    import jax.numpy as jnp
+    hi, lo = v[0] * mask, v[1] * mask
+    p, e = tf.two_prod(hi, hi)
+    e = e + (2.0 * (hi * lo) + lo * lo)
+    s = tf.df_sum_axis((p, e), axis=-1)
+    return jnp.sqrt(s[0].astype(jnp.float64) + s[1].astype(jnp.float64))
+
+
+def _smooth_df(pack, iterations, x, b):
+    """GS sweeps in two-float arithmetic: per level the row block
+    ``A[S, :]`` and the one-hot select/scatter matrices are shared across
+    directions; each pass applies one dense triangular-inverse update
+    (see :func:`_tri_inverse`)."""
+    Asel, Esc, EscT, Ts = pack
+    bS = _onehot_mv(EscT, b)
+    for _ in range(iterations):
+        for T in Ts:
+            r = tf.df_sub(bS, _df_mv(Asel, x))
+            dx = _df_mv(T, r)
+            x = tf.df_add(x, _onehot_mv(Esc, dx))
+    return x
+
+
+def _tri_inverse(A_SS, reverse=False):
+    """Dense inverse of the GS sweep matrix: lower (upper, for a reversed
+    sweep) triangle of ``A[S][:, S]`` in sweep-order basis.  Zero-diagonal
+    rows keep the reference's skip semantics (their update is zeroed and
+    later rows see the old value through the zero contribution)."""
+    M = np.triu(A_SS) if reverse else np.tril(A_SS)
+    diag = np.diagonal(A_SS).copy()
+    dead = diag == 0.0
+    if dead.any():
+        M[dead, :] = 0.0
+        M[dead, dead] = 1.0
+    T = np.linalg.inv(M)
+    if dead.any():
+        T[dead, :] = 0.0
+    return T
+
+
 def _tri_smoother_pack(A, indices, reverse=False, dense=False):
     """Dense-triangular form of one GS sweep over `indices` (in order;
     reversed if `reverse`) on CSR ``A``: the sweep is algebraically
@@ -119,15 +197,7 @@ def _tri_smoother_pack(A, indices, reverse=False, dense=False):
         A = scipy.sparse.csr_matrix(A)
     S = np.asarray(indices, dtype=np.int64)
     A_SS = A[S][:, S].toarray()
-    M = np.triu(A_SS) if reverse else np.tril(A_SS)
-    diag = np.diagonal(A_SS).copy()
-    dead = diag == 0.0
-    if dead.any():
-        M[dead, :] = 0.0
-        M[dead, dead] = 1.0
-    T = np.linalg.inv(M)
-    if dead.any():
-        T[dead, :] = 0.0
+    T = _tri_inverse(A_SS, reverse=reverse)
     if dense:
         n = A.shape[1]
         Esc = np.zeros((n, len(S)))
@@ -147,12 +217,17 @@ class DeviceMGSolver:
     ``smooth_steps``.  ``active_dofs`` masks the convergence residual
     (:func:`~pyiga_tpu.solvers.iterative_solve` semantics).
 
-    ``smoother_impl`` selects the kernel set: ``'dense'`` (default below
+    ``smoother_impl`` selects the kernel set: ``'df'`` (default below
     ``dense_cutoff`` finest dofs) lowers the ENTIRE cycle to dense
-    matmuls — triangular-inverse smoothing with one-hot selection/scatter
-    matrices, dense level matrices and transfers — because on TPU an
-    f64-emulated matvec costs ~us at these sizes while every XLA
-    gather/scatter costs ~ms (measured: 18.6 -> ~1 ms per V-cycle);
+    TWO-FLOAT matvecs — every matrix an exact f32 ``(hi, lo)`` pair,
+    products/reductions via error-free f32 transformations
+    (:func:`_df_mv`), one-hot selection/scatter matrices exact in single
+    f32.  Rationale: XLA gathers/scatters cost ~ms each at these sizes
+    (18.6 ms/V-cycle measured) and emulated-f64 dense matvecs run at
+    ~19 GB/s (1.07 ms each; 13.7 ms/V-cycle), while the two-float graph
+    is plain fusable f32 at full HBM bandwidth with f64-class (~2^-45)
+    accuracy — the iteration counts still match the host f64 path
+    exactly.  ``'dense'`` is the same structure in emulated f64;
     ``'tri'`` keeps padded-ELL matvecs + gather/scatter triangular
     smoothing (O(nnz) memory, for larger hierarchies); ``'wavefront'``
     the order-exact dependency-wavefront kernel of
@@ -168,8 +243,87 @@ class DeviceMGSolver:
         pre_sweep, post_sweep = sweeps
         n = As[-1].shape[0]
         if smoother_impl == 'auto':
-            smoother_impl = 'dense' if n <= dense_cutoff else 'tri'
-        assert smoother_impl in ('dense', 'tri', 'wavefront')
+            smoother_impl = 'df' if n <= dense_cutoff else 'tri'
+        assert smoother_impl in ('df', 'dense', 'tri', 'wavefront')
+
+        if smoother_impl == 'df':
+            self._init_df(As, Ps, lv_inds, sweeps, active_dofs)
+        else:
+            self._init_plain(As, Ps, lv_inds, sweeps, smoother_impl,
+                             active_dofs)
+        self.L = L
+        self.n0 = As[0].shape[0]
+        self.same_sweeps = post_sweep == pre_sweep
+        self.smooth_steps = smooth_steps
+        self.smoother_impl = smoother_impl
+
+    def _init_df(self, As, Ps, lv_inds, sweeps, active_dofs):
+        """Two-float parameter build: every dense matrix is an exact f32
+        ``(hi, lo)`` pair (split host-side), one-hot select/scatter
+        matrices a single exact f32, shared across sweep directions."""
+        import jax.numpy as jnp
+        L = len(As)
+        pre_sweep, post_sweep = sweeps
+        n = As[-1].shape[0]
+
+        def op(M):
+            return tuple(map(jnp.asarray, _df_split(M.todense())))
+
+        params = {}
+        params['A'] = [op(As[lv]) for lv in range(1, L)]
+        params['Afine'] = params['A'][-1] if L > 1 else op(As[0])
+        params['P'] = [op(Ps[lv]) for lv in range(L - 1)]
+        params['PT'] = [op(Ps[lv].T) for lv in range(L - 1)]
+
+        # per-level smoother data: the row block A[S, :] and the one-hot
+        # select/scatter matrices are direction-independent; only the
+        # triangular inverse differs per sweep direction
+        shared, A_SS = {}, {}
+        for lv in range(1, L):
+            S = np.asarray(lv_inds[lv], dtype=np.int64)
+            Alv = As[lv].tocsr()
+            shared_rows = op(Alv[S])
+            A_SS[lv] = Alv[S][:, S].toarray()
+            Esc = np.zeros((Alv.shape[0], len(S)), dtype=np.float32)
+            Esc[S, np.arange(len(S))] = 1.0
+            shared[lv] = (shared_rows, jnp.asarray(Esc),
+                          jnp.asarray(Esc.T.copy()))
+
+        def op_dense(M):
+            return tuple(map(jnp.asarray, _df_split(M)))
+
+        def packs(lv, sweep):
+            Ts = tuple(op_dense(_tri_inverse(A_SS[lv], reverse=reverse))
+                       for reverse in _SWEEP_DIRS[sweep])
+            Asel, Esc, EscT = shared[lv]
+            return (Asel, Esc, EscT, Ts)
+
+        params['pre'] = [packs(lv, pre_sweep) for lv in range(1, L)]
+        params['post'] = ([] if post_sweep == pre_sweep else
+                          [packs(lv, post_sweep) for lv in range(1, L)])
+
+        ind0 = np.asarray(lv_inds[0], dtype=np.int32)
+        A0 = As[0][lv_inds[0]][:, lv_inds[0]].toarray()
+        params['Cinv'] = op_dense(np.linalg.inv(A0))
+        E0 = np.zeros((As[0].shape[0], len(ind0)), dtype=np.float32)
+        E0[ind0, np.arange(len(ind0))] = 1.0
+        params['E0'] = jnp.asarray(E0)
+        params['E0T'] = jnp.asarray(E0.T.copy())
+
+        mask = np.zeros(n, dtype=np.float32)
+        if active_dofs is None:
+            mask[:] = 1.0
+        else:
+            mask[np.asarray(active_dofs)] = 1.0
+        params['mask'] = jnp.asarray(mask)
+        self.params = params
+
+    def _init_plain(self, As, Ps, lv_inds, sweeps, smoother_impl,
+                    active_dofs):
+        import jax.numpy as jnp
+        L = len(As)
+        pre_sweep, post_sweep = sweeps
+        n = As[-1].shape[0]
         dense = smoother_impl == 'dense'
 
         def op(M):
@@ -224,13 +378,7 @@ class DeviceMGSolver:
         else:
             mask[np.asarray(active_dofs)] = 1.0
         params['mask'] = jnp.asarray(mask)
-
         self.params = params
-        self.L = L
-        self.n0 = As[0].shape[0]
-        self.same_sweeps = post_sweep == pre_sweep
-        self.smooth_steps = smooth_steps
-        self.smoother_impl = smoother_impl
 
     def solve(self, f, tol=1e-8, maxiter=5000):
         """Run ``x <- vcycle(x)`` until the masked residual drops by
@@ -260,6 +408,11 @@ def _solve_fn(L, n0, steps, same, impl='dense'):
     import jax
     import jax.numpy as jnp
     from jax import lax
+    if impl == 'df':
+        fn = jax.jit(_make_solve_df(L, steps, same),
+                     static_argnames=('maxiter',))
+        _SOLVE_CACHE[key] = fn
+        return fn
     smooth = {'dense': _smooth_densemat, 'tri': _smooth_tri,
               'wavefront': _smooth}[impl]
 
@@ -308,3 +461,56 @@ def _solve_fn(L, n0, steps, same, impl='dense'):
     fn = jax.jit(solve, static_argnames=('maxiter',))
     _SOLVE_CACHE[key] = fn
     return fn
+
+
+def _make_solve_df(L, steps, same):
+    """The two-float variant of the one-dispatch MG solve: vectors ride as
+    f32 ``(hi, lo)`` pairs through the whole V-cycle; the only f64
+    arithmetic is the scalar convergence comparison (which keeps
+    ``iterative_solve``'s exact form — the counts contract)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    def zeros_pair(m):
+        z = jnp.zeros(m, jnp.float32)
+        return z, z
+
+    def vcycle(p, x, f):
+        pre, post = p['pre'], (p['pre'] if same else p['post'])
+        xs, rhss = [None] * L, [None] * L
+        xs[L - 1], rhss[L - 1] = x, f
+        for lv in range(L - 1, 0, -1):
+            xs[lv] = _smooth_df(pre[lv - 1], steps, xs[lv], rhss[lv])
+            r = tf.df_sub(rhss[lv], _df_mv(p['A'][lv - 1], xs[lv]))
+            rhss[lv - 1] = _df_mv(p['PT'][lv - 1], r)
+            xs[lv - 1] = zeros_pair(rhss[lv - 1][0].shape[0])
+        c = _df_mv(p['Cinv'], _onehot_mv(p['E0T'], rhss[0]))
+        xs[0] = _onehot_mv(p['E0'], c)
+        for lv in range(1, L):
+            xs[lv] = tf.df_add(xs[lv], _df_mv(p['P'][lv - 1], xs[lv - 1]))
+            xs[lv] = _smooth_df(post[lv - 1], steps, xs[lv], rhss[lv])
+        return xs[L - 1]
+
+    def solve(p, f64, tol, maxiter):
+        f = tf.df_from_f64(f64.astype(jnp.float64))
+        mask = p['mask']
+        res0 = _df_norm_masked(f, mask)
+
+        def cond(c):
+            xhi, xlo, res, it = c
+            # iterative_solve's exact comparison form (counts contract)
+            return jnp.logical_and(jnp.logical_not(res / res0 < tol),
+                                   it < maxiter)
+
+        def body(c):
+            xhi, xlo, _, it = c
+            x = vcycle(p, (xhi, xlo), f)
+            r = tf.df_sub(f, _df_mv(p['Afine'], x))
+            res = _df_norm_masked(r, mask)
+            return (*x, res, it + 1)
+
+        x0 = zeros_pair(f64.shape[0])
+        xhi, xlo, res, it = lax.while_loop(cond, body, (*x0, res0, 0))
+        return tf.df_to_f64((xhi, xlo)), res, res0, it
+
+    return solve

@@ -138,6 +138,35 @@ def df_sum(values):
     return acc
 
 
+def df_sum_axis(a, axis=-1):
+    """Compensated tree sum of a two-float array pair along `axis`.
+
+    Pure f32: the axis is padded to a power of two with exact zeros and
+    halved with :func:`df_add` (each level accurate to pair precision, so
+    the result carries ~depth * 2^-47 relative error).  The reduced axis
+    is removed.  This is the summation kernel behind the two-float dense
+    matvec (ops/mg.py): an emulated-f64 reduction of the same data runs
+    ~15x traffic-bound on TPU, while this graph is plain fusable f32."""
+    hi, lo = a
+    hi = jnp.moveaxis(hi, axis, -1)
+    lo = jnp.moveaxis(lo, axis, -1)
+    n = hi.shape[-1]
+    if n == 0:
+        z = jnp.zeros(hi.shape[:-1], hi.dtype)
+        return z, z
+    full = 1 << (n - 1).bit_length()
+    if full != n:
+        pad = [(0, 0)] * (hi.ndim - 1) + [(0, full - n)]
+        hi, lo = jnp.pad(hi, pad), jnp.pad(lo, pad)
+        n = full
+    while n > 1:
+        m = n // 2
+        hi, lo = df_add((hi[..., :m], lo[..., :m]),
+                        (hi[..., m:], lo[..., m:]))
+        n = m
+    return hi[..., 0], lo[..., 0]
+
+
 def df_sqrt(a):
     """Two-float square root: f32 sqrt + one Newton step in pair
     arithmetic (relative accuracy ~2^-46; zero maps to zero)."""

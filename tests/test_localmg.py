@@ -109,6 +109,37 @@ def test_solve_hmultigrid_device_fused():
 
 
 @pytest.mark.slow
+def test_device_mg_smoother_impls():
+    # every DeviceMGSolver kernel set ('df' two-float, 'dense' emulated
+    # f64, 'tri' ELL+triangular, 'wavefront') must reproduce the host
+    # path's iteration counts and solution — the two-float mode is the
+    # TPU production path (MXU/VPU-native f32 at f64-class accuracy)
+    from pyiga_tpu.ops.mg import DeviceMGSolver
+    hs = create_example_hspace(p=3, dim=2, n0=6, disparity=1, num_levels=3)
+    hd = HDiscretization(hs, vform.stiffness_vf(dim=2),
+                         {'geo': geometry.unit_square(),
+                          'f': lambda *x: 1.0})
+    A = hd.assemble_matrix().tocsr()
+    f = hd.assemble_rhs()
+    u_h, it_h = solvers.solve_hmultigrid(hs, A, f, tol=1e-8,
+                                         relax_backend='host')
+    Ps = hs.virtual_hierarchy_prolongators()
+    lv_inds = hs.indices_to_smooth('cell_supp')
+    L = hs.numlevels
+    As = [None] * L
+    As[L - 1] = A
+    for lv in range(L - 2, -1, -1):
+        As[lv] = (Ps[lv].T @ As[lv + 1] @ Ps[lv]).tocsr()
+    for impl in ('df', 'dense', 'tri', 'wavefront'):
+        s = DeviceMGSolver(As, Ps, lv_inds, ('forward', 'backward'), 2,
+                           active_dofs=hs.non_dirichlet_dofs(),
+                           smoother_impl=impl)
+        u_d, it_d = s.solve(f, tol=1e-8)
+        assert it_d == it_h, impl
+        assert np.allclose(u_h, u_d), impl
+
+
+@pytest.mark.slow
 def test_localmg_device_smoother():
     # the device wavefront smoother (ops/relax.py) must reproduce the
     # reference's exact iteration counts (VERDICT/SURVEY checklist #6:
