@@ -243,10 +243,23 @@ class DeviceMGSolver:
         pre_sweep, post_sweep = sweeps
         n = As[-1].shape[0]
         if smoother_impl == 'auto':
-            smoother_impl = 'df' if n <= dense_cutoff else 'tri'
-        assert smoother_impl in ('df', 'dense', 'tri', 'wavefront')
+            from .. import config
+            if n <= dense_cutoff:
+                # one-launch-per-V-cycle Pallas kernel on real accelerators;
+                # the XLA two-float graph under the interpreter (tests/CPU)
+                # and for single-level hierarchies (coarse-solve only)
+                smoother_impl = ('df' if config.pallas_interpret_mode()
+                                 or L == 1 else 'fused')
+            else:
+                smoother_impl = 'tri'
+        assert smoother_impl in ('fused', 'df', 'dense', 'tri', 'wavefront')
 
-        if smoother_impl == 'df':
+        if smoother_impl == 'fused':
+            from . import mg_pallas
+            self._fused = mg_pallas.build(As, Ps, lv_inds, sweeps,
+                                          smooth_steps,
+                                          active_dofs=active_dofs)
+        elif smoother_impl == 'df':
             self._init_df(As, Ps, lv_inds, sweeps, active_dofs)
         else:
             self._init_plain(As, Ps, lv_inds, sweeps, smoother_impl,
@@ -385,6 +398,17 @@ class DeviceMGSolver:
         ``tol``; returns ``(x, iterations)`` with ``inf`` iterations on
         non-convergence (host-side semantics of ``iterative_solve``)."""
         import jax.numpy as jnp
+        if self.smoother_impl == 'fused':
+            from .. import config
+            from . import mg_pallas
+            operands, desc = self._fused
+            fn = mg_pallas.make_solve(
+                desc, interpret=config.pallas_interpret_mode())
+            x, res, res0, it = fn(operands, jnp.asarray(f),
+                                  float(tol), int(maxiter))
+            it = int(it)
+            converged = float(res) / float(res0) < tol
+            return np.asarray(x), (it if converged else np.inf)
         fn = _solve_fn(self.L, self.n0, self.smooth_steps,
                        self.same_sweeps, self.smoother_impl)
         x, res, res0, it = fn(self.params, jnp.asarray(f),

@@ -108,6 +108,34 @@ def test_solve_hmultigrid_device_fused():
         assert it_d2 == it_d and np.allclose(u_d2, u_d)
 
 
+def test_device_mg_fused_kernel_interpret():
+    # the single-kernel Pallas V-cycle (ops/mg_pallas.py) must reproduce
+    # the host path's counts and solution bit-for-contract (interpret
+    # mode; the TPU production path for small hierarchies)
+    from pyiga_tpu.ops.mg import DeviceMGSolver
+    hs = create_example_hspace(p=2, dim=2, n0=4, disparity=1, num_levels=2)
+    hd = HDiscretization(hs, vform.stiffness_vf(dim=2),
+                         {'geo': geometry.unit_square(),
+                          'f': lambda *x: 1.0})
+    A = hd.assemble_matrix().tocsr()
+    f = hd.assemble_rhs()
+    u_h, it_h = solvers.solve_hmultigrid(hs, A, f, tol=1e-8,
+                                         relax_backend='host')
+    Ps = hs.virtual_hierarchy_prolongators()
+    lv_inds = hs.indices_to_smooth('cell_supp')
+    L = hs.numlevels
+    As = [None] * L
+    As[L - 1] = A
+    for lv in range(L - 2, -1, -1):
+        As[lv] = (Ps[lv].T @ As[lv + 1] @ Ps[lv]).tocsr()
+    s = DeviceMGSolver(As, Ps, lv_inds, ('forward', 'backward'), 2,
+                       active_dofs=hs.non_dirichlet_dofs(),
+                       smoother_impl='fused')
+    u_d, it_d = s.solve(f, tol=1e-8)
+    assert it_d == it_h
+    assert np.allclose(u_h, u_d)
+
+
 @pytest.mark.slow
 def test_device_mg_smoother_impls():
     # every DeviceMGSolver kernel set ('df' two-float, 'dense' emulated
