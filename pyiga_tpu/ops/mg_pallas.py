@@ -36,16 +36,23 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import dfmv
+
 from . import twofloat as tf
 
 _SWEEP_DIRS = {'forward': (False,), 'backward': (True,),
                'symmetric': (False, True)}
 
-# DMA chunk height (rows per streamed tile); pads are 128-multiples so
-# every chunk is 128 or 256 rows.  256 halves the number of waits at
-# 2x the buffer VMEM.
-_CHUNK = 256
+# Tile geometry of the packed sparse streams: 128 contraction rows x
+# _TILE_W output lanes.  Wider tiles cost occupancy (more zeros streamed:
+# 82/109/164 MB per V-cycle at W=128/256/512 on the bench hierarchy) but
+# the VPU runs the error-free transforms ~2x faster on wide values
+# (measured 213 vs ~390 Gflop/s at 128- vs 1664-lane operands).
+_TILE_W = 256
+
+
+def _pad_space(n):
+    """Padded vector-space length (multiple of the tile width)."""
+    return -(-max(int(n), 1) // _TILE_W) * _TILE_W
 
 
 def _pad_row(v, np_len):
@@ -72,33 +79,66 @@ def build(As, Ps, lv_inds, sweeps, steps, active_dofs=None):
     As = [scipy.sparse.csr_matrix(A) for A in As]
 
     n = [A.shape[0] for A in As]
-    npad = [dfmv.pad_len(x) for x in n]
+    npad = [_pad_space(x) for x in n]
     m = [len(lv_inds[lv]) for lv in range(L)]
-    mpad = [dfmv.pad_len(x) for x in m]
+    mpad = [_pad_space(x) for x in m]
 
     mats = []           # flat operand list (device arrays)
-    shapes = []         # (rows, cols, is_pair) per matrix, same order
+    shapes = []         # (rows, cols, is_pair, sched) per matrix
 
     def _split_T(M):
         M = np.asarray(M, dtype=np.float64)
         r, c = M.shape
-        MT = np.zeros((dfmv.pad_len(c), dfmv.pad_len(r)))
+        MT = np.zeros((_pad_space(c), _pad_space(r)))
         MT[:c, :r] = M.T
         hi = MT.astype(np.float32)
         lo = (MT - hi.astype(np.float64)).astype(np.float32)
         return hi, lo
 
+    W = _TILE_W
+
+    def _pack_tiles(hi, lo):
+        """Pack the occupied (128, W) tiles of the transposed matrix in
+        m-major order: data ``(ntiles*128, 2W)`` ([hi|lo] per tile) +
+        the static schedule ``sched[j] = (k-tile ids...)``.  Zero tiles
+        contribute exact zeros through the error-free adds, so skipping
+        them is bitwise-free; they are the majority of these operands
+        (measured 37-54%% occupancy at W=128 on the bench hierarchy)."""
+        K, Mw = hi.shape
+        nk, nj = K // 128, Mw // W
+        occ = (hi.reshape(nk, 128, nj, W) != 0).any(axis=(1, 3))
+        if lo is not None:
+            occ |= (lo.reshape(nk, 128, nj, W) != 0).any(axis=(1, 3))
+        sched, data = [], []
+        for j in range(nj):
+            kt = tuple(int(k) for k in np.nonzero(occ[:, j])[0])
+            sched.append(kt)
+            for k in kt:
+                th = hi[k * 128:(k + 1) * 128, j * W:(j + 1) * W]
+                if lo is None:
+                    data.append(th)
+                else:
+                    tl = lo[k * 128:(k + 1) * 128, j * W:(j + 1) * W]
+                    data.append(np.concatenate([th, tl], axis=1))
+        w = 2 * W if lo is not None else W
+        if data:
+            packed = np.concatenate(data, axis=0)
+        else:
+            packed = np.zeros((128, w), np.float32)  # placeholder
+        return jnp.asarray(packed), tuple(sched)
+
     def add_pair(M):
-        # one concatenated [hi | lo] array -> ONE DMA per streamed chunk
         hi, lo = _split_T(M)
-        mats.append(jnp.asarray(np.concatenate([hi, lo], axis=1)))
-        shapes.append((hi.shape[0], hi.shape[1], True))
+        packed, sched = _pack_tiles(hi, lo)
+        mats.append(packed)
+        shapes.append((hi.shape[0], hi.shape[1], True, sched))
         return len(shapes) - 1
 
     def add_single(M):
         hi, _lo = _split_T(M)
-        mats.append(jnp.asarray(hi))
-        shapes.append((hi.shape[0], hi.shape[1], False))
+        packed, sched = _pack_tiles(hi, None)
+        mats.append(packed)
+        shapes.append((hi.shape[0], hi.shape[1], False, sched))
         return len(shapes) - 1
 
     idx = {}
@@ -175,6 +215,18 @@ def _plain_fold(p):
     return p
 
 
+def _two_prod_bsplit(a, b, bh, bl):
+    """Dekker two_prod with the x-side split hoisted (the x columns are
+    reused by every tile of the strip; only the streamed tile is split
+    in place)."""
+    p = a * b
+    c = tf._SPLIT * a
+    ah = c - (c - a)
+    al = a - ah
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
 def _vcycle_kernel(desc, nmats, *refs):
     """The fused V-cycle kernel body (fully unrolled static program)."""
     from jax.experimental import pallas as pl
@@ -186,7 +238,7 @@ def _vcycle_kernel(desc, nmats, *refs):
     shapes = d['shapes']
 
     # unpack refs: matrices | f(2) x(2) mask | outputs xo(2) res2(2) |
-    # scratch: buf0 buf1 sem0 sem1 | per-level rows
+    # scratch: buf0 buf1 sem0 sem1 xcols(2) mvout(2) | per-level rows
     mat_refs = refs[:nmats]
     fh_ref, fl_ref, xh_ref, xl_ref, mask_ref = refs[nmats:nmats + 5]
     xo_h, xo_l, r2_h, r2_l = refs[nmats + 5:nmats + 9]
@@ -208,55 +260,101 @@ def _vcycle_kernel(desc, nmats, *refs):
     def mv(terms, out_width):
         """Sum of streamed matvec terms -> (1, out_width) value pair.
         terms: list of (mat_index, (src_h, src_l) value rows, sign).
-        The chunk DMAs are double-buffered across ALL chunks of the call
-        (each blocking wait was ~7 us; 400+ serial waits per V-cycle were
-        the whole kernel cost in the first version)."""
-        sched = []
-        for (j, src, sign) in terms:
-            rows, cols, is_pair = shapes[j]
-            for k0 in range(0, rows, _CHUNK):
-                rb = min(_CHUNK, rows - k0)
-                sched.append((j, k0, rb, cols, is_pair, src, sign))
+
+        Tile-sparse m-major streaming: only the occupied 128x128 tiles
+        (packed contiguously per output tile at build time) are DMA'd,
+        in per-(output-tile, term) strips, double-buffered across the
+        whole call.  Source vectors are staged once into a column cache
+        so each tile multiply is a plain lane-broadcast.  Skipped tiles
+        are exact zeros — bitwise-identical to the dense stream."""
+        W = _TILE_W
+        # stage the term sources as (128, 1) column VALUES (registers —
+        # scratch round-trips here cost ~8 us per single-lane store):
+        # value, low part, hoisted Dekker split halves of the high part
+        cols = []
+        for ti, (j, src, _sign) in enumerate(terms):
+            rows = shapes[j][0]
+            percol = []
+            for c in range(rows // 128):
+                xh = src[0][:, c * 128:(c + 1) * 128].T
+                xl = src[1][:, c * 128:(c + 1) * 128].T
+                cc = tf._SPLIT * xh
+                bh = cc - (cc - xh)
+                percol.append((xh, xl, bh, xh - bh))
+            cols.append(percol)
+
+        # strip schedule: per output tile jt, per term, its k-tiles
+        strips = []                 # (term_i, jt, t0, ktiles)
+        nj = out_width // W
+        offs = {}
+        for ti, (j, _src, _sign) in enumerate(terms):
+            sched = shapes[j][3]
+            pos = 0
+            offs[ti] = []
+            for jt in range(nj):
+                offs[ti].append(pos)
+                pos += len(sched[jt])
+        for jt in range(nj):
+            for ti, (j, _src, _sign) in enumerate(terms):
+                kt = shapes[j][3][jt]
+                if kt:
+                    strips.append((ti, jt, offs[ti][jt], kt))
 
         def start(i, slot):
-            j, k0, rb, cols, is_pair, _src, _sign = sched[i]
-            w = cols * (2 if is_pair else 1)
+            ti, _jt, t0, kt = strips[i]
+            j = terms[ti][0]
+            w = 2 * W if shapes[j][2] else W
             cp = pltpu.make_async_copy(
-                mat_refs[j].at[pl.dslice(k0, rb)],
-                bufs[slot].at[pl.dslice(0, rb), pl.dslice(0, w)],
+                mat_refs[j].at[pl.dslice(t0 * 128, len(kt) * 128)],
+                bufs[slot].at[pl.dslice(0, len(kt) * 128),
+                              pl.dslice(0, w)],
                 sems[slot])
             cp.start()
             return cp
 
         cps = [None, None]
-        cps[0] = start(0, 0)
-        acc = None
-        for i, (j, k0, rb, cols, is_pair, src, sign) in enumerate(sched):
+        if strips:
+            cps[0] = start(0, 0)
+        outs = {}
+        acc, acc_jt = None, None
+        for i, (ti, jt, t0, kt) in enumerate(strips):
             slot = i % 2
             cps[slot].wait()
-            if i + 1 < len(sched):
+            if i + 1 < len(strips):
                 cps[1 - slot] = start(i + 1, 1 - slot)
-            mhv = bufs[slot][:rb, :cols]
-            xh = src[0][:, k0:k0 + rb].T               # (rb, 1)
-            xl = src[1][:, k0:k0 + rb].T
-            if is_pair:
-                mlv = bufs[slot][:rb, cols:2 * cols]
-                p, e = tf.two_prod(mhv, xh)
-                e = e + (mhv * xl + mlv * (xh + xl))
-                ph, pe = _tree_fold(p, e)
-            else:
-                # one-hot: exact plain products / disjoint sums
-                ph = _plain_fold(mhv * xh)
-                pe = _plain_fold(mhv * xl)
+            j, _src, sign = terms[ti]
+            is_pair = shapes[j][2]
+            if acc_jt is not None and acc_jt != jt:
+                outs[acc_jt] = acc
+                acc = None
+            acc_jt = jt
+            part = None
+            for t, ktile in enumerate(kt):
+                th = bufs[slot][t * 128:(t + 1) * 128, :W]
+                xh, xl, bh, bl = cols[ti][ktile]
+                if is_pair:
+                    tl = bufs[slot][t * 128:(t + 1) * 128, W:2 * W]
+                    p, e = _two_prod_bsplit(th, xh, bh, bl)
+                    e = e + (th * xl + tl * (xh + xl))
+                    ph, pe = _tree_fold(p, e)
+                else:
+                    # one-hot: exact plain products / disjoint sums
+                    ph = _plain_fold(th * xh)
+                    pe = _plain_fold(th * xl)
+                part = (ph, pe) if part is None else \
+                    tf.df_add(part, (ph, pe))
             if sign < 0:
-                ph, pe = -ph, -pe
-            if acc is None:
-                acc = (ph, pe)
-            else:
-                acc = tf.df_add(acc, (ph, pe))
-        if acc[0].shape[1] != out_width:
-            raise AssertionError('width mismatch')
-        return acc
+                part = (-part[0], -part[1])
+            acc = part if acc is None else tf.df_add(acc, part)
+        if acc_jt is not None:
+            outs[acc_jt] = acc
+
+        z = jnp.zeros((1, W), jnp.float32)
+        oh = jnp.concatenate([outs.get(jt, (z, z))[0]
+                              for jt in range(nj)], axis=1)
+        ol = jnp.concatenate([outs.get(jt, (z, z))[1]
+                              for jt in range(nj)], axis=1)
+        return oh, ol
 
     def write(row_refs, val, width):
         row_refs[0][:, :width] = val[0]
@@ -353,10 +451,11 @@ def make_solve(desc, interpret=False):
     npad, mpad = d['npad'], d['mpad']
     nmats = len(d['shapes'])
     npL = npad[L - 1]
-    max_w = max(s[1] * (2 if s[2] else 1) for s in d['shapes'])
+    maxw = max((max((len(kt) for kt in s[3]), default=1))
+               for s in d['shapes'])
 
-    scratch = [pltpu.VMEM((_CHUNK, max_w), jnp.float32),
-               pltpu.VMEM((_CHUNK, max_w), jnp.float32),
+    scratch = [pltpu.VMEM((maxw * 128, 2 * _TILE_W), jnp.float32),
+               pltpu.VMEM((maxw * 128, 2 * _TILE_W), jnp.float32),
                pltpu.SemaphoreType.DMA,
                pltpu.SemaphoreType.DMA]
     for lv in range(L - 1):
