@@ -404,18 +404,33 @@ class DeviceMGSolver:
             operands, desc = self._fused
             fn = mg_pallas.make_solve(
                 desc, interpret=config.pallas_interpret_mode())
-            x, res, res0, it = fn(operands, jnp.asarray(f),
-                                  float(tol), int(maxiter))
-            it = int(it)
-            converged = float(res) / float(res0) < tol
-            return np.asarray(x), (it if converged else np.inf)
-        fn = _solve_fn(self.L, self.n0, self.smooth_steps,
-                       self.same_sweeps, self.smoother_impl)
-        x, res, res0, it = fn(self.params, jnp.asarray(f),
-                              float(tol), int(maxiter))
-        it = int(it)
-        converged = float(res) / float(res0) < tol
-        return np.asarray(x), (it if converged else np.inf)
+            packed = fn(operands, jnp.asarray(f), float(tol), int(maxiter))
+        else:
+            fn = _solve_fn(self.L, self.n0, self.smooth_steps,
+                           self.same_sweeps, self.smoother_impl)
+            packed = fn(self.params, jnp.asarray(f),
+                        float(tol), int(maxiter))
+        x, res, res0, it = _unpack_result(packed)
+        converged = res / res0 < tol
+        return x, (it if converged else np.inf)
+
+
+def _pack_result(x, res, res0, it):
+    """Pack ``(x, res, res0, it)`` into ONE f64 array (traced): every
+    separate output buffer is a separate host pull through the ~20 ms
+    tunnel latency — four fetches cost ~80 ms/solve (measured), packing
+    makes the whole solve one dispatch + one fetch."""
+    import jax.numpy as jnp
+    stats = jnp.stack([res.astype(jnp.float64), res0.astype(jnp.float64),
+                       it.astype(jnp.float64)])
+    return jnp.concatenate([x.astype(jnp.float64), stats])
+
+
+def _unpack_result(packed):
+    """Host-side inverse of :func:`_pack_result` (single np.asarray)."""
+    packed = np.asarray(packed)
+    x, (res, res0, it) = packed[:-3], packed[-3:]
+    return x, float(res), float(res0), int(it)
 
 
 _SOLVE_CACHE = {}
@@ -480,7 +495,7 @@ def _solve_fn(L, n0, steps, same, impl='dense'):
 
         x = jnp.zeros_like(f)
         x, res, it = lax.while_loop(cond, body, (x, res0, 0))
-        return x, res, res0, it
+        return _pack_result(x, res, res0, it)
 
     fn = jax.jit(solve, static_argnames=('maxiter',))
     _SOLVE_CACHE[key] = fn
@@ -535,6 +550,6 @@ def _make_solve_df(L, steps, same):
 
         x0 = zeros_pair(f64.shape[0])
         xhi, xlo, res, it = lax.while_loop(cond, body, (*x0, res0, 0))
-        return tf.df_to_f64((xhi, xlo)), res, res0, it
+        return _pack_result(tf.df_to_f64((xhi, xlo)), res, res0, it)
 
     return solve

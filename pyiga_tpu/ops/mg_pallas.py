@@ -510,7 +510,8 @@ def make_solve(desc, interpret=False):
               jnp.zeros((1, npL), jnp.float32))
         xh, xl, res, it = lax.while_loop(cond, body, (*x0, res0, 0))
         x = xh[0, :nL].astype(jnp.float64) + xl[0, :nL].astype(jnp.float64)
-        return x, res, res0, it
+        from .mg import _pack_result
+        return _pack_result(x, res, res0, it)
 
     fn = jax.jit(solve, static_argnames=('maxiter',))
     _SOLVE_CACHE[key] = fn
