@@ -502,10 +502,12 @@ def _vmem_bytes_tail(K2, K3, m2b, m3b, n_terms, n2, n3):
 
 # the fused tail kernel's Mosaic stack inflation is larger than the stage/
 # fold kernels': the r4 A/B compiled a 6.5 MB estimate to an 18.05 MB
-# scoped allocation (2.8x) and OOM'd the 16 MB limit; 5.5 MB * 2.8 = 15.4
+# scoped allocation (2.8x) and OOM'd the 16 MB limit.  The post-dedup
+# headline estimate is 5.68 MB at the (128, 128) minimum tiling, which
+# compiles and runs at 5.8 MB budget (measured: ~15.8 MB scoped, fits).
 # (env knob for on-hardware budget sweeps)
 _VMEM_BUDGET_TAIL = int(float(os.environ.get('PYIGA_TAIL_BUDGET_MB',
-                                             '5.5')) * 2 ** 20)
+                                             '5.8')) * 2 ** 20)
 
 
 def _pick_blocks_tail(K2, K3, M2p, M3p, n_terms, n2, n3,
@@ -571,10 +573,14 @@ def _tail_fused_call(x1T_pairs, tc2_list, ts2_list, idx2,
     return oh, ol
 
 
-# Fused-tail path for 3-axis chains (stage1_T + _tail_fused_call).  OFF by
-# default until hardware-validated; interpret tests assert bitwise parity
-# with the two-call pipeline either way.  Env toggle for on-hardware A/B:
-# PYIGA_TAIL_FUSED=1.
+# Fused-tail path for 3-axis chains (stage1_T + _tail_fused_call).
+# Hardware-measured on the 3D n=48 f64 headline (v5e, r4, with the path
+# verified ENGAGED via a trace probe): fused device time 62.85 ms vs
+# 62.68 ms for the two-call pipeline — the ~2.7 GB of stage-2 HBM
+# intermediate it removes is bought back by per-grid-step table
+# restreaming and the narrower (128, 128) output tiling, so it stays OFF
+# by default.  Interpret tests assert bitwise parity with the two-call
+# pipeline either way.  Env toggle for on-hardware A/B: PYIGA_TAIL_FUSED=1.
 _TAIL_FUSED = os.environ.get('PYIGA_TAIL_FUSED', '').lower() \
     in ('1', 'true', 'yes', 'on')
 
