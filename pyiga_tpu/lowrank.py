@@ -501,6 +501,9 @@ def aca_3d_device(asm, tol=1e-10, maxiter=100, skipcount=3, tolcount=3,
 
     if count == 0:
         return np.zeros(shape)
+    # one bulk pull of the accepted crosses (an async per-step
+    # copy_to_host_async variant measured SLOWER end-to-end on this
+    # tunnel: 8.3 s vs 5.0 s — the copies serialize with the dispatches)
     cols = np.asarray(cols_d[:count], dtype=np.float64)
     mats = np.asarray(mats_d[:count], dtype=np.float64)
     # one BLAS dgemm instead of einsum('ri,rjk->ijk') — the einsum form
