@@ -112,6 +112,16 @@ def test_aca_3d_device_matches_host():
     assert np.abs(X_dev - ref).max() / scale < 1e-9
     assert np.abs(X_host - ref).max() / scale < 1e-9
 
+    # the fused pivot step must be jit-cached ACROSS driver invocations
+    # (rebuilding it re-compiled per call: 11.5 s of the 12.5 s bench
+    # ACA time on the tunneled v5e)
+    from pyiga_tpu import lowrank
+    n_cached = len(lowrank._ACA_STEP_CACHE)
+    assert n_cached >= 1
+    X_dev2 = aca_3d_device(asm, tol=1e-10, verbose=0)
+    assert len(lowrank._ACA_STEP_CACHE) == n_cached
+    assert np.array_equal(X_dev2, X_dev)
+
 
 def test_tensorgenerator_fancy_index():
     # reference test/test_lowrank.py:6 — fancy-index arrays mix with
