@@ -540,25 +540,37 @@ def run_aca(device, dim, n, p=3):
             # warm the fused-step compile outside the timing (same maxiter:
             # the cross-buffer shapes are part of the compiled signature)
             X = lr.aca_3d_device(asm, tol=1e-10, verbose=0)
-            steps = [0]
+            pivots, calls = [0], [0]
             t0 = time.perf_counter()
             _classify = lr._PivotControl.classify
+            _mk_step = lr._aca_device_step
 
             def counting_classify(self, e, where):
-                steps[0] += 1
+                pivots[0] += 1
                 return _classify(self, e, where)
 
+            def counting_mk_step(*a, **k):
+                fn = _mk_step(*a, **k)
+
+                def wrapped(*aa, **kk):
+                    calls[0] += 1
+                    return fn(*aa, **kk)
+                return wrapped
+
             lr._PivotControl.classify = counting_classify
+            lr._aca_device_step = counting_mk_step
             try:
                 X = lr.aca_3d_device(asm, tol=1e-10, verbose=0)
             finally:
                 lr._PivotControl.classify = _classify
+                lr._aca_device_step = _mk_step
             t = time.perf_counter() - t0
-            # per step: one fiber + one full 2D slice evaluation
-            frac = steps[0] * (S.bidx[0].shape[0]
-                               + total // S.bidx[0].shape[0]) / total
+            # per PIVOT: one fiber + one full 2D slice evaluation (the
+            # fused step runs two pivots per device dispatch)
+            frac = pivots[0] * (S.bidx[0].shape[0]
+                                + total // S.bidx[0].shape[0]) / total
             del X
-            return ndofs, t, steps[0], frac
+            return ndofs, t, calls[0], frac
 
         count = [0, 0]
 

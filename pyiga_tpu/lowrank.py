@@ -413,8 +413,7 @@ def _aca_device_step(fiber_fn, slice_fn, shape, R):
         return fn
     n0, n1, n2 = shape
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(cols, mats, count, I, fields, tables):
+    def one_pivot(cols, mats, count, I, fields, tables):
         mask = (jnp.arange(R) < count).astype(cols.dtype)
         fiber = fiber_fn(fields, tables, I[1:])             # (n0,)
         w = mats[:, I[1], I[2]]                             # (R,)
@@ -435,6 +434,22 @@ def _aca_device_step(fiber_fn, slice_fn, shape, R):
                          (flat // n2).astype(cols.dtype),
                          (flat % n2).astype(cols.dtype)])
         return cols, mats, out
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(cols, mats, count, I, fields, tables):
+        """TWO chained pivots per dispatch: pivot B speculates that pivot
+        A is accepted (the common case — its inputs are exactly A's
+        device-computed verdict packet).  The host replays the same
+        per-pivot accept/skip/stop decisions in order, so the pivot
+        SEQUENCE is identical to the one-pivot form: a rejected or
+        discarded speculation only leaves data in slots >= the final
+        accepted count, which the mask and the end-of-loop slice never
+        read.  Halves the ~29 ms verdict-fetch round trips."""
+        cols, mats, outA = one_pivot(cols, mats, count, I, fields, tables)
+        I_B = outA[jnp.array([0, 2, 3])].astype(I.dtype)
+        cols, mats, outB = one_pivot(cols, mats, count + 1, I_B,
+                                     fields, tables)
+        return cols, mats, jnp.stack([outA, outB])   # ONE verdict fetch
 
     if len(_ACA_STEP_CACHE) > 64:
         _ACA_STEP_CACHE.clear()
@@ -478,26 +493,31 @@ def aca_3d_device(asm, tol=1e-10, maxiter=100, skipcount=3, tolcount=3,
     I = [m // 2 for m in shape]
     ctl = _PivotControl(tol, maxiter, skipcount, tolcount, verbose,
                         what='outer it.')
-    while True:
-        cols_d, mats_d, out = step(cols_d, mats_d, jnp.asarray(count),
-                                   jnp.asarray(np.array(I, np.int64)),
-                                   fields, tables)
-        i0, e0, j1, j2 = np.asarray(out)
-        verdict = ctl.classify(float(e0), I)
-        if verdict == 'stop':
-            break
-        if verdict == 'skip':
-            I[:] = [np.random.randint(m) for m in shape]
-            if ctl.skipped_out():
+    done = False
+    while not done:
+        cols_d, mats_d, out2 = step(cols_d, mats_d, jnp.asarray(count),
+                                    jnp.asarray(np.array(I, np.int64)),
+                                    fields, tables)
+        # replay BOTH pivots' verdicts in order; a skip or stop on pivot
+        # A discards pivot B's speculative cross (it sits in a slot >=
+        # the final count, which the mask and final slice never read)
+        for i0, e0, j1, j2 in np.asarray(out2):
+            verdict = ctl.classify(float(e0), I)
+            if verdict == 'stop':
+                done = True
                 break
-            continue
-        I[0] = int(i0)
-        if verbose >= 2:
-            print(I, '\t', float(e0))
-        count += 1
-        I[1], I[2] = int(j1), int(j2)
-        if not ctl.advance():
-            break
+            if verdict == 'skip':
+                I[:] = [np.random.randint(m) for m in shape]
+                done = ctl.skipped_out()
+                break
+            I[0] = int(i0)
+            if verbose >= 2:
+                print(I, '\t', float(e0))
+            count += 1
+            I[1], I[2] = int(j1), int(j2)
+            if not ctl.advance():
+                done = True
+                break
 
     if count == 0:
         return np.zeros(shape)
