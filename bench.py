@@ -230,11 +230,7 @@ def run_on(device, dim, n, dtype, repeats=3, measure_split=True):
                 asm, device, use_pallas)
         elif dtype == np.float32 and not on_cpu:
             # f32 TPU path: exact f32 chains straight into the flat banded
-            # layout so the solve runs the Pallas flat matvec kernel; the
-            # chains themselves run as fused L=3 Pallas kernels when the
-            # shapes tile (same ~1e-7 accuracy class, VMEM-streamed), else
-            # XLA chains
-            from pyiga_tpu.ops import pallas_sumfac as ps
+            # layout so the solve runs the Pallas flat matvec kernel
             from pyiga_tpu.ops.banded import (flat_banded_layout,
                                               flat_banded_embed_device)
             fold_plan, _ = asm._fold()
@@ -244,42 +240,21 @@ def run_on(device, dim, n, dtype, repeats=3, measure_split=True):
             bsz_f = tuple(2 * bw + 1 for bw in bws_f)
             flat_lay = flat_banded_layout(tuple(bws_f), ns_f)
             btabs = asm.tables.banded_term_tables(asm.terms, bws_f)
+            tt = jax.tree_util.tree_map(
+                lambda a: jax.device_put(np.asarray(a, dtype=dtype), device),
+                btabs)
             tperms_d = [jax.device_put(
                 np.asarray(sumfac.banded_transpose_perm(n, bw)), device)
                 for bw, n in zip(bws_f, ns_f)]
             field_fn = asm.field_fn
-            gshape = tuple(len(g) for g in asm.grid)
-            if ps.supported(btabs, gshape):
-                prepped32 = [[ps.prepare_table32(T) for T in tabs]
-                             for tabs in btabs]
-                li32p = ps.prepped_last_groups(prepped32)
-                Ms32 = tuple(tuple(M for (_c, _s, M) in tabs)
-                             for tabs in prepped32)
-                tt = [[(jax.device_put(c, device), jax.device_put(s, device))
-                       for (c, s, _M) in tabs] for tabs in prepped32]
+            li32 = sumfac.last_table_groups(btabs)
 
-                def full32(gi, tt, tp):
-                    tpp = [[(c, s, M) for ((c, s), M) in zip(ta, Ma)]
-                           for ta, Ma in zip(tt, Ms32)]
-                    data = ps.assemble_terms_folded_pallas32(
-                        tpp, field_fn(gi), plan32, tp, last_idx=li32p)
-                    D = sumfac.banded_reorder(data, bsz_f, ns_f)
-                    return flat_banded_embed_device(D, bws_f, ns_f,
-                                                    flat_lay)
-            else:
-                tt = jax.tree_util.tree_map(
-                    lambda a: jax.device_put(np.asarray(a, dtype=dtype),
-                                             device),
-                    btabs)
-                li32 = sumfac.last_table_groups(btabs)
-
-                def full32(gi, tt, tp):
-                    data = sumfac.assemble_terms_folded(
-                        tt, field_fn(gi), plan32, tp, mode='exact',
-                        last_idx=li32)
-                    D = sumfac.banded_reorder(data, bsz_f, ns_f)
-                    return flat_banded_embed_device(D, bws_f, ns_f,
-                                                    flat_lay)
+            def full32(gi, tt, tp):
+                data = sumfac.assemble_terms_folded(
+                    tt, field_fn(gi), plan32, tp, mode='exact',
+                    last_idx=li32)
+                D = sumfac.banded_reorder(data, bsz_f, ns_f)
+                return flat_banded_embed_device(D, bws_f, ns_f, flat_lay)
 
             jfn = jax.jit(full32)
             asm_fn = lambda gi: jfn(gi, tt, tperms_d)

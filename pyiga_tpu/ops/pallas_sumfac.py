@@ -827,314 +827,6 @@ def chain_pair(tables_prepped, field_pair, r_block=512, interpret=False):
     return hi[index], lo[index]
 
 
-################################################################################
-# Single-float (f32) chain kernels: L=3 chunk split
-#
-# The f32 'exact' assembly used to run XLA chains (each dot at HIGHEST
-# precision = 6 internal bf16 passes, intermediates materialized in HBM).
-# These kernels stream the same chains through VMEM with a 3-chunk split:
-# products of chunk significance a+b <= 2 cover the f32 mantissa (the
-# dropped a+b >= 3 cross terms are ~2^-24 relative — f32 rounding level),
-# so THREE suffix/prefix diagonal dots replace the pair kernel's six, and
-# plain f32 accumulation of the (exact, integer-valued) chunk products
-# keeps the ~1e-7 relative accuracy class of the XLA f32 path.
-################################################################################
-
-_L32 = 3        # 3 x 8-bit chunks cover the f32 mantissa
-
-
-def _slice_cols32(x, interpret=False):
-    """Split an f32 ``(K, r)`` tile into three bf16 chunks with per-column
-    power-of-two scales (single-float analog of :func:`_slice_pair_cols`;
-    same magic-constant rounding EFT)."""
-    a = jnp.max(jnp.abs(x), axis=0, keepdims=True)
-    s = _pow2_at_least(jnp.where(a > 0, a, 1.0))
-    r = x * (1.0 / s)                   # exact: s is a power of two
-    chunks = []
-    for i in range(_L32):
-        C = jnp.float32(1.5 * 2.0 ** (23 - _W * (i + 1)))
-        t = r + C
-        if interpret:
-            t = jax.lax.optimization_barrier(t)
-        q = t - C
-        chunks.append(q.astype(jnp.bfloat16))
-        r = r - q
-    return chunks, s
-
-
-def _dots32(chunks, s_col, tcat, ts):
-    """Three suffix/prefix diagonal dots over the chunk-ordered table
-    stack (same pairing as :func:`_dots_from_chunks` at L=3); plain f32
-    adds between the diagonals — each diagonal's chunk products are
-    integer-valued and exactly accumulated on the MXU, and the diagonals
-    decay by 2^-8 so f32 summation is exact at the 2^-24 target."""
-    K = tcat.shape[0] // _L32
-    rcat = jnp.concatenate(chunks[::-1], axis=0)  # (3K, r) bf16
-    acc = None
-    for d in range(_L32):
-        y = jax.lax.dot_general(
-            rcat[(_L32 - 1 - d) * K:], tcat[:(d + 1) * K],
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        acc = y if acc is None else acc + y
-    return acc * (s_col.T * ts)
-
-
-def _stage_tile32(x, tcat, ts, interpret=False):
-    chunks, s_col = _slice_cols32(x, interpret=interpret)
-    return _dots32(chunks, s_col, tcat, ts)
-
-
-def _stage_kernel32(x_ref, tc_ref, ts_ref, o_ref, interpret=False):
-    from jax.experimental import pallas as pl
-    y = _stage_tile32(x_ref[...], tc_ref[...], ts_ref[...],
-                      interpret=interpret)
-    kb = pl.program_id(2)
-
-    @pl.when(kb == 0)
-    def _():
-        o_ref[...] = y
-
-    @pl.when(kb > 0)
-    def _():
-        o_ref[...] = o_ref[...] + y
-
-
-def _vmem_bytes32(K, r, m):
-    x = K * r * 4
-    chunks = _L32 * K * r * 2
-    table = _L32 * m * K * 2 + 4 * m
-    out = 2 * r * m * 4                 # out block + diagonal temp
-    return x + chunks + table + out
-
-
-@functools.partial(jax.jit, static_argnames=('r_block', 'interpret'))
-def _stage_call32(x, t_chunks, t_scale, r_block=512, interpret=False):
-    """One f32 contraction stage: ``(K, R)`` x table chunks ``(3, M, K)``
-    -> ``(R, M)``."""
-    from jax.experimental import pallas as pl
-
-    K, R = x.shape
-    _, M, _ = t_chunks.shape
-    blocks = _pick_blocks(K, R, M, r_block, vmem_bytes=_vmem_bytes32,
-                          budget=_budget_less_output(_VMEM_BUDGET,
-                                                     R * M * 4))
-    if blocks is None:
-        blocks = _pick_blocks(K, R, M, r_block, vmem_bytes=_vmem_bytes32)
-    r_blk, m_blk, k_blk = blocks
-    tcat = _stack_tcat(t_chunks, k_blk)
-    grid = (R // r_blk, M // m_blk, K // k_blk)
-    in_specs = [
-        pl.BlockSpec((k_blk, r_blk), lambda j, s, kb: (kb, j)),
-        pl.BlockSpec((_L32 * k_blk, m_blk), lambda j, s, kb: (kb, s)),
-        pl.BlockSpec((1, m_blk), lambda j, s, kb: (j * 0, s)),
-    ]
-    out_specs = [pl.BlockSpec((r_blk, m_blk), lambda j, s, kb: (j, s))]
-    kernel = functools.partial(_stage_kernel32, interpret=interpret)
-    (o,) = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=[jax.ShapeDtypeStruct((R, M), jnp.float32)],
-        interpret=interpret,
-    )(x, tcat, t_scale)
-    return o
-
-
-def _fold_kernel32(*refs, n_terms, term_idx, interpret=False):
-    """f32 folded final stage: every term's last contraction accumulates
-    into one VMEM block, written once (see :func:`_fold_kernel`)."""
-    from jax.experimental import pallas as pl
-    n_tabs = (len(refs) - n_terms - 1) // 2
-    tc_refs = refs[n_terms:n_terms + n_tabs]
-    ts_refs = refs[n_terms + n_tabs:n_terms + 2 * n_tabs]
-    o_ref = refs[-1]
-    acc = None
-    for t in range(n_terms):
-        y = _stage_tile32(refs[t][...], tc_refs[term_idx[t]][...],
-                          ts_refs[term_idx[t]][...], interpret=interpret)
-        acc = y if acc is None else acc + y
-    kb = pl.program_id(2)
-
-    @pl.when(kb == 0)
-    def _():
-        o_ref[...] = acc
-
-    @pl.when(kb > 0)
-    def _():
-        o_ref[...] = o_ref[...] + acc
-
-
-def _vmem_bytes_fold32(K, r, m, n_terms, n_tabs):
-    x = n_terms * K * r * 4
-    chunks = _L32 * K * r * 2
-    tables = n_tabs * (_L32 * m * K * 2 + 4 * m)
-    acc = 2 * r * m * 4
-    out = r * m * 4
-    return x + chunks + tables + acc + out
-
-
-@functools.partial(jax.jit,
-                   static_argnames=('term_idx', 'r_block', 'interpret'))
-def _stage_call_fold32(xs, tc_list, ts_list, term_idx, r_block=512,
-                       interpret=False):
-    from jax.experimental import pallas as pl
-
-    K, R = xs[0].shape
-    M = tc_list[0].shape[1]
-    T, ntab = len(xs), len(tc_list)
-    blocks = _pick_blocks(
-        K, R, M, r_block,
-        vmem_bytes=lambda k, r, m: _vmem_bytes_fold32(k, r, m, T, ntab),
-        budget=_budget_less_output(_VMEM_BUDGET_FOLD, R * M * 4))
-    if blocks is None:
-        return None
-    r_blk, m_blk, k_blk = blocks
-    tcats = [_stack_tcat(tc, k_blk) for tc in tc_list]
-    grid = (R // r_blk, M // m_blk, K // k_blk)
-    x_spec = pl.BlockSpec((k_blk, r_blk), lambda j, s, kb: (kb, j))
-    in_specs = [x_spec] * T + \
-        [pl.BlockSpec((_L32 * k_blk, m_blk), lambda j, s, kb: (kb, s))] * ntab + \
-        [pl.BlockSpec((1, m_blk), lambda j, s, kb: (j * 0, s))] * ntab
-    out_specs = [pl.BlockSpec((r_blk, m_blk), lambda j, s, kb: (j, s))]
-    kernel = functools.partial(_fold_kernel32, n_terms=T, term_idx=term_idx,
-                               interpret=interpret)
-    (o,) = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=[jax.ShapeDtypeStruct((R, M), jnp.float32)],
-        interpret=interpret,
-    )(*(list(xs) + tcats + list(ts_list)))
-    return o
-
-
-@jax.jit
-def _prep_slice32_jit(T):
-    return sumfac._ozaki_slice(T, 1, _L32)
-
-
-def prepare_table32(table):
-    """Host-side: split a float64 ``(M, K)`` table into THREE bf16 chunks
-    (24-bit coverage — the f32 accuracy class) with row scales; M padded
-    to a lane multiple.  Content-cached like :func:`prepare_table`."""
-    import hashlib
-    table = np.asarray(table, dtype=np.float64)
-    key = ('L32', table.shape, hashlib.sha256(table.tobytes()).digest())
-    hit = _PREP_CACHE.get(key)
-    if hit is not None:
-        return hit
-    M, K = table.shape
-    Mp = _pad_lanes(M)
-    padded = np.zeros((Mp, K))
-    padded[:M] = table
-    chunks, s = _prep_slice32_jit(jnp.asarray(padded))
-    chunks = jnp.stack([c for c in chunks])
-    scale = jnp.asarray(s, jnp.float32).reshape(1, Mp)
-    if len(_PREP_CACHE) > 256:
-        _PREP_CACHE.clear()
-    _PREP_CACHE[key] = (chunks, scale, M)
-    return chunks, scale, M
-
-
-def prepped_last_groups(tables_prepped_per_term):
-    """Host-side canonical group id of each term's LAST prepped table (the
-    prepare_table content caches intern equal tables, so id() equality is
-    valid — same contract as :func:`sumfac.last_table_groups`)."""
-    seen, out = {}, []
-    for tabs in tables_prepped_per_term:
-        out.append(seen.setdefault(id(tabs[-1][0]), len(seen)))
-    return tuple(out)
-
-
-def _chain32_padded(tables_prepped, x, r_block=512, interpret=False):
-    """d-stage f32 chain; returns the PADDED compact tensor plus the
-    per-axis (M, Mp) dims (cyclic chaining like :func:`_chain_pair_padded`)."""
-    dims = []
-    for tc, ts, M in tables_prepped:
-        K = x.shape[0]
-        R = int(np.prod(x.shape[1:]))
-        o = _stage_call32(x.reshape(K, R), tc, ts, r_block=r_block,
-                          interpret=interpret)
-        Mp = o.shape[1]
-        x = o.reshape(x.shape[1:] + (Mp,))
-        dims.append((M, Mp))
-    return x, dims
-
-
-def _chain_group_folded32(tables_prepped_per_term, fields, idxs,
-                          r_block=512, interpret=False, last_idx=None):
-    """Sum of f32 chains over the TERM indices `idxs` with the final
-    contractions folded into one kernel (f32 mirror of
-    :func:`_chain_group_folded`; `last_idx` is term-indexed like
-    :func:`sumfac.last_table_groups`)."""
-    flats, shape_mid, dims_mid = [], None, None
-    for t in idxs:
-        x, dims_mid = _chain32_padded(tables_prepped_per_term[t][:-1],
-                                      fields[t], r_block=r_block,
-                                      interpret=interpret)
-        K_last = x.shape[0]
-        shape_mid = x.shape[1:]
-        R_rest = int(np.prod(shape_mid)) if shape_mid else 1
-        flats.append(x.reshape(K_last, R_rest))
-
-    tc_list, ts_list, term_idx, seen = [], [], [], {}
-    for t in idxs:
-        tc, ts, _M = tables_prepped_per_term[t][-1]
-        k = last_idx[t] if last_idx is not None else id(tc)
-        if k not in seen:
-            seen[k] = len(tc_list)
-            tc_list.append(tc)
-            ts_list.append(ts)
-        term_idx.append(seen[k])
-
-    M_last = tables_prepped_per_term[idxs[0]][-1][2]
-    folded = _stage_call_fold32(flats, tc_list, ts_list, tuple(term_idx),
-                                r_block=r_block, interpret=interpret)
-    if folded is not None:
-        acc = folded.reshape(shape_mid + (folded.shape[1],))
-        dims = list(dims_mid) + [(M_last, folded.shape[1])]
-    else:
-        acc, d_last = None, None
-        for i, t in enumerate(idxs):
-            o, d_last = _chain32_padded([tables_prepped_per_term[t][-1]],
-                                        flats[i], r_block=r_block,
-                                        interpret=interpret)
-            acc = o if acc is None else acc + o
-        acc = acc.reshape(shape_mid + (acc.shape[-1],))
-        dims = list(dims_mid) + list(d_last)
-    return acc, dims
-
-
-def assemble_terms_folded_pallas32(tables_prepped_per_term, fields,
-                                   fold_plan, tperms, r_block=512,
-                                   interpret=False, last_idx=None):
-    """f32 mirror of :func:`sumfac.assemble_terms_folded` through the
-    fused L=3 Pallas chain kernels: one chain per plan term, mirrored
-    chains summed once and their transpose added via the separable
-    per-axis permutations.  Returns the UNPADDED compact data tensor."""
-    def chain_sum(terms):
-        acc, dims = _chain_group_folded32(
-            tables_prepped_per_term, fields, terms, r_block=r_block,
-            interpret=interpret, last_idx=last_idx)
-        index = tuple(slice(0, M) for M, _ in dims)
-        return acc[index]
-
-    direct = [t for t, m in fold_plan if not m]
-    mirrored = [t for t, m in fold_plan if m]
-    out = chain_sum(direct) if direct else None
-    if mirrored:
-        sym = chain_sum(mirrored)
-        symT = sym
-        for k, p in enumerate(tperms):
-            symT = jnp.take(symT, p, axis=k)
-        sym = sym + symT
-        out = sym if out is None else out + sym
-    return out
-
-
 def _prep_table_traced(T):
     """Traced variant of :func:`prepare_table` for tables that are jit
     operands: split an f64 ``(Q, K)`` table (`K` a multiple of 8) into bf16

@@ -487,53 +487,6 @@ def test_pallas_folded_assembly_interpret():
     assert rel < 1e-5
 
 
-def test_pallas_f32_stage_interpret():
-    # single-float L=3 stage kernel: ~f32 accuracy vs the exact product
-    from pyiga_tpu.ops import pallas_sumfac as ps
-
-    rng = np.random.RandomState(5)
-    K, R, M = 64, 256, 100
-    X = (rng.rand(K, R) * 2 - 1).astype(np.float32)
-    T = rng.rand(M, K) * 2 - 1
-    tc, ts, _ = ps.prepare_table32(T)
-    assert tc.shape[0] == 3
-    o = ps._stage_call32(jnp.asarray(X), tc, ts, interpret=True)
-    ref = (T @ X.astype(np.float64)).T
-    rel = np.abs(np.asarray(o, np.float64)[:, :M] - ref).max() \
-        / np.abs(ref).max()
-    assert rel < 5e-6
-
-
-@pytest.mark.slow
-def test_pallas_f32_folded_assembly_interpret():
-    # f32 L=3 folded Pallas assembly (interpret) matches the exact f64
-    # assembly at the f32 accuracy class (the bench f32 TPU path)
-    import pyiga_tpu
-    from pyiga_tpu.ops import pallas_sumfac as ps
-
-    kvs = 2 * (make_knots(3, 0.0, 1.0, 32),)
-    _, geo = _setup(p=3, n=5, d=2)
-    asm = StiffnessAssembler(kvs, geo)
-    exact = asm.assemble(mode='exact').data
-    tt_np = asm.tables.term_tables(asm.terms)
-    fold_plan, tperms = asm._fold()
-    gshape = tuple(len(g) for g in asm.grid)
-    if not ps.supported(tt_np, gshape, r_block=128):
-        pytest.skip('shapes do not tile for the fused kernel')
-    prepped = [[ps.prepare_table32(T) for T in tabs] for tabs in tt_np]
-    li = ps.prepped_last_groups(prepped)
-    gi = jax.tree_util.tree_map(
-        lambda a: jnp.asarray(np.asarray(a), dtype=jnp.float64)
-        if np.issubdtype(np.asarray(a).dtype, np.floating)
-        else jnp.asarray(a), asm._geo_inputs)
-    F = [jnp.asarray(f, jnp.float32) for f in asm.field_fn(gi)]
-    got = np.asarray(ps.assemble_terms_folded_pallas32(
-        prepped, F, tuple(fold_plan), [jnp.asarray(p) for p in tperms],
-        r_block=128, interpret=True, last_idx=li), np.float64)
-    rel = np.abs(got - exact).max() / np.abs(exact).max()
-    assert rel < 5e-5
-
-
 def test_pallas_kblock_split_interpret():
     # long contraction axis (K=512 > _K_MAX) splits into K-blocks that
     # accumulate in VMEM with two-float adds; result must stay at pair
