@@ -414,7 +414,10 @@ def _aca_device_step(fiber_fn, slice_fn, shape, R):
     n0, n1, n2 = shape
 
     def one_pivot(cols, mats, count, I, fields, tables):
-        mask = (jnp.arange(R) < count).astype(cols.dtype)
+        # buffers carry R+1 slots: the speculative second pivot may write
+        # at slot count+1 == R, which XLA's dynamic_update would otherwise
+        # CLAMP to R-1 and silently overwrite the accepted slot
+        mask = (jnp.arange(cols.shape[0]) < count).astype(cols.dtype)
         fiber = fiber_fn(fields, tables, I[1:])             # (n0,)
         w = mats[:, I[1], I[2]]                             # (R,)
         Ef = fiber - (mask * w) @ cols
@@ -487,8 +490,8 @@ def aca_3d_device(asm, tol=1e-10, maxiter=100, skipcount=3, tolcount=3,
     step = _aca_device_step(fiber_fn, slice_fn, shape, R)
 
     dtype = jnp.float64
-    cols_d = jnp.zeros((R, n0), dtype)
-    mats_d = jnp.zeros((R, n1, n2), dtype)
+    cols_d = jnp.zeros((R + 1, n0), dtype)      # +1: speculative slot
+    mats_d = jnp.zeros((R + 1, n1, n2), dtype)
     count = 0
     I = [m // 2 for m in shape]
     ctl = _PivotControl(tol, maxiter, skipcount, tolcount, verbose,

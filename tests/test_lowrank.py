@@ -122,6 +122,16 @@ def test_aca_3d_device_matches_host():
     assert len(lowrank._ACA_STEP_CACHE) == n_cached
     assert np.array_equal(X_dev2, X_dev)
 
+    # ODD maxiter: the final double-pivot dispatch runs its speculative
+    # second pivot at slot count+1 == maxiter — without the +1 spare
+    # buffer slot XLA clamps that write to maxiter-1 and silently
+    # corrupts the last ACCEPTED cross
+    X3_dev = aca_3d_device(asm, tol=1e-14, maxiter=3, verbose=0)
+    X3_host = aca_3d(compact_generator(asm), tol=1e-14, maxiter=3,
+                     verbose=0, slices='materialize')
+    scale = np.abs(X3_host).max()
+    assert np.abs(X3_dev - X3_host).max() < 1e-9 * scale
+
 
 def test_tensorgenerator_fancy_index():
     # reference test/test_lowrank.py:6 — fancy-index arrays mix with
