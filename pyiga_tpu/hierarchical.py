@@ -1178,9 +1178,13 @@ class HSpace:
         # HDiscretization builds) re-requests identical representations —
         # the row-wise Kronecker products here were ~15% of the measured
         # hierarchical assembly time
+        # key on dtype + bytes: int32/int64 rows with identical byte
+        # strings must not collide.  Callers must treat the result as
+        # immutable (truncate_one_level copies before its resize).
         key = ('represent_fine', lv, bool(truncate), bool(restrict),
                None if rows is None
-               else hash(np.ascontiguousarray(rows).tobytes()))
+               else (np.asarray(rows).dtype.str,
+                     hash(np.ascontiguousarray(rows).tobytes())))
         hit = self._cache.get(key)
         if hit is not None:
             return hit
@@ -1216,6 +1220,7 @@ class HSpace:
             num_rows = nt[-1]
         A = self.represent_fine(lv=k + 1, rows=self._af[k + 1],
                                 truncate=False, restrict=True)
+        A = A.copy()    # represent_fine results are cached; resize mutates
         nA = A.shape[0]
         A.resize(nA, nt[k])
         A.resize(nA, num_rows)

@@ -167,7 +167,13 @@ def _tri_inverse(A_SS, reverse=False):
     diag = np.diagonal(A_SS).copy()
     dead = diag == 0.0
     if dead.any():
+        # skip semantics need BOTH: dx_dead = 0 (row zeroed in T below)
+        # AND no coupling of later rows to the dead update (column zeroed
+        # BEFORE inversion — zeroing only the T row still let rows after
+        # the dead index absorb the phantom dx_dead = r_dead through the
+        # forward substitution)
         M[dead, :] = 0.0
+        M[:, dead] = 0.0
         M[dead, dead] = 1.0
     T = np.linalg.inv(M)
     if dead.any():
@@ -259,9 +265,14 @@ class DeviceMGSolver:
             self._fused = mg_pallas.build(As, Ps, lv_inds, sweeps,
                                           smooth_steps,
                                           active_dofs=active_dofs)
-        elif smoother_impl == 'df':
+            if self._fused is None:
+                # the fused kernel's VMEM scratch estimate exceeds the
+                # scoped limit at this hierarchy size: run the XLA
+                # two-float cycle instead of crashing the remote compile
+                smoother_impl = 'df'
+        if smoother_impl == 'df':
             self._init_df(As, Ps, lv_inds, sweeps, active_dofs)
-        else:
+        elif smoother_impl != 'fused':
             self._init_plain(As, Ps, lv_inds, sweeps, smoother_impl,
                              active_dofs)
         self.L = L
@@ -450,6 +461,8 @@ def _solve_fn(L, n0, steps, same, impl='dense'):
     if impl == 'df':
         fn = jax.jit(_make_solve_df(L, steps, same),
                      static_argnames=('maxiter',))
+        if len(_SOLVE_CACHE) > 8:
+            _SOLVE_CACHE.clear()    # adaptive loops: new key per hierarchy
         _SOLVE_CACHE[key] = fn
         return fn
     smooth = {'dense': _smooth_densemat, 'tri': _smooth_tri,
@@ -498,6 +511,8 @@ def _solve_fn(L, n0, steps, same, impl='dense'):
         return _pack_result(x, res, res0, it)
 
     fn = jax.jit(solve, static_argnames=('maxiter',))
+    if len(_SOLVE_CACHE) > 8:
+        _SOLVE_CACHE.clear()        # adaptive loops: new key per hierarchy
     _SOLVE_CACHE[key] = fn
     return fn
 

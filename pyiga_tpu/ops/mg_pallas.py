@@ -10,7 +10,7 @@ grid transfers, coarse solve, convergence residual + masked norm) to ONE
 Pallas kernel:
 
   * matrices stay in HBM (``memory_space=ANY``) as transposed zero-padded
-    two-float pairs (:func:`pyiga_tpu.ops.dfmv.prep` layout) and are
+    two-float pairs (transposed padded [hi|lo] tiles) and are
     streamed through a VMEM buffer in ``(128, m_pad)`` chunks with
     explicit ``make_async_copy`` DMAs;
   * every vector lives in VMEM scratch as a ``(1, n_pad)`` row pair;
@@ -48,6 +48,11 @@ _SWEEP_DIRS = {'forward': (False,), 'backward': (True,),
 # the VPU runs the error-free transforms ~2x faster on wide values
 # (measured 213 vs ~390 Gflop/s at 128- vs 1664-lane operands).
 _TILE_W = 256
+
+# budget for the fused V-cycle kernel's explicit VMEM scratch (the 16 MB
+# scoped limit less headroom for Mosaic's own allocations); build()
+# returns None above it and DeviceMGSolver falls back to the 'df' cycle
+_FUSED_VMEM_BUDGET = 12 * 2 ** 20
 
 
 def _pad_space(n):
@@ -173,6 +178,21 @@ def build(As, Ps, lv_inds, sweeps, steps, active_dofs=None):
                 n=tuple(n), npad=tuple(npad), m=tuple(m),
                 mpad=tuple(mpad), shapes=tuple(shapes),
                 idx=tuple(sorted(idx.items(), key=lambda kv: repr(kv[0]))))
+
+    # scoped-VMEM gate: the kernel's double-buffered DMA scratch is sized
+    # by the worst k-tile count over all matrices, which grows with the
+    # fine-level dof count (a dense fine A at n=4096 already needs
+    # 2 x 8 MB of the 16 MB limit, before the vector scratch and Mosaic's
+    # own overhead).  Over budget -> None; the caller falls back to the
+    # XLA 'df' cycle instead of crashing the remote compile.
+    maxw = max((max((len(kt) for kt in s[3]), default=1)) for s in shapes)
+    scratch_bytes = (2 * maxw * 128 * 2 * _TILE_W * 4
+                     + 4 * sum(npad[:L - 1]) * 4
+                     + 2 * sum(mpad[1:]) * 4 + 2 * max(npad) * 4
+                     + 9 * npad[-1] * 4)        # in/out VMEM vectors
+    if scratch_bytes > _FUSED_VMEM_BUDGET:
+        return None
+
     # keep idx usable as a dict at trace time
     return (tuple(mats), mask_row), _Desc(desc, idx)
 
@@ -514,5 +534,7 @@ def make_solve(desc, interpret=False):
         return _pack_result(x, res, res0, it)
 
     fn = jax.jit(solve, static_argnames=('maxiter',))
+    if len(_SOLVE_CACHE) > 8:
+        _SOLVE_CACHE.clear()        # adaptive loops: new key per hierarchy
     _SOLVE_CACHE[key] = fn
     return fn

@@ -280,6 +280,13 @@ def sharded_multipatch_vform_data(asms, mesh, mode='exact'):
         if tuple(map(repr, a.combos)) != combos0:
             raise ValueError('sharded_multipatch_vform_data: patches '
                              'pruned to different combo sets')
+        # content equality, not just structure: patch 0's term tables are
+        # reused for EVERY patch, so equal-sized but differently-spaced
+        # knot vectors would silently assemble with the wrong quadrature
+        if a.kvs != a0.kvs:
+            raise ValueError('sharded_multipatch_vform_data: patches must '
+                             'share knot vectors (per-patch term tables '
+                             'are reused from patch 0)')
         ops.append(a._device_operands(mode))
     tds = {jax.tree_util.tree_structure(inp) for (inp, _tt, _tp) in ops}
     if len(tds) != 1:

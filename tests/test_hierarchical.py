@@ -264,3 +264,19 @@ def test_tpmesh_lexicographic_order():
     msh = TPMesh(2 * (bspline.make_knots(2, 0.0, 1.0, 3),))
     assert msh.cells() == list(itertools.product(range(3), range(3)))
     assert msh.functions() == list(itertools.product(range(5), range(5)))
+
+
+def test_represent_fine_cache_not_corrupted_by_truncation():
+    # represent_fine results are memoized on the space cache;
+    # truncate_one_level used to resize the CACHED csr in place,
+    # permanently zeroing the fine-level block for every later
+    # same-key caller
+    hs = create_example_hspace(p=3, dim=2, n0=6, disparity=1,
+                               truncate=True, num_levels=3)
+    k = 0
+    A1 = hs.represent_fine(lv=k + 1, rows=hs._af[k + 1],
+                           truncate=False, restrict=True).toarray()
+    hs.truncate_one_level(k)            # thb_to_hb/hb_to_thb path
+    A2 = hs.represent_fine(lv=k + 1, rows=hs._af[k + 1],
+                           truncate=False, restrict=True).toarray()
+    assert np.array_equal(A1, A2)

@@ -179,3 +179,22 @@ def test_localmg_device_smoother():
         for strategy in ('new', 'trunc', 'func_supp', 'cell_supp')]
     assert np.array_equal(results,
                           [(107, 118), (49, 19), (49, 15), (41, 15)])
+
+
+def test_device_mg_fused_vmem_fallback(monkeypatch):
+    # when the fused V-cycle kernel's VMEM scratch estimate exceeds the
+    # scoped limit, DeviceMGSolver must degrade to the XLA 'df' cycle
+    # instead of crashing the remote compile
+    import scipy.sparse
+    from pyiga_tpu.ops import mg, mg_pallas
+
+    monkeypatch.setattr(mg_pallas, 'build', lambda *a, **k: None)
+    rng = np.random.RandomState(0)
+    A0 = scipy.sparse.csr_matrix(np.diag(rng.rand(8) + 4))
+    A1 = scipy.sparse.csr_matrix(np.diag(rng.rand(16) + 4))
+    P = scipy.sparse.random(16, 8, 0.3, format='csr', random_state=rng)
+    solver = mg.DeviceMGSolver([A0, A1], [P],
+                               [np.arange(8), np.arange(16)],
+                               ('symmetric', 'symmetric'), 1,
+                               smoother_impl='fused')
+    assert solver.smoother_impl == 'df'

@@ -87,3 +87,26 @@ def test_gs_zero_diagonal_skipped():
     x_dev = np.array([1., 1, 1])
     DeviceIndexedGS(A, np.array([0, 1, 2])).apply(x_dev, b)
     assert np.allclose(x_host, x_dev)
+
+
+def test_tri_inverse_zero_diagonal_skip():
+    # the dense triangular-inverse GS form must reproduce the reference
+    # skip semantics EXACTLY: dx_dead = 0 AND later rows must not absorb
+    # a phantom update through the forward substitution (zeroing only
+    # the output row of T left the phantom dx_dead = r_dead coupled into
+    # rows after the dead index)
+    import scipy.sparse
+    from pyiga_tpu.ops.mg import _tri_inverse
+    from pyiga_tpu.solvers import gauss_seidel
+
+    A = np.array([[4., 1, .5], [2, 0., 1], [1, 3, 5.]])
+    b = np.array([1., 2, 3])
+    for reverse in (False, True):
+        x_ref = np.array([.1, .2, .3])
+        gauss_seidel(scipy.sparse.csr_matrix(A), x_ref, b,
+                     indices=np.array([0, 1, 2]),
+                     sweep='backward' if reverse else 'forward')
+        x = np.array([.1, .2, .3])
+        T = _tri_inverse(A, reverse=reverse)
+        x = x + T @ (b - A @ x)
+        assert np.allclose(x, x_ref), (reverse, x, x_ref)
