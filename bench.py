@@ -542,28 +542,35 @@ def run_aca(device, dim, n, p=3):
             X = lr.aca_3d_device(asm, tol=1e-10, verbose=0)
             pivots, calls = [0], [0]
             t0 = time.perf_counter()
-            _classify = lr._PivotControl.classify
             _mk_step = lr._aca_device_step
+            _mk_loop = lr._aca_device_loop
+            _inflate = lr._aca_inflate
 
-            def counting_classify(self, e, where):
-                pivots[0] += 1
-                return _classify(self, e, where)
+            def counting_mk(_orig):
+                def mk(*a, **k):
+                    fn = _orig(*a, **k)
 
-            def counting_mk_step(*a, **k):
-                fn = _mk_step(*a, **k)
+                    def wrapped(*aa, **kk):
+                        calls[0] += 1
+                        return fn(*aa, **kk)
+                    return wrapped
+                return mk
 
-                def wrapped(*aa, **kk):
-                    calls[0] += 1
-                    return fn(*aa, **kk)
-                return wrapped
+            def counting_inflate(cols, mats, count, shp):
+                # accepted crosses = outer pivots taken (the fused
+                # while_loop path surfaces no per-pivot verdicts)
+                pivots[0] = int(count)
+                return _inflate(cols, mats, count, shp)
 
-            lr._PivotControl.classify = counting_classify
-            lr._aca_device_step = counting_mk_step
+            lr._aca_device_step = counting_mk(_mk_step)
+            lr._aca_device_loop = counting_mk(_mk_loop)
+            lr._aca_inflate = counting_inflate
             try:
                 X = lr.aca_3d_device(asm, tol=1e-10, verbose=0)
             finally:
-                lr._PivotControl.classify = _classify
                 lr._aca_device_step = _mk_step
+                lr._aca_device_loop = _mk_loop
+                lr._aca_inflate = _inflate
             t = time.perf_counter() - t0
             # per PIVOT: one fiber + one full 2D slice evaluation (the
             # fused step runs two pivots per device dispatch)

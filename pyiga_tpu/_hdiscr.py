@@ -20,6 +20,28 @@ from . import compile as compile_mod
 _EMPTY = np.empty(0, dtype=np.intp)
 
 
+def _inputs_fingerprint(args):
+    """Value fingerprint of assembler inputs for the per-level assembler
+    cache, or None when any input is not fingerprintable (e.g. a user
+    callable, which may close over changing state)."""
+    parts = []
+    for name in sorted(args):
+        v = args[name]
+        coeffs = getattr(v, 'coeffs', None)
+        kvs = getattr(v, 'kvs', None)
+        if coeffs is not None and kvs is not None:    # spline function
+            parts.append((name, type(v).__name__, kvs,
+                          hash(np.ascontiguousarray(coeffs).tobytes())))
+        elif isinstance(v, (int, float, complex, str, bool)):
+            parts.append((name, v))
+        elif isinstance(v, np.ndarray):
+            parts.append((name, v.dtype.str, v.shape,
+                          hash(np.ascontiguousarray(v).tobytes())))
+        else:
+            return None
+    return tuple(parts)
+
+
 def _level_device_ctx(n_level_dofs):
     """Execution context for one level's assembly: tiny levels run on the
     host CPU backend in exact-f64 mode (a ~28 ms-per-dispatch accelerator
@@ -92,7 +114,14 @@ class HDiscretization:
 
     def _tp_matrix_rows(self, k, rows, bbox, symmetric):
         """Partial rows of the level-`k` TP matrix, assembled over the
-        bbox-restricted Gauss grid."""
+        bbox-restricted Gauss grid.
+
+        The per-level assembler INSTANCES are memoized on the space's
+        refinement-invalidated cache keyed by a value fingerprint of the
+        inputs: repeated discretizations over the same space — adaptive
+        loops, the bench's rebuild — skip quadrature/table/prune setup and
+        the host->device operand transfer (the numeric assembly itself
+        always runs)."""
         n = int(np.prod(self.hs.mesh(k).numdofs))
         if rows is not None and len(rows) == 0:
             return scipy.sparse.csr_matrix((n, n))
@@ -100,8 +129,16 @@ class HDiscretization:
             self._compiled = compile_mod.compile_vform(self.vf,
                                                        on_demand=True)
         with _level_device_ctx(n):
-            asm = self._compiled(self.hs.knotvectors(k), bbox=bbox,
-                                 **self._inputs_for(self.vf))
+            ikey = _inputs_fingerprint(self._inputs_for(self.vf))
+            asm = None
+            if ikey is not None:
+                key = ('tp_asm', self.vf.hash(), k, bbox, ikey)
+                asm = self.hs._cache.get(key)
+            if asm is None:
+                asm = self._compiled(self.hs.knotvectors(k), bbox=bbox,
+                                     **self._inputs_for(self.vf))
+                if ikey is not None:
+                    self.hs._cache[key] = asm
             if rows is None:
                 from .assemble import assemble_entries
                 return assemble_entries(asm, symmetric=symmetric)

@@ -463,6 +463,29 @@ class VFormAssembler:
 
         # structure & basis tables
         self.structure = MLStructure.from_kvs(self.kvs0, self.kvs1)
+        if self.bbox is not None:
+            # drop per-axis dof pairs with no support inside the bbox:
+            # their basis-table rows are identically zero on the restricted
+            # Gauss grid, so their compact entries are structural zeros —
+            # and the contraction cost scales with stored entries, while
+            # hierarchical on-demand windows are small corners of large
+            # levels (the reference's on-demand assemblers likewise only
+            # ever evaluate requested entries, codegen/cython.py:541-559)
+            def _bbox_dofs(kv, bb):
+                supp = kv.mesh_support_idx_all()
+                return (supp[:, 0] < bb[1]) & (supp[:, 1] > bb[0])
+            bidx = []
+            self._bbox_win_test = []
+            for k, bx in enumerate(self.structure.bidx):
+                wi = _bbox_dofs(self.kvs1[k], self.bbox[k])  # test/rows
+                wj = _bbox_dofs(self.kvs0[k], self.bbox[k])  # trial/cols
+                keep = wi[bx[:, 0].astype(np.intp)] \
+                    & wj[bx[:, 1].astype(np.intp)]
+                bidx.append(bx[keep])
+                nz = np.nonzero(wi)[0]     # contiguous for B-splines
+                self._bbox_win_test.append(
+                    (int(nz[0]), int(nz[-1]) + 1) if nz.size else (0, 0))
+            self.structure = MLStructure(self.structure.bs, bidx)
         self.maxderiv = vf.max_deriv_order()
         if bdspec is not None:
             # boundary integral: restrict the normal axis to the single
@@ -641,6 +664,8 @@ class VFormAssembler:
         self._fields_cache = None
         self._pair_fields_cache = None
         self._tables_cache = None
+        self._operands_cache = None
+        self._pallas_inputs_cache = None
 
     # -- evaluation -------------------------------------------------------------
 
@@ -1111,7 +1136,11 @@ class VFormAssembler:
                 tabs.append([self.tables.pair_table(k, Du_lvl[k], Dv_lvl[k])
                              for k in range(self.dim)])
             else:
+                win = getattr(self, '_bbox_win_test', None)
                 tabs.append([self.tables.test[k][Dv_lvl[k]]
+                             if win is None else
+                             self.tables.test[k][Dv_lvl[k]]
+                             [win[k][0]:win[k][1]]
                              for k in range(self.dim)])
         return tabs
 
@@ -1187,11 +1216,18 @@ class VFormAssembler:
 
     def _device_operands(self, mode):
         """Device-ready (inputs, term_tables, tperms) for the cached
-        assembly jit of the given (resolved) mode."""
+        assembly jit of the given (resolved) mode.  Memoized on the
+        instance (invalidated by :meth:`update`): repeated assembly —
+        hierarchical levels, adaptive loops, updatable assemblers —
+        skips the host->device operand transfer."""
         import jax
         import jax.numpy as jnp
         from . import config
         dtype = config.get_dtype()
+        okey = (mode, np.dtype(dtype).str)
+        cached = getattr(self, '_operands_cache', None)
+        if cached is not None and cached[0] == okey:
+            return cached[1]
         fold = getattr(self, '_fold_plan', None)
         if mode == 'pair':
             # pre-split f32 pairs stay f32; geometry tables/coeffs stay f64
@@ -1208,6 +1244,7 @@ class VFormAssembler:
             self._term_tables_for(self.combos))
         tperms = ([jnp.asarray(p) for p in self._fold_tperms]
                   if fold is not None else None)
+        self._operands_cache = (okey, (inputs, term_tables, tperms))
         return inputs, term_tables, tperms
 
     def _run(self, mode='exact'):
@@ -1321,9 +1358,13 @@ class VFormAssembler:
         import jax.numpy as jnp
         # inputs only — the raw f64 term tables are NOT needed here (the
         # prepped chunk arrays replace them); building them would ship
-        # ~tens of MB host->device per call
-        inputs = jax.tree_util.tree_map(jnp.asarray,
-                                        self._device_inputs_pair())
+        # ~tens of MB host->device per call.  Memoized on the instance
+        # (invalidated by update()) like _device_operands.
+        inputs = getattr(self, '_pallas_inputs_cache', None)
+        if inputs is None:
+            inputs = jax.tree_util.tree_map(jnp.asarray,
+                                            self._device_inputs_pair())
+            self._pallas_inputs_cache = inputs
         fold = getattr(self, '_fold_plan', None)
         tperms = ([jnp.asarray(p) for p in self._fold_tperms]
                   if fold is not None else None)
@@ -1370,6 +1411,19 @@ class VFormAssembler:
         component axis for vector-valued test functions)."""
         assert self.arity == 1
         blocks = self._run()
+        win = getattr(self, '_bbox_win_test', None)
+        if win is not None:
+            # the bbox path assembles only the dof window per axis
+            # (_term_tables_for slices the test tables); embed back into
+            # the full-size vector — everything outside is exactly zero
+            full = tuple(b[0] for b in self.structure.bs)
+            sl = tuple(slice(w0, w1) for (w0, w1) in win)
+
+            def embed(v):
+                out = np.zeros(full + v.shape[self.dim:], dtype=np.float64)
+                out[sl] = np.asarray(v, dtype=np.float64)
+                return out
+            blocks = {k: embed(v) for k, v in blocks.items()}
         if not self.vf.vec:
             return blocks[(None, None)]
         ncomp = self.vf.basis_funs[0].numcomp

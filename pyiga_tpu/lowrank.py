@@ -460,6 +460,85 @@ def _aca_device_step(fiber_fn, slice_fn, shape, R):
     return step
 
 
+_ACA_LOOP_CACHE = {}
+
+
+def _aca_device_loop(fiber_fn, slice_fn, shape, R, tol, skipcount,
+                     tolcount):
+    """The WHOLE outer pivot loop as one fused jit (lax.while_loop): no
+    per-pivot verdict fetch at all — the host pulls a single iteration
+    count afterwards.  The pivot bookkeeping replicates
+    :class:`_PivotControl` in-trace (classify / skipped_out / advance,
+    reference stopping rules fastasm.cc:291-368); the only divergence is
+    the repivot draw after a degenerate (<1e-15) pivot, which uses the
+    jax PRNG instead of np.random — pivot sequences are identical until
+    a degenerate pivot occurs (none do on the bench workloads).
+    Cached across invocations like :func:`_aca_device_step`."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    key = (fiber_fn, slice_fn, shape, R, float(tol), skipcount, tolcount)
+    fn = _ACA_LOOP_CACHE.get(key)
+    if fn is not None:
+        return fn
+    n0, n1, n2 = shape
+
+    def body(state, fields, tables):
+        cols, mats, count, I, hits, skips, it, done, rng = state
+        mask = (jnp.arange(cols.shape[0]) < count).astype(cols.dtype)
+        fiber = fiber_fn(fields, tables, I[1:])             # (n0,)
+        w = mats[:, I[1], I[2]]
+        Ef = fiber - (mask * w) @ cols
+        i0 = jnp.argmax(jnp.abs(Ef))
+        e = jnp.abs(Ef[i0])
+        # classify (order matters: a degenerate pivot never counts a hit)
+        skip = e < 1e-15
+        below = (~skip) & (e < tol)
+        hits = jnp.where(skip, hits, jnp.where(below, hits + 1, 0))
+        skips_new = jnp.where(skip, skips + 1, jnp.where(below, skips, 0))
+        stop_tol = below & (hits >= tolcount)
+        stop_skip = skip & (skips_new >= skipcount)
+        take = (~skip) & (~stop_tol)
+        # evaluate + append the cross (discarded unless taken: count only
+        # advances on take, and masked reads never see slots >= count)
+        S = slice_fn(fields, tables, i0[None])              # (n1, n2)
+        Xs = jnp.tensordot(mask * cols[:, i0], mats, axes=1)
+        Em = S - Xs
+        cols = jax.lax.dynamic_update_index_in_dim(cols, Ef / Ef[i0],
+                                                   count, 0)
+        mats = jax.lax.dynamic_update_index_in_dim(mats, Em, count, 0)
+        count = count + take
+        it = it + take
+        stop_iter = take & (it >= R)
+        # next pivot: argmax of the residual slice (taken), or a random
+        # restart (degenerate pivot)
+        EmZ = Em.at[I[1], I[2]].set(0.0)
+        flat = jnp.argmax(jnp.abs(EmZ))
+        I_take = jnp.stack([i0, flat // n2, flat % n2]).astype(I.dtype)
+        rng, sub = jax.random.split(rng)
+        I_skip = jax.random.randint(
+            sub, (3,), 0, jnp.asarray(shape, I.dtype), dtype=I.dtype)
+        I = jnp.where(skip, I_skip, jnp.where(take, I_take, I))
+        done = stop_tol | stop_skip | stop_iter
+        return (cols, mats, count, I, hits, skips_new, it, done, rng)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def loop(cols, mats, I, seed, fields, tables):
+        state = (cols, mats, jnp.int64(0), I, jnp.int64(0), jnp.int64(0),
+                 jnp.int64(0), jnp.bool_(False),
+                 jax.random.PRNGKey(seed))
+        state = jax.lax.while_loop(
+            lambda s: ~s[7], lambda s: body(s, fields, tables), state)
+        return state[0], state[1], state[2]
+
+    if len(_ACA_LOOP_CACHE) > 64:
+        _ACA_LOOP_CACHE.clear()
+    _ACA_LOOP_CACHE[key] = loop
+    return loop
+
+
 def aca_3d_device(asm, tol=1e-10, maxiter=100, skipcount=3, tolcount=3,
                   verbose=2):
     """Device-resident nested 3D ACA over an assembler's compact tensor:
@@ -494,6 +573,17 @@ def aca_3d_device(asm, tol=1e-10, maxiter=100, skipcount=3, tolcount=3,
     mats_d = jnp.zeros((R + 1, n1, n2), dtype)
     count = 0
     I = [m // 2 for m in shape]
+    if verbose == 0:
+        # no pivot log wanted: run the WHOLE pivot loop as one device
+        # program and fetch a single count (the per-dispatch tunnel
+        # round trip was ~60% of the loop time)
+        loop = _aca_device_loop(fiber_fn, slice_fn, shape, R, tol,
+                                skipcount, tolcount)
+        cols_d, mats_d, count_d = loop(
+            cols_d, mats_d, jnp.asarray(np.array(I, np.int64)),
+            np.random.randint(2 ** 31), fields, tables)
+        count = int(count_d)
+        return _aca_inflate(cols_d, mats_d, count, shape)
     ctl = _PivotControl(tol, maxiter, skipcount, tolcount, verbose,
                         what='outer it.')
     done = False
@@ -522,16 +612,49 @@ def aca_3d_device(asm, tol=1e-10, maxiter=100, skipcount=3, tolcount=3,
                 done = True
                 break
 
+    return _aca_inflate(cols_d, mats_d, count, shape)
+
+
+def _aca_inflate(cols_d, mats_d, count, shape):
+    """Pull the accepted crosses and inflate the dense compact tensor.
+
+    Chunked pull + inflation: split the accepted crosses into row
+    chunks, start ALL transfers up front (the tunnel streams them
+    back-to-back), and fold each chunk into the dense tensor as it
+    lands — the dgemm of chunk r overlaps the transfer of chunk r+1.
+    (A bulk pull + one dgemm ran serially: ~1.1 s + ~1.9 s at n=48 on
+    the 1-vCPU bench host.  An async PER-STEP pull during the pivot
+    loop is measured slower still — 8.3 vs 5.0 s — the copies
+    serialize with the dispatches; do not move the pulls into the
+    loop.)  BLAS dgemm, not einsum('ri,rjk->ijk'): the einsum form
+    took the non-BLAS path here (measured 3.6 s vs ~0.1 s at n=48)."""
+    from scipy.linalg import blas
+    n0, n1, n2 = shape
     if count == 0:
         return np.zeros(shape)
-    # one bulk pull of the accepted crosses (an async per-step
-    # copy_to_host_async variant measured SLOWER end-to-end on this
-    # tunnel: 8.3 s vs 5.0 s — the copies serialize with the dispatches)
-    cols = np.asarray(cols_d[:count], dtype=np.float64)
-    mats = np.asarray(mats_d[:count], dtype=np.float64)
-    # one BLAS dgemm instead of einsum('ri,rjk->ijk') — the einsum form
-    # took the non-BLAS path here (measured 3.6 s vs ~0.1 s at n=48)
-    return (cols.T @ mats.reshape(count, n1 * n2)).reshape(n0, n1, n2)
+    nflat = n1 * n2
+    chunk = max(4, -(-count // 6))
+    parts = []
+    for r0 in range(0, count, chunk):
+        c = cols_d[r0:min(r0 + chunk, count)]
+        m = mats_d[r0:min(r0 + chunk, count)]
+        try:
+            c.copy_to_host_async()
+            m.copy_to_host_async()
+        except Exception:
+            pass
+        parts.append((c, m))
+    X = np.zeros((n0, nflat))
+    XT = X.T                    # F-contiguous view: dgemm writes in place
+    for c, m in parts:
+        cn = np.asarray(c, dtype=np.float64)
+        mn = np.asarray(m, dtype=np.float64).reshape(cn.shape[0], nflat)
+        # X += cn.T @ mn, computed as the transposed problem so the
+        # accumulator is F-contiguous and BLAS updates it without a copy
+        out = blas.dgemm(1.0, mn.T, cn, 1.0, XT, 0, 0, 1)
+        if out is not XT and not np.shares_memory(out, X):
+            XT, X = out, out.T      # BLAS copied after all: keep ITS buffer
+    return np.ascontiguousarray(X).reshape(n0, n1, n2)
 
 
 ################################################################################
