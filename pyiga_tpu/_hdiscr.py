@@ -11,6 +11,7 @@ transformed by the truncation operator.  All index bookkeeping uses the
 flat-index arrays of the rewritten :mod:`~pyiga_tpu.hierarchical` core."""
 
 import contextlib
+import hashlib
 
 import numpy as np
 import scipy.sparse
@@ -18,6 +19,13 @@ import scipy.sparse
 from . import compile as compile_mod
 
 _EMPTY = np.empty(0, dtype=np.intp)
+
+
+def _digest(a):
+    """Strong content digest of an array's bytes (a 64-bit Python ``hash``
+    can collide silently — wrong-cached-assembler class of bug)."""
+    return hashlib.blake2b(np.ascontiguousarray(a).tobytes(),
+                           digest_size=16).digest()
 
 
 def _inputs_fingerprint(args):
@@ -30,13 +38,11 @@ def _inputs_fingerprint(args):
         coeffs = getattr(v, 'coeffs', None)
         kvs = getattr(v, 'kvs', None)
         if coeffs is not None and kvs is not None:    # spline function
-            parts.append((name, type(v).__name__, kvs,
-                          hash(np.ascontiguousarray(coeffs).tobytes())))
+            parts.append((name, type(v).__name__, kvs, _digest(coeffs)))
         elif isinstance(v, (int, float, complex, str, bool)):
             parts.append((name, v))
         elif isinstance(v, np.ndarray):
-            parts.append((name, v.dtype.str, v.shape,
-                          hash(np.ascontiguousarray(v).tobytes())))
+            parts.append((name, v.dtype.str, v.shape, _digest(v)))
         else:
             return None
     return tuple(parts)
@@ -55,6 +61,12 @@ def _level_device_ctx(n_level_dofs):
         import jax
         if compile_mod._effective_platform() != 'cpu':
             try:
+                # GUARD: twofloat transforms miscompile under a CPU pin
+                # (CLAUDE.md) — the route is safe only while assembly under
+                # the pin resolves to exact-f64 mode
+                with jax.default_device(jax.devices('cpu')[0]):
+                    assert config.default_assembly_mode() == 'exact', \
+                        'pair/ozaki assembly must not run under a CPU pin'
                 return jax.default_device(jax.devices('cpu')[0])
             except RuntimeError:
                 pass

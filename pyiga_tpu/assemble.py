@@ -413,6 +413,14 @@ def _host_route_ctx(asm, mode=None):
     if ndofs <= cutoff and _effective_platform() != 'cpu':
         import jax
         try:
+            # GUARD: the pinned-CPU jit silently corrupts the error-free
+            # f32 transforms of ops/twofloat (4e-14 -> 1.7e-8, CLAUDE.md);
+            # routing is safe only because assembly under the pin resolves
+            # to exact-f64 mode (config.default_assembly_mode honors the
+            # pin).  Fail loudly if a regression changes that.
+            with jax.default_device(jax.devices('cpu')[0]):
+                assert config.default_assembly_mode() == 'exact', \
+                    'pair/ozaki assembly must not run under a CPU pin'
             return jax.default_device(jax.devices('cpu')[0])
         except RuntimeError:
             pass

@@ -38,6 +38,14 @@ from ._hdiscr import HDiscretization  # noqa: F401  (re-export)
 _EMPTY = np.empty(0, dtype=np.intp)
 
 
+def _strong_digest(a):
+    """Strong content digest of an array's bytes for cache keys (Python's
+    64-bit ``hash`` can collide silently — wrong-cached-matrix class)."""
+    import hashlib
+    return hashlib.blake2b(np.ascontiguousarray(a).tobytes(),
+                           digest_size=16).digest()
+
+
 ################################################################################
 # flat-index primitives
 ################################################################################
@@ -1184,7 +1192,7 @@ class HSpace:
         key = ('represent_fine', lv, bool(truncate), bool(restrict),
                None if rows is None
                else (np.asarray(rows).dtype.str,
-                     hash(np.ascontiguousarray(rows).tobytes())))
+                     _strong_digest(rows)))
         hit = self._cache.get(key)
         if hit is not None:
             return hit

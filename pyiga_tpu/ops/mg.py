@@ -242,12 +242,13 @@ class DeviceMGSolver:
 
     def __init__(self, As, Ps, lv_inds, sweeps, smooth_steps,
                  active_dofs=None, smoother_impl='auto',
-                 dense_cutoff=6000):
+                 dense_cutoff=6000, tri_block_cutoff=8192):
         import jax.numpy as jnp
         L = len(As)
         assert len(Ps) == L - 1
         pre_sweep, post_sweep = sweeps
         n = As[-1].shape[0]
+        max_block = max((len(lv_inds[lv]) for lv in range(1, L)), default=0)
         if smoother_impl == 'auto':
             from .. import config
             if n <= dense_cutoff:
@@ -256,8 +257,14 @@ class DeviceMGSolver:
                 # and for single-level hierarchies (coarse-solve only)
                 smoother_impl = ('df' if config.pallas_interpret_mode()
                                  or L == 1 else 'fused')
-            else:
+            elif max_block <= tri_block_cutoff:
                 smoother_impl = 'tri'
+            else:
+                # 'tri' densifies and inverts each (m, m) smoothing block:
+                # O(m^3) setup / O(m^2) f64 memory is a cliff once a
+                # smoothing set reaches O(n).  The wavefront kernel is
+                # O(nnz) in both and stays device-resident.
+                smoother_impl = 'wavefront'
         assert smoother_impl in ('fused', 'df', 'dense', 'tri', 'wavefront')
 
         if smoother_impl == 'fused':
@@ -270,6 +277,11 @@ class DeviceMGSolver:
                 # scoped limit at this hierarchy size: run the XLA
                 # two-float cycle instead of crashing the remote compile
                 smoother_impl = 'df'
+            else:
+                # keep the build inputs so a REAL scoped-VMEM OOM from the
+                # remote compile (estimates inflate 1.6-4x, see CLAUDE.md)
+                # can rebuild the XLA two-float cycle at solve time
+                self._build_args = (As, Ps, lv_inds, sweeps, active_dofs)
         if smoother_impl == 'df':
             self._init_df(As, Ps, lv_inds, sweeps, active_dofs)
         elif smoother_impl != 'fused':
@@ -415,8 +427,23 @@ class DeviceMGSolver:
             operands, desc = self._fused
             fn = mg_pallas.make_solve(
                 desc, interpret=config.pallas_interpret_mode())
-            packed = fn(operands, jnp.asarray(f), float(tol), int(maxiter))
-        else:
+            try:
+                packed = fn(operands, jnp.asarray(f), float(tol),
+                            int(maxiter))
+            except Exception as exc:
+                # the host-side VMEM gate works on ESTIMATES; Mosaic scoped
+                # allocations inflate 1.6-4x, so a real compile-time OOM can
+                # still surface here.  Degrade to the XLA two-float cycle
+                # (same iteration counts) instead of crashing the solve.
+                import warnings
+                warnings.warn('fused Pallas V-cycle failed (%s: %s); '
+                              'falling back to the XLA two-float cycle'
+                              % (type(exc).__name__, exc))
+                As, Ps, lv_inds, sweeps, active_dofs = self._build_args
+                self._init_df(As, Ps, lv_inds, sweeps, active_dofs)
+                self.smoother_impl = 'df'
+                self._fused = self._build_args = None
+        if self.smoother_impl != 'fused':
             fn = _solve_fn(self.L, self.n0, self.smooth_steps,
                            self.same_sweeps, self.smoother_impl)
             packed = fn(self.params, jnp.asarray(f),

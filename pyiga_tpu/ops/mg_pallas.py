@@ -484,7 +484,7 @@ def make_solve(desc, interpret=False):
         scratch += [pltpu.VMEM((1, mpad[lv]), jnp.float32)] * 2
     scratch += [pltpu.VMEM((1, max(npad)), jnp.float32)] * 2
 
-    in_specs = ([pl.BlockSpec(memory_space=pltpu.ANY)] * nmats +
+    in_specs = ([pl.BlockSpec(memory_space=pl.ANY)] * nmats +
                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5)
     out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
     kernel = functools.partial(_vcycle_kernel, desc, nmats)

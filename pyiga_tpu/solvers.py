@@ -675,16 +675,24 @@ _DEVICE_MG_CACHE = {}
 
 
 def _device_mg_solver(hs, A, strategy, smoother, smooth_steps):
+    import hashlib
     from .ops.mg import DeviceMGSolver
-    key = (id(hs), id(A), strategy, smoother, smooth_steps)
+    Acsr = A.tocsr()
+    # key on the matrix CONTENT (not just identity): mutating A.data in
+    # place between solves must not silently reuse the stale uploaded
+    # hierarchy (the host path re-reads A every call)
+    h = hashlib.blake2b(digest_size=16)
+    for part in (Acsr.indptr, Acsr.indices, Acsr.data):
+        h.update(np.ascontiguousarray(part).tobytes())
+    key = (id(hs), h.digest(), strategy, smoother, smooth_steps)
     hit = _DEVICE_MG_CACHE.get(key)
-    if hit is not None and hit[0] is hs and hit[1] is A:
+    if hit is not None and hit[0] is hs:
         return hit[2]
     Ps = hs.virtual_hierarchy_prolongators()
     lv_inds = hs.indices_to_smooth(strategy)
     L = hs.numlevels
     As = [None] * L
-    As[L - 1] = A.tocsr()
+    As[L - 1] = Acsr
     for lv in range(L - 2, -1, -1):
         As[lv] = (Ps[lv].T @ As[lv + 1] @ Ps[lv]).tocsr()
     solver = DeviceMGSolver(As, Ps, lv_inds, _MG_SWEEPS[smoother],
