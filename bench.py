@@ -572,12 +572,13 @@ def run_aca(device, dim, n, p=3):
                 lr._aca_device_loop = _mk_loop
                 lr._aca_inflate = _inflate
             t = time.perf_counter() - t0
-            # per PIVOT: one fiber + one full 2D slice evaluation (the
-            # fused step runs two pivots per device dispatch)
+            # per PIVOT: one fiber + one full 2D slice evaluation (all
+            # pivots run inside ONE fused while_loop dispatch on this
+            # path, so dispatches != pivots — both are reported)
             frac = pivots[0] * (S.bidx[0].shape[0]
                                 + total // S.bidx[0].shape[0]) / total
             del X
-            return ndofs, t, calls[0], frac
+            return ndofs, t, calls[0], frac, pivots[0]
 
         count = [0, 0]
 
@@ -600,7 +601,7 @@ def run_aca(device, dim, n, p=3):
             X = lowrank.aca(gen, tol=1e-10, verbose=0)
         t = time.perf_counter() - t0
         del X
-    return ndofs, t, count[1], count[0] / total
+    return ndofs, t, count[1], count[0] / total, None
 
 
 def run_vform(device, n=128, p=3):
@@ -827,22 +828,27 @@ def main():
         if res is None:
             ndofs = None
         else:
-            ndofs, t, calls, frac = res
+            ndofs, t, calls, frac, pivots = res
     if not os.environ.get('PYIGA_BENCH_NO_ACA') and ndofs is not None:
         vs = None
         if cpu is not None and not os.environ.get('PYIGA_BENCH_NO_CPU'):
-            _, t_cpu, _, _ = run_aca(cpu, 3, n_aca)
+            _, t_cpu, _, _, _ = run_aca(cpu, 3, n_aca)
             vs = round(t_cpu / t, 3)
         line = json.dumps({
+            # device_dispatches counts EXECUTIONS of the fused device
+            # programs (the whole pivot loop runs as one lax.while_loop
+            # dispatch); 'pivots' is the accepted outer-pivot count
             'metric': '3d_p3_stiffness_fast_aca[float64,n=%d,'
-                      'device_calls=%d]' % (n_aca, calls),
+                      'device_dispatches=%d]' % (n_aca, calls),
             'value': round(ndofs / t, 1),
             'unit': 'dof/s',
             'vs_baseline': vs,
             't_ms': round(1e3 * t, 1),
+            'pivots': pivots,
             'entry_frac': round(frac, 4),
-            # host-driven pivot loop: the dispatch floor bounds device-side
-            # attribution (one fused step + scalar fetch per pivot)
+            # per-dispatch tunnel latency bound (the fused loop pays it
+            # once; the final cross pull is tunnel-bandwidth-bound and
+            # dominates the non-compute remainder)
             'dispatch_floor_ms': (round(floor_ms * calls, 1)
                                   if floor_ms else None),
             'comparator': 'matched-size JAX-on-CPU (see bench.py '
@@ -939,10 +945,18 @@ def main():
             lines.append(line)
             print(line, flush=True)
 
-    headline = next((ln for ln in lines
-                     if '3d_p3_poisson' in ln and 'float64' in ln), None)
-    if headline is not None and len(lines) > 1:
-        print(headline, flush=True)     # headline again as the last line
+    # re-print EVERY metric line as one final block: the driver records only
+    # the output tail, and any interleaved warning/log spam must not push
+    # metric lines out of the artifact (BENCH_r04 kept only 2 of 7)
+    if len(lines) > 1:
+        print('# bench: all metric lines (final block)', flush=True)
+        headline = next((ln for ln in lines
+                         if '3d_p3_poisson' in ln and 'float64' in ln), None)
+        for ln in lines:
+            if ln is not headline:
+                print(ln, flush=True)
+        if headline is not None:
+            print(headline, flush=True)  # headline LAST for tail parsers
 
 
 if __name__ == '__main__':

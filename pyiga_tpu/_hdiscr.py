@@ -76,16 +76,29 @@ def _level_device_ctx(n_level_dofs):
 def _assemble_partial_rows(asm, row_indices):
     """The given rows of the full TP matrix (zeros elsewhere).
 
-    The assembler evaluates over its bbox-restricted Gauss grid and its
-    compact tensor is assembled once; the requested rows are then sliced
-    straight out of the CSR (the former nonzeros_for_rows + per-entry
-    gather re-derived the structural indices in a Python loop only to
-    fetch entries the CSR already held)."""
-    A = asm.assemble().asmatrix('csr')
+    The assembler evaluates over its bbox-restricted Gauss grid; the
+    requested rows are then lifted straight out of the compact data tensor
+    through a structural template (CSR order + row selection are fixed per
+    (structure, rows), so rebuilds — adaptive loops, repeated
+    discretizations — cost one fancy-index + one csr_matrix wrap instead
+    of the former full coo->csr sort and two-pass row slice)."""
+    ml = asm.assemble()
     rows = np.asarray(row_indices, dtype=np.intp)
-    sub = A[rows].tocoo()
-    return scipy.sparse.coo_matrix(
-        (sub.data, (rows[sub.row], sub.col)), shape=A.shape).tocsr()
+    key = (ml.datashape, _digest(rows))
+    tpl = getattr(asm, '_partial_rows_tpl', None)
+    if tpl is None or tpl[0] != key:
+        I, J = ml.nonzero()
+        order = np.lexsort((J, I))          # canonical CSR entry order
+        in_rows = np.zeros(ml.shape[0], dtype=bool)
+        in_rows[rows] = True
+        sel = order[in_rows[I[order]]]      # kept entries, CSR order
+        counts = np.bincount(I[sel], minlength=ml.shape[0])
+        indptr = np.concatenate(([0], np.cumsum(counts)))
+        indices = J[sel]
+        asm._partial_rows_tpl = tpl = (key, sel, indices, indptr)
+    _, sel, indices, indptr = tpl
+    data = np.asarray(ml.data, dtype=np.float64).ravel()[sel]
+    return scipy.sparse.csr_matrix((data, indices, indptr), shape=ml.shape)
 
 
 class HDiscretization:
@@ -232,11 +245,20 @@ class HDiscretization:
         ``asm_args['f']`` in physical coordinates)."""
         if vf is None:
             from .vform import L2functional_vf
-            vf = L2functional_vf(dim=self.hs.dim, physical=True)
+            # updatable=True so repeated discretizations reuse the cached
+            # per-level assemblers and only re-evaluate f on the grid
+            vf = L2functional_vf(dim=self.hs.dim, physical=True,
+                                 updatable=True)
         return self.assemble_functional(vf)
 
     def assemble_functional(self, vf):
-        """Assemble an arity-1 functional over the hierarchical space."""
+        """Assemble an arity-1 functional over the hierarchical space.
+
+        Per-level assembler instances are memoized on the space's
+        refinement-invalidated cache like :meth:`_tp_matrix_rows`'s;
+        updatable inputs (e.g. the default rhs functional's ``f``) are
+        refreshed on the cached instance via ``update`` — non-updatable,
+        non-fingerprintable inputs force a fresh instantiation."""
         if vf.arity != 1:
             raise ValueError('vf must be a linear functional (arity=1)')
         RhsAsm = compile_mod.compile_vform(vf, on_demand=True)
@@ -247,14 +269,27 @@ class HDiscretization:
                 'vector-valued hierarchical discretization is not supported'
                 ' (the component axis would fold into the flat dof index)')
         hs = self.hs
+        upd_names = {i.name for i in vf.inputs if i.updatable}
+        fixed = {n: v for n, v in args.items() if n not in upd_names}
+        fkey = _inputs_fingerprint(fixed)
         pieces = []
         for k, rows in enumerate(hs.active_indices()):
             if len(rows) == 0:
                 pieces.append(np.zeros(0))
                 continue
             with _level_device_ctx(int(np.prod(hs.mesh(k).numdofs))):
-                asm = RhsAsm(hs.knotvectors(k),
-                             bbox=self._bbox_for_functions(k, rows), **args)
+                bbox = self._bbox_for_functions(k, rows)
+                asm = None
+                if fkey is not None:
+                    key = ('rhs_asm', vf.hash(), k, bbox, fkey)
+                    asm = hs._cache.get(key)
+                if asm is None:
+                    asm = RhsAsm(hs.knotvectors(k), bbox=bbox, **args)
+                    if fkey is not None:
+                        hs._cache[key] = asm
+                elif upd_names:
+                    asm.update(**{n: args[n] for n in upd_names
+                                  if n in args})
                 pieces.append(asm.assemble_vector().ravel()[rows])
         rhs = np.concatenate(pieces)
 

@@ -640,6 +640,7 @@ class VFormAssembler:
         """Update updatable input fields and/or parameters (including the
         geometry, which also refreshes physically-evaluated inputs)."""
         geo_changed = False
+        changed_keys = set()
         for name, f in upd.items():
             if name == 'geo':
                 self.geo = f
@@ -648,11 +649,14 @@ class VFormAssembler:
             inp = [i for i in self.vf.inputs if i.name == name]
             if inp and inp[0].updatable:
                 self._input_values[name] = f
-                self._host_arrays.update(self._eval_input(inp[0], f))
+                new = self._eval_input(inp[0], f)
+                self._host_arrays.update(new)
+                changed_keys.update(new)
                 continue
             if name in self._param_values:
                 self._param_values[name] = f
                 self._host_arrays['param:' + name] = np.asarray(f, dtype=float)
+                changed_keys.add('param:' + name)
                 continue
             raise ValueError('%r is not an updatable input' % name)
         if geo_changed:
@@ -664,8 +668,28 @@ class VFormAssembler:
         self._fields_cache = None
         self._pair_fields_cache = None
         self._tables_cache = None
-        self._operands_cache = None
         self._pallas_inputs_cache = None
+        # refresh the device-operand cache surgically when only plain input
+        # arrays changed: re-uploading every operand per update was ~15% of
+        # the warm hierarchical rebuild.  Geometry changes rebuild arrays
+        # wholesale and the pair cache pre-splits floats — both invalidate.
+        cached = getattr(self, '_operands_cache', None)
+        if cached is None:
+            return
+        if geo_changed or cached[0][0] == 'pair':
+            self._operands_cache = None
+            return
+        import jax.numpy as jnp
+        from . import config
+        dtype = config.get_dtype()
+        inputs, term_tables, tperms = cached[1]
+        inputs = dict(inputs)
+        for k in changed_keys:
+            x = self._host_arrays[k]
+            inputs[k] = (jnp.asarray(x, dtype=dtype)
+                         if np.issubdtype(np.asarray(x).dtype, np.floating)
+                         else jnp.asarray(x))
+        self._operands_cache = (cached[0], (inputs, term_tables, tperms))
 
     # -- evaluation -------------------------------------------------------------
 

@@ -152,7 +152,29 @@ def compile_cache_dir():
         base = user_cache_dir("pyiga_tpu")
     except ImportError:
         base = os.path.join(os.path.expanduser("~"), ".cache", "pyiga_tpu")
-    return os.path.join(base, "xla_cache")
+    return os.path.join(base, "xla_cache-" + _host_isa_digest())
+
+
+def _host_isa_digest():
+    """Short digest of the host CPU's feature flags.  XLA:CPU executables
+    are AOT-compiled for the compiling host's exact machine features;
+    replaying them on a host with a different feature set logs a loud
+    mismatch error per load and risks SIGILL (observed: a shared cache
+    between two machines spammed hundreds of such lines per bench run and
+    pushed the metric lines out of the recorded artifact).  Salting the
+    cache path per feature set keeps each host's entries separate."""
+    import hashlib
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        import platform
+        flags = platform.machine() + platform.processor()
+    return hashlib.blake2b(flags.encode(), digest_size=4).hexdigest()
 
 
 def use_x64():
