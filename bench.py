@@ -736,7 +736,7 @@ def run_ns(device, n_el=(16, 32), p=2, tau=5e-2, t_end=0.25):
             times, _states = ns.integrate(x0=x0, tau=tau, t_end=t_end)
             t = min(t, time.perf_counter() - t0)
         nsteps = len(times) - 1
-    return ndofs, nsteps, t
+    return ndofs, nsteps, t, getattr(ns, 'last_backend', 'host')
 
 
 def main():
@@ -923,22 +923,28 @@ def main():
         pyiga_tpu.set_dtype(np.float64)
         res = _with_retries(lambda: run_ns(dev), 'navier-stokes')
         if res is not None:
-            ndofs, nsteps, t = res
+            ndofs, nsteps, t, backend = res
             vs = None
             if cpu is not None and not os.environ.get('PYIGA_BENCH_NO_CPU'):
-                _, nsteps_c, t_c = run_ns(cpu)
+                _, nsteps_c, t_c, _ = run_ns(cpu)
                 vs = round((t_c / max(nsteps_c, 1))
                            / (t / max(nsteps, 1)), 3)
+            t_step = 1e3 * t / max(nsteps, 1)
             line = json.dumps({
                 'metric': '2d_navier_stokes_rosenbrock[float64,steps=%d]'
                           % nsteps,
                 'value': round(ndofs * nsteps / t, 1),
                 'unit': 'dof-steps/s',
                 'vs_baseline': vs,
-                't_per_step_ms': round(1e3 * t / max(nsteps, 1), 1),
-                # tiny problem: assembly + factorization are host-routed
-                # by design (config.host_assembly_cutoff); no device time
-                'device_ms': 0.0,
+                't_per_step_ms': round(t_step, 1),
+                # 'device': each Rosenbrock step runs as ONE fused dispatch
+                # (ops/rosw: in-trace convection assembly, dense two-float
+                # stage solves); the per-step device time is the wall
+                # minus the dispatch round-trip
+                'backend': backend,
+                'device_ms_est': (round(t_step - floor_ms, 1)
+                                  if backend == 'device' and floor_ms
+                                  else 0.0),
                 'comparator': 'matched-size JAX-on-CPU (see bench.py '
                               'docstring)',
             })

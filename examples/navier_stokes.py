@@ -133,11 +133,168 @@ class NavierStokes:
         from pyiga_tpu.operators import make_solver
         return make_solver(self.LS.A).dot(self.LS.b)
 
+    # -- device-fused stepping ----------------------------------------------------
+
+    def _traceable_ops(self):
+        """Device operands + traceable ``F(x, ops)`` / ``J(x, ops)`` over
+        the restricted dofs: the convection terms assemble IN-TRACE as
+        functions of the velocity coefficients (collocation-table grid
+        evaluation + the assembler's traced contraction), everything else
+        enters as precomputed dense blocks.  See
+        :class:`pyiga_tpu.ops.rosw.DeviceRosenbrockScheme` for why dense."""
+        import jax
+        import jax.numpy as jnp
+        from pyiga_tpu.ops import twofloat as tf
+        from pyiga_tpu.ops.mg import _df_split, _df_mv
+        from pyiga_tpu.ops.basis import dense_collocation_tables
+        from pyiga_tpu.ops.geom import tp_apply
+
+        lin, nl = self.asm_linconv.asm, self.asm_nlconv.asm
+        inputs_l, tt_l, tp_l = lin._device_operands('exact')
+        inputs_n, tt_n, tp_n = nl._device_operands('exact')
+        afn_l = lin._assembly_fn('exact')
+        afn_n = nl._assembly_fn('exact')
+        lin_keys = sorted(afn_l(inputs_l, tt_l, tp_l).keys())
+        d, m_u, n_u1 = len(self.kvs_u), self.m_u, self.n_u1
+
+        # per-axis collocation tables of the velocity space on the
+        # (shared) Gauss grid, value + first derivative
+        assert all(len(g1) == len(g2)
+                   for g1, g2 in zip(lin.grid, nl.grid))
+        tabs = [np.ascontiguousarray(B.swapaxes(-2, -1))
+                for B in dense_collocation_tables(self.kvs_u, lin.grid,
+                                                  numderiv=1)]
+        val_tabs = [t[0] for t in tabs]
+        der_tabs = [t[1] for t in tabs]
+
+        # restricted dof bookkeeping
+        N = self.n_u + self.n_p
+        free = np.asarray(self.LS.R_free.nonzero()[1], dtype=np.int64)
+        n = len(free)
+        u_elim = self.LS.complete(np.zeros(n))
+        pos = np.full(N, -1, dtype=np.int64)
+        pos[free] = np.arange(n)
+
+        # scatter plan: linearized-convection block entries -> dense (n, n)
+        I, J = lin.structure.nonzero()
+        rr, cc, keep_idx = [], [], []
+        for (cu, cv) in lin_keys:
+            gr, gc = cv * n_u1 + I, cu * n_u1 + J
+            keep = (pos[gr] >= 0) & (pos[gc] >= 0)
+            rr.append(pos[gr[keep]])
+            cc.append(pos[gc[keep]])
+            keep_idx.append(np.nonzero(keep)[0])
+
+        # fixed dense blocks
+        K0 = self.LS.restrict_matrix(scipy.sparse.bmat(
+            [[self.A_grad / self.Re, self.A_div.T],
+             [self.A_div, 1e-10 * self.M_pre]], format='csr')).toarray()
+        Ast_pair = _df_split(self.A_stokes.toarray())
+
+        ops = {
+            'inputs_l': inputs_l, 'tt_l': tt_l, 'tp_l': tp_l,
+            'inputs_n': inputs_n, 'tt_n': tt_n, 'tp_n': tp_n,
+            'val_tabs': [jnp.asarray(t) for t in val_tabs],
+            'der_tabs': [jnp.asarray(t) for t in der_tabs],
+            'K0': jnp.asarray(K0),
+            'Ast': tuple(map(jnp.asarray, Ast_pair)),
+            'uelim': jnp.asarray(u_elim),
+            'free': jnp.asarray(free, dtype=jnp.int32),
+            'rr': [jnp.asarray(a, dtype=jnp.int32) for a in rr],
+            'cc': [jnp.asarray(a, dtype=jnp.int32) for a in cc],
+            'keep': [jnp.asarray(a, dtype=jnp.int32) for a in keep_idx],
+        }
+
+        def vel_grid_arrays(ops, u_p, with_deriv):
+            vt, dt = ops['val_tabs'], ops['der_tabs']
+            comps = [u_p[c * n_u1:(c + 1) * n_u1].reshape(m_u)
+                     for c in range(2)]
+            vals = jnp.stack([tp_apply(vt, c) for c in comps], axis=0)
+            if not with_deriv:
+                return vals, None
+            # derivative axis in XYZ order: coordinate k = level axis d-1-k
+            ders = jnp.stack([
+                jnp.stack([tp_apply([dt[j] if j == d - 1 - k else vt[j]
+                                     for j in range(d)], c)
+                           for k in range(d)], axis=0)
+                for c in comps], axis=0)
+            return vals, ders
+
+        def complete(x, ops):
+            return ops['uelim'].at[ops['free']].set(x)
+
+        def J_fn(x, ops):
+            u_p = complete(x, ops)
+            vals, _ = vel_grid_arrays(ops, u_p, False)
+            inp = dict(ops['inputs_l'])
+            inp['input:vel'] = vals
+            blocks = afn_l(inp, ops['tt_l'], ops['tp_l'])
+            K = ops['K0']
+            for key, rrk, cck, keepk in zip(lin_keys, ops['rr'],
+                                            ops['cc'], ops['keep']):
+                K = K.at[rrk, cck].add(blocks[key].ravel()[keepk])
+            return -K
+
+        def F_fn(x, ops):
+            u_p = complete(x, ops)
+            vals, ders = vel_grid_arrays(ops, u_p, True)
+            inp = dict(ops['inputs_n'])
+            inp['input:vel'] = vals
+            inp['ideriv:vel:1'] = ders
+            bn = afn_n(inp, ops['tt_n'], ops['tp_n'])
+            nlvec = jnp.concatenate(
+                [bn[(None, c)].ravel() for c in range(2)]
+                + [jnp.zeros(self.n_p, u_p.dtype)])
+            stokes = tf.df_to_f64(_df_mv(ops['Ast'], tf.df_from_f64(u_p)))
+            return -(nlvec + stokes)[ops['free']]
+
+        return F_fn, J_fn, ops
+
+    def _device_scheme(self, method):
+        """(scheme, err_order) for the device-fused stepper (cached)."""
+        cached = getattr(self, '_dev_scheme', None)
+        if cached is not None and cached[0] == method:
+            return cached[1], cached[2]
+        from pyiga_tpu.ops.rosw import DeviceRosenbrockScheme
+        A, Gamma, b, b_hat, err_order = getattr(
+            solvers, 'coeffs_' + method)()
+        F_fn, J_fn, ops = self._traceable_ops()
+        host = solvers._RosenbrockScheme(A, Gamma, b, b_hat)
+        scheme = DeviceRosenbrockScheme((A, Gamma, b, b_hat), F_fn, J_fn,
+                                        self.ns_M.toarray(), ops,
+                                        host_scheme=host)
+        self._dev_scheme = (method, scheme, err_order)
+        return scheme, err_order
+
     def integrate(self, x0=None, tau=5e-2, t_end=0.5, method='rowdaind2',
-                  tol=1e-2, progress=False):
-        """Integrate; returns (times, restricted states)."""
+                  tol=1e-2, progress=False, backend='auto',
+                  device_cutoff=4096):
+        """Integrate; returns (times, restricted states).
+
+        ``backend='device'`` runs every Rosenbrock step as ONE fused
+        accelerator dispatch (:mod:`pyiga_tpu.ops.rosw`: in-trace
+        convection assembly, dense two-float stage algebra, f32-inverse +
+        Newton-Schulz preconditioning) with the host scheme as fallback;
+        ``'host'`` is the reference path (sparse LU per step); ``'auto'``
+        picks 'device' on accelerator backends for restricted systems up
+        to `device_cutoff` dofs (the dense stage algebra is O(n^2)
+        memory).  Both produce the same step sequence to ~1e-10."""
         if x0 is None:
             x0 = self.initial_state()
+        if backend == 'auto':
+            from pyiga_tpu.compile import _effective_platform
+            n_free = self.LS.R_free.shape[0]
+            backend = ('device'
+                       if _effective_platform() != 'cpu'
+                       and n_free <= device_cutoff
+                       and hasattr(solvers, 'coeffs_' + method)
+                       else 'host')
+        self.last_backend = backend
+        if backend == 'device':
+            scheme, err_order = self._device_scheme(method)
+            return solvers._integrate_adaptive(
+                scheme, err_order, self.ns_M, self.F, self.J, x0, tau,
+                t_end, tol, progress=progress)
         stepper = getattr(solvers, method)
         return stepper(self.ns_M, self.F, self.J, x0, tau, t_end, tol=tol,
                        progress=progress)

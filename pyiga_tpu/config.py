@@ -212,6 +212,35 @@ def use_x64():
                               0)
         except Exception:       # unknown flags on an older jax: best-effort
             pass
+        _exclude_cpu_from_persistent_cache()
+
+
+def _exclude_cpu_from_persistent_cache():
+    """Keep XLA:CPU executables OUT of the persistent cache.
+
+    XLA:CPU AOT results embed compile-time machine/tuning flags (e.g.
+    ``+prefer-no-scatter``); reloading them triggers a loud
+    feature-mismatch error per load and measurably slows execution
+    (measured: the Navier-Stokes host path ran 1775 ms/step with cached
+    CPU executables vs 417 ms/step recompiled in-process), and a cache
+    shared across hosts risks real SIGILLs.  jax has no per-backend cache
+    switch, so gate its ``is_cache_used(backend)`` predicate; the TPU
+    entries — the expensive ones here — stay cached."""
+    try:
+        import jax._src.compilation_cache as _cc
+        if getattr(_cc, "_pyiga_no_cpu_cache", False):
+            return
+        _orig = _cc.is_cache_used
+
+        def _is_cache_used_no_cpu(backend):
+            if getattr(backend, "platform", None) == "cpu":
+                return False
+            return _orig(backend)
+
+        _cc.is_cache_used = _is_cache_used_no_cpu
+        _cc._pyiga_no_cpu_cache = True
+    except Exception:           # private API moved: degrade to caching all
+        pass
 
 
 def default_device():

@@ -41,3 +41,46 @@ def test_navier_stokes_rosenbrock():
     times2, states2 = ns.integrate(tau=0.1, t_end=0.2, method='ros3pw',
                                    tol=None)
     assert ns.divergence_norm(states2[-1]) < 1e-10
+
+
+@pytest.mark.slow
+def test_navier_stokes_device_scheme_parity():
+    """The device-fused Rosenbrock scheme (ops/rosw: in-trace convection
+    assembly + dense two-float stage solves) reproduces the host scheme's
+    adaptive step sequence and states.  On this CPU test platform large
+    fused two-float programs may lose a few digits (see PLAN.md), so the
+    tolerance is loose; on real TPU hardware parity is ~1e-13."""
+    ns = NavierStokes(n_el=(5, 8), p=2, Re=20.0)
+    x0 = ns.initial_state()
+    th, sh = ns.integrate(x0=x0, tau=5e-2, t_end=0.25, backend='host')
+    td, sd = ns.integrate(x0=x0, tau=5e-2, t_end=0.25, backend='device')
+    assert len(th) == len(td)
+    assert max(abs(a - b) for a, b in zip(th, td)) < 1e-9
+    for a, b in zip(sh, sd):
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-300)
+        assert rel < 1e-6
+    # traceable F/J match the host definitions pointwise
+    import jax.numpy as jnp
+    F_fn, J_fn, ops = ns._traceable_ops()
+    x = x0 + 0.01 * np.random.RandomState(0).rand(len(x0))
+    Fd = np.asarray(F_fn(jnp.asarray(x), ops))
+    Fh = ns.F(x)
+    assert np.linalg.norm(Fd - Fh) / np.linalg.norm(Fh) < 1e-9
+    Jd = np.asarray(J_fn(jnp.asarray(x), ops))
+    Jh = ns.J(x).toarray()
+    assert np.abs(Jd - Jh).max() / np.abs(Jh).max() < 1e-12
+
+
+@pytest.mark.slow
+def test_navier_stokes_constant_step_device():
+    """Constant-step (truncated) form of the device scheme."""
+    ns = NavierStokes(n_el=(5, 8), p=2, Re=20.0)
+    x0 = ns.initial_state()
+    th, sh = ns.integrate(x0=x0, tau=0.1, t_end=0.2, backend='host',
+                          tol=None)
+    td, sd = ns.integrate(x0=x0, tau=0.1, t_end=0.2, backend='device',
+                          tol=None)
+    assert th == td
+    for a, b in zip(sh, sd):
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-300)
+        assert rel < 1e-6
