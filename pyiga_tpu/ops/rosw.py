@@ -122,12 +122,11 @@ class DeviceRosenbrockScheme:
         bw = np.asarray(b, dtype=np.float64)
         bhw = None if b_hat is None else np.asarray(b_hat, dtype=np.float64)
 
-        def step(x, tau, Ph, Pl, M, ops):
-            J = J_fn(x, ops)
-            W = M - (tau * gamma) * J
-            Wp = _pair(W)
-            Jp = _pair(J)
-            Pp = (Ph, Pl)
+        def stages(x, tau, Wp, Jp, Pp, ops):
+            """All `s` stage solves + solution/embedded combinations for
+            one step against prebuilt W/J/P pairs (traceable); returns
+            ``(xnew, xhat, relres_max)`` (``xhat = xnew`` when no
+            embedded weights)."""
             ks = []
             relres_max = jnp.zeros((), jnp.float64)
             for i in range(s):
@@ -160,6 +159,13 @@ class DeviceRosenbrockScheme:
                 for w, k in zip(bhw, ks):
                     if w != 0.0:
                         xhat = xhat + (tau * w) * k
+            return xnew, xhat, relres_max
+
+        def step(x, tau, Ph, Pl, M, ops):
+            J = J_fn(x, ops)
+            W = M - (tau * gamma) * J
+            xnew, xhat, relres_max = stages(x, tau, _pair(W), _pair(J),
+                                            (Ph, Pl), ops)
             return jnp.concatenate([xnew, xhat, relres_max[None]])
 
         def refresh(x, tau, M, ops):
@@ -173,7 +179,11 @@ class DeviceRosenbrockScheme:
 
         self._stepfn = jax.jit(step)
         self._refreshfn = jax.jit(refresh)
+        self._stages = stages
+        self._J_fn = J_fn
+        self._gamma = gamma
         self._n = n
+        self._chunk_cache = {}
 
     def truncated(self):
         """Constant-step form (no embedded estimate), as in
@@ -185,6 +195,144 @@ class DeviceRosenbrockScheme:
         if self._host_scheme is not None:
             out._host_scheme = self._host_scheme.truncated()
         return out
+
+    def _chunk_jit(self, chunk):
+        """Jitted fused integrator chunk: up to `chunk` adaptive-controller
+        step ATTEMPTS (accepted or rejected) of
+        :func:`pyiga_tpu.solvers._integrate_adaptive`'s loop as ONE device
+        dispatch (`lax.while_loop`).  Per attempt the approximate inverse
+        is rebuilt from scratch — an f32 LU inverse polished by one f32
+        residual-correction matmul kept unevaluated in the pair's low slot
+        (``P = (P0, P0 @ (I - W P0))``, contraction ~1e-5 per Richardson
+        refinement; the stage solves iterate to ``solve_tol`` regardless,
+        so P quality is a performance knob, not a correctness one).  That
+        mirrors the host scheme's factorize-every-step semantics and keeps
+        the loop free of cross-step preconditioner state.
+
+        Returns ``(packed, x_out)`` where `packed` is ONE fetchable f64
+        vector ``[t, tau, n_accepted, fail, times(chunk),
+        states(chunk * n)]`` (one ~12 MB/s tunnel pull per chunk) and
+        `x_out` is the device-resident current state for the next chunk.
+        """
+        fn = self._chunk_cache.get(chunk)
+        if fn is not None:
+            return fn
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        stages, J_fn = self._stages, self._J_fn
+        gamma, n, solve_tol = self._gamma, self._n, self.solve_tol
+        if self.b_hat is None:
+            raise ValueError('fused adaptive integration needs an '
+                             'embedded estimate (b_hat)')
+        sqrt_n = float(np.sqrt(n))
+        highest = jax.lax.Precision.HIGHEST
+
+        def fresh_P(Wp):
+            Wh, Wl = Wp
+            P0 = jnp.linalg.inv(Wh)
+            E = (jnp.eye(n, dtype=Wh.dtype)
+                 - (jnp.matmul(Wh, P0, precision=highest)
+                    + jnp.matmul(Wl, P0, precision=highest)))
+            return (P0, jnp.matmul(P0, E, precision=highest))
+
+        def chunkfn(x, t, tau, t_end, tol, sf, inv_order, M, ops):
+            times0 = jnp.zeros((chunk,), jnp.float64)
+            states0 = jnp.zeros((chunk, n), jnp.float64)
+            state0 = (x, jnp.float64(t), jnp.float64(tau),
+                      jnp.int32(0), jnp.int32(0), jnp.bool_(False),
+                      times0, states0)
+
+            def cond(c):
+                _x, t, _tau, _acc, j, fail, _ts, _xs = c
+                return (j < chunk) & (t < t_end) & ~fail
+
+            def body(c):
+                x, t, tau, acc, j, fail, ts, xs = c
+                J = J_fn(x, ops)
+                W = M - (tau * gamma) * J
+                Wp = _pair(W)
+                xnew, xhat, relres = stages(x, tau, Wp, _pair(J),
+                                            fresh_P(Wp), ops)
+                ok = (jnp.isfinite(relres) & (relres <= 10 * solve_tol)
+                      & jnp.all(jnp.isfinite(xnew))
+                      & jnp.all(jnp.isfinite(xhat)))
+                # scaled RMS error / accept / step-size update, the exact
+                # arithmetic of solvers._integrate_adaptive
+                weight = tol + tol * jnp.abs(x)
+                r = jnp.linalg.norm((xhat - xnew) / weight) / sqrt_n
+                r = jnp.maximum(r, 1e-15)
+                accept = ok & (r <= 1.0)
+                t2 = jnp.where(accept, t + tau, t)
+                x2 = jnp.where(accept, xnew, x)
+                ts = ts.at[acc].set(jnp.where(accept, t2, ts[acc]))
+                xs = xs.at[acc].set(jnp.where(accept, x2, xs[acc]))
+                acc2 = acc + accept.astype(jnp.int32)
+                tau2 = jnp.where(
+                    ok, tau * jnp.clip(sf * r ** (-inv_order), 0.2, 5.0),
+                    tau)        # failed stage solve: host fallback retries
+                return (x2, t2, tau2, acc2, j + 1, fail | ~ok, ts, xs)
+
+            x, t, tau, acc, _j, fail, ts, xs = lax.while_loop(
+                cond, body, state0)
+            packed = jnp.concatenate([
+                jnp.stack([t, tau, acc.astype(jnp.float64),
+                           fail.astype(jnp.float64)]),
+                ts, xs.reshape(-1)])
+            return packed, x
+
+        fn = jax.jit(chunkfn)
+        self._chunk_cache[chunk] = fn
+        return fn
+
+    def integrate_adaptive(self, MFJ, x0, tau0, t_end, tol, err_order, *,
+                           t0=0.0, step_factor=0.9, chunk=8,
+                           progress=False):
+        """Adaptive integration with the WHOLE controller loop fused on
+        device (chunks of up to `chunk` step attempts per dispatch; the
+        per-step tunnel round-trip amortizes across the chunk).  Produces
+        the same (times, solutions) as
+        :func:`pyiga_tpu.solvers._integrate_adaptive` over this scheme —
+        on a failed stage solve the remaining interval falls back to the
+        per-step path (which retries with a refreshed preconditioner and
+        finally the host scheme).
+
+        `MFJ` is the ``(M, F, J)`` triple of the host path, used only by
+        that fallback.
+        """
+        import jax.numpy as jnp
+        from .. import solvers, utils
+
+        jfn = self._chunk_jit(int(chunk))
+        n = self._n
+        times, sols = [float(t0)], [np.asarray(x0, dtype=np.float64)]
+        t, tau = float(t0), float(tau0)
+        xd = jnp.asarray(np.asarray(x0, dtype=np.float64))
+        with utils.progress_bar(progress)(total=t_end - t0) as pbar:
+            while t < t_end:
+                packed, xd = jfn(xd, t, tau, t_end, tol,
+                                 float(step_factor),
+                                 1.0 / float(err_order),
+                                 self._Mdev, self._ops)
+                packed = np.asarray(packed)
+                t_new, tau, accf, failf = packed[:4]
+                acc, fail = int(accf), bool(failf)
+                times += list(packed[4:4 + acc])
+                xs = packed[4 + chunk:].reshape(chunk, n)
+                sols += [xs[i].copy() for i in range(acc)]
+                pbar.update(t_new - t)
+                pbar.set_postfix({'tau': tau})
+                t = float(t_new)
+                if fail:
+                    ht, hs = solvers._integrate_adaptive(
+                        self, err_order, *MFJ, sols[-1], float(tau),
+                        t_end, tol, t0=t, step_factor=step_factor,
+                        progress=progress)
+                    times += ht[1:]
+                    sols += hs[1:]
+                    break
+        return times, sols
 
     def _precond(self, x, tau):
         P = self._P.get(float(tau))

@@ -47,18 +47,26 @@ def test_navier_stokes_rosenbrock():
 def test_navier_stokes_device_scheme_parity():
     """The device-fused Rosenbrock scheme (ops/rosw: in-trace convection
     assembly + dense two-float stage solves) reproduces the host scheme's
-    adaptive step sequence and states.  On this CPU test platform large
-    fused two-float programs may lose a few digits (see PLAN.md), so the
-    tolerance is loose; on real TPU hardware parity is ~1e-13."""
+    adaptive step sequence and states — both the fully-fused controller
+    loop (integrate backend='device': chunked lax.while_loop, one fetch
+    per chunk) and the per-step fallback path.  On this CPU test platform
+    large fused two-float programs may lose a few digits (see PLAN.md),
+    so the tolerance is loose; on real TPU hardware parity is ~1e-13."""
+    from pyiga_tpu import solvers
     ns = NavierStokes(n_el=(5, 8), p=2, Re=20.0)
     x0 = ns.initial_state()
     th, sh = ns.integrate(x0=x0, tau=5e-2, t_end=0.25, backend='host')
     td, sd = ns.integrate(x0=x0, tau=5e-2, t_end=0.25, backend='device')
-    assert len(th) == len(td)
+    scheme, err_order = ns._device_scheme('rowdaind2')
+    tp, sp = solvers._integrate_adaptive(          # per-step device path
+        scheme, err_order, ns.ns_M, ns.F, ns.J, x0, 5e-2, 0.25, 1e-2)
+    assert len(th) == len(td) == len(tp)
     assert max(abs(a - b) for a, b in zip(th, td)) < 1e-9
-    for a, b in zip(sh, sd):
-        rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-300)
-        assert rel < 1e-6
+    assert max(abs(a - b) for a, b in zip(th, tp)) < 1e-9
+    for a, b, c in zip(sh, sd, sp):
+        nrm = max(np.linalg.norm(a), 1e-300)
+        assert np.linalg.norm(a - b) / nrm < 1e-6
+        assert np.linalg.norm(a - c) / nrm < 1e-6
     # traceable F/J match the host definitions pointwise
     import jax.numpy as jnp
     F_fn, J_fn, ops = ns._traceable_ops()
