@@ -710,7 +710,7 @@ def run_localmg(device, p=3, n0=24, disparity=1, num_levels=3):
     return ndofs, t_asm, t_slv, iters
 
 
-def run_ns(device, n_el=(16, 32), p=2, tau=5e-2, t_end=0.25):
+def run_ns(device, n_el=(16, 32), p=2, tau=5e-2, t_end=1.0):
     """BASELINE config 4: instationary Navier-Stokes (mixed Taylor-Hood
     splines, ROWDAIND2 Rosenbrock DAE stepping; the reference's
     solve-navier-stokes notebook workload).  The convection blocks are
@@ -736,7 +736,9 @@ def run_ns(device, n_el=(16, 32), p=2, tau=5e-2, t_end=0.25):
             times, _states = ns.integrate(x0=x0, tau=tau, t_end=t_end)
             t = min(t, time.perf_counter() - t0)
         nsteps = len(times) - 1
-    return ndofs, nsteps, t, getattr(ns, 'last_backend', 'host')
+        ndisp = getattr(getattr(ns, '_dev_scheme', (None, None))[1],
+                        'n_dispatches', None)
+    return ndofs, nsteps, t, getattr(ns, 'last_backend', 'host'), ndisp
 
 
 def main():
@@ -923,10 +925,10 @@ def main():
         pyiga_tpu.set_dtype(np.float64)
         res = _with_retries(lambda: run_ns(dev), 'navier-stokes')
         if res is not None:
-            ndofs, nsteps, t, backend = res
+            ndofs, nsteps, t, backend, ndisp = res
             vs = None
             if cpu is not None and not os.environ.get('PYIGA_BENCH_NO_CPU'):
-                _, nsteps_c, t_c, _ = run_ns(cpu)
+                _, nsteps_c, t_c, _, _ = run_ns(cpu)
                 vs = round((t_c / max(nsteps_c, 1))
                            / (t / max(nsteps, 1)), 3)
             t_step = 1e3 * t / max(nsteps, 1)
@@ -937,14 +939,17 @@ def main():
                 'unit': 'dof-steps/s',
                 'vs_baseline': vs,
                 't_per_step_ms': round(t_step, 1),
-                # 'device': each Rosenbrock step runs as ONE fused dispatch
-                # (ops/rosw: in-trace convection assembly, dense two-float
-                # stage solves); the per-step device time is the wall
-                # minus the dispatch round-trip
+                # 'device': the WHOLE adaptive controller loop runs fused
+                # on device (ops/rosw.integrate_adaptive: chunked
+                # lax.while_loop, in-trace convection assembly, dense
+                # two-float stage solves); device_dispatches counts the
+                # chunk round-trips of the timed integration
                 'backend': backend,
-                'device_ms_est': (round(t_step - floor_ms, 1)
-                                  if backend == 'device' and floor_ms
-                                  else 0.0),
+                'device_dispatches': ndisp,
+                'device_ms_est': (
+                    round((1e3 * t - floor_ms * ndisp) / max(nsteps, 1), 1)
+                    if backend == 'device' and floor_ms and ndisp
+                    else 0.0),
                 'comparator': 'matched-size JAX-on-CPU (see bench.py '
                               'docstring)',
             })

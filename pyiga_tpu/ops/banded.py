@@ -136,6 +136,46 @@ def banded_matvec(D, x, bws, ns):
     return y.reshape(-1)
 
 
+def banded_matvec_static(D, x, bws, ns):
+    """Python-unrolled variant of :func:`banded_matvec`: STATIC band
+    offsets (``lax.slice`` windows instead of loop-carried dynamic
+    slices).  Larger HLO (``prod(2p+1)`` fused slice-multiply-adds), but
+    under SPMD sharding static slices of the padded input lower to cheap
+    halo collective-permutes on the sharded axis, while the fori_loop's
+    loop-varying dynamic slices force a per-iteration all-gather.  Used
+    by the sharded flagship pipeline (:mod:`pyiga_tpu.parallel.flagship`).
+    """
+    bsz = tuple(2 * bw + 1 for bw in bws)
+    x = x.reshape(ns)
+    xp = jnp.pad(x, [(bw, bw) for bw in bws])
+    y = jnp.zeros(ns, dtype=jnp.result_type(D.dtype, x.dtype))
+    D = D.reshape(bsz + tuple(ns))
+    for mus in np.ndindex(*bsz):
+        xw = jax.lax.slice(xp, mus, tuple(m + n for m, n in zip(mus, ns)))
+        y = y + D[mus] * xw
+    return y.reshape(-1)
+
+
+def banded_matvec_pair_static(D_pair, x_pair, bws, ns):
+    """Static-offset (SPMD-friendly) form of :func:`banded_matvec_pair`;
+    see :func:`banded_matvec_static`."""
+    from . import twofloat as tf
+    bsz = tuple(2 * bw + 1 for bw in bws)
+    xh = x_pair[0].reshape(ns)
+    xl = x_pair[1].reshape(ns)
+    pad = [(bw, bw) for bw in bws]
+    xph, xpl = jnp.pad(xh, pad), jnp.pad(xl, pad)
+    Dh = D_pair[0].reshape(bsz + tuple(ns))
+    Dl = D_pair[1].reshape(bsz + tuple(ns))
+    z = jnp.zeros(ns, dtype=jnp.float32)
+    y = (z, z)
+    for mus in np.ndindex(*bsz):
+        lim = tuple(m + n for m, n in zip(mus, ns))
+        xw = (jax.lax.slice(xph, mus, lim), jax.lax.slice(xpl, mus, lim))
+        y = tf.df_add(y, tf.df_mul((Dh[mus], Dl[mus]), xw))
+    return y[0].reshape(-1), y[1].reshape(-1)
+
+
 class BandedOperator:
     """Device-resident banded operator with a fast matvec; built from an
     :class:`~pyiga_tpu.mlmatrix.MLMatrix` (or directly from banded data)."""

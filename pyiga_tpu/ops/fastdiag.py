@@ -162,8 +162,8 @@ def interior_dofs(kvs):
 _AXIS_MEANS_JIT = {}
 
 
-def _axis_means_fn(d):
-    fn = _AXIS_MEANS_JIT.get(d)
+def _axis_means_fn(d, nslabs=1):
+    fn = _AXIS_MEANS_JIT.get((d, nslabs))
     if fn is not None:
         return fn
     from ..assemblers import _geo_weight_jacinv
@@ -185,7 +185,54 @@ def _axis_means_fn(d):
             outs.append((c, m))
         return outs
 
-    fn = _AXIS_MEANS_JIT[d] = jax.jit(axis_means)
+    def axis_means_slabbed(gi):
+        # big grids: the full-grid f64 Jacobian/inverse intermediates of
+        # `axis_means` are O(d^2 * prod(Q_k)) and blow HBM (measured:
+        # 19.6 GB at 3D n=96) for a result that is d small 1D vectors.
+        # Accumulate the sums over sequential slabs of grid axis 0
+        # (lax.map: one slab's intermediates live at a time).
+        key = ('geo_tables_nurbs' if 'geo_tables_nurbs' in gi
+               else 'geo_tables_bsp')
+        T0 = jnp.asarray(gi[key][0])            # (nderiv+1, Q_0, n_0)
+        w0 = jnp.asarray(gi['weights'][0])
+        S = nslabs
+        Q = tuple(len(w) for w in gi['weights'])
+        T0s = jnp.swapaxes(
+            T0.reshape(T0.shape[0], S, Q[0] // S, T0.shape[2]), 0, 1)
+        w0s = w0.reshape(S, Q[0] // S)
+        gw_rest = [jnp.asarray(w) for w in gi['weights'][1:]]
+
+        def one(slab):
+            T0k, w0k = slab
+            gi2 = dict(gi, weights=[w0k] + list(gi['weights'][1:]))
+            gi2[key] = [T0k] + list(gi[key][1:])
+            W, jacinv = _geo_weight_jacinv(gi2)
+            Wg = w0k
+            for w in gw_rest:
+                Wg = jnp.multiply.outer(Wg, w)
+            outs = []
+            for k in range(d):
+                axes = tuple(j for j in range(d) if j != k)
+                Bkk = W * sum(jacinv[k][m] ** 2 for m in range(d))
+                outs.append(((Bkk / Wg).sum(axis=axes),
+                             (W / Wg).sum(axis=axes)))
+            return outs
+
+        parts = jax.lax.map(one, (T0s, w0s))
+        gw = [jnp.asarray(w) for w in gi['weights']]
+        outs = []
+        for k in range(d):
+            cnt = float(np.prod([Q[j] for j in range(d) if j != k]))
+            sc, sm = parts[k]
+            if k == 0:
+                sc, sm = sc.reshape(-1), sm.reshape(-1)   # (S, Q0/S)
+            else:
+                sc, sm = sc.sum(axis=0), sm.sum(axis=0)   # (S, Qk)
+            outs.append(((sc / cnt) * gw[k], (sm / cnt) * gw[k]))
+        return outs
+
+    fn = _AXIS_MEANS_JIT[(d, nslabs)] = jax.jit(
+        axis_means if nslabs == 1 else axis_means_slabbed)
     return fn
 
 
@@ -216,7 +263,16 @@ def fastdiag_precond_weighted(asm, free_dofs=None, dirichlet=False,
         lambda a: jnp.asarray(np.asarray(a, np.float64))
         if np.issubdtype(np.asarray(a).dtype, np.floating)
         else jnp.asarray(np.asarray(a)), asm._geo_inputs)
-    cms = _axis_means_fn(d)(gi)
+    # slab the grid on big problems (HBM; see axis_means_slabbed) — gated
+    # so smaller configs keep the bit-identical single-pass reduction
+    qs = [len(w) for w in asm._geo_inputs['weights']]
+    nslabs = 1
+    if int(np.prod(qs)) > 16 * 2 ** 20 and 'jac' not in asm._geo_inputs:
+        for s in (8, 6, 4, 3, 2):
+            if qs[0] % s == 0:
+                nslabs = s
+                break
+    cms = _axis_means_fn(d, nslabs)(gi)
 
     KM = []
     for k, kv in enumerate(kvs):

@@ -309,8 +309,10 @@ class DeviceRosenbrockScheme:
         times, sols = [float(t0)], [np.asarray(x0, dtype=np.float64)]
         t, tau = float(t0), float(tau0)
         xd = jnp.asarray(np.asarray(x0, dtype=np.float64))
+        self.n_dispatches = 0       # device round-trips this integration
         with utils.progress_bar(progress)(total=t_end - t0) as pbar:
             while t < t_end:
+                self.n_dispatches += 1
                 packed, xd = jfn(xd, t, tau, t_end, tol,
                                  float(step_factor),
                                  1.0 / float(err_order),

@@ -450,4 +450,29 @@ def dryrun(n_devices, dim=3, nspans=4, p=3, cg_iters=4, check_parity=True):
             raise AssertionError(
                 f"multi-device parity failed: data err {err_d:.2e}, "
                 f"solution err {err_x:.2e} (tol 1e-10)")
+
+    # the flagship TWO-FLOAT pipeline (pair fields -> folded pair chains
+    # -> banded pair -> f32 CG + pair-residual refinement) over the same
+    # mesh, parity-checked against its 1-device run (parallel/flagship.py)
+    from .flagship import sharded_flagship_pipeline
+    kvs2 = 2 * (make_knots(max(p, 2), 0.0, 1.0, 2 * nspans),)
+    asm2 = StiffnessAssembler(kvs2, geometry.quarter_annulus())
+    fnN, argsN = sharded_flagship_pipeline(asm2, mesh)
+    DhN, DlN, uN, _ = jax.jit(fnN)(*argsN)
+    jax.block_until_ready(uN)
+    if check_parity:
+        fn1, args1 = sharded_flagship_pipeline(
+            asm2, make_mesh(n_devices=1, shape=(1,), axis_names=('space',)))
+        Dh1, Dl1, u1, _ = jax.jit(fn1)(*args1)
+        DN = np.asarray(DhN, np.float64) + np.asarray(DlN, np.float64)
+        D1 = np.asarray(Dh1, np.float64) + np.asarray(Dl1, np.float64)
+        err_D = float(np.abs(DN - D1).max()) / max(
+            1.0, float(np.abs(D1).max()))
+        err_u = (float(np.linalg.norm(np.asarray(uN) - np.asarray(u1)))
+                 / max(1.0, float(np.linalg.norm(u1))))
+        if err_D > 1e-10 or err_u > 1e-6:   # both solves reach tol=1e-8
+            raise AssertionError(
+                f"flagship two-float multi-device parity failed: banded "
+                f"err {err_D:.2e} (tol 1e-10), solution err {err_u:.2e} "
+                f"(tol 1e-6)")
     return data, X
