@@ -154,6 +154,95 @@ def _f64_assembly_fns(asm, dev, use_pallas):
     return asm_fn, lay, bws, ns
 
 
+_SPOT_SRC = r'''
+import sys, json
+import numpy as np
+sys.path.insert(0, {repo!r})
+import jax
+import jax.numpy as jnp
+import pyiga_tpu
+import bench
+
+dim, n, rows = {dim}, {n}, {rows}
+asm, _ = bench.build(dim, n)
+from pyiga_tpu.ops.banded import band_info
+bws = band_info(asm.structure)
+btabs = asm.tables.banded_term_tables(asm.terms, bws)
+gi = jax.tree_util.tree_map(
+    lambda a: jnp.asarray(np.asarray(a, np.float64))
+    if np.issubdtype(np.asarray(a).dtype, np.floating)
+    else jnp.asarray(np.asarray(a)), asm._geo_inputs)
+fields = jax.jit(asm.field_fn)(gi)
+out = []
+for r in rows:
+    fib = 0.0
+    for t, tabs in enumerate(btabs):
+        C = fields[t]
+        for k in range(dim - 1, 0, -1):     # contract trailing axes
+            C = jnp.tensordot(C, jnp.asarray(tabs[k][r[k - 1]]),
+                              axes=(k, 0))
+        fib = fib + jnp.asarray(tabs[0]) @ C
+    out.append(np.asarray(fib).tolist())
+print('SPOT:' + json.dumps(out))
+'''
+
+
+def _parity_spotcheck(data_pair, lay, bws, ns, dim, n, nfibers=2):
+    """1e-13-class entry parity evidence for large configs where the
+    full CPU comparator is impractical: pick `nfibers` random banded
+    fibers (all (mu_1, i_1) for fixed trailing banded rows), gather them
+    from the device two-float pair, and compare against an EXACT f64
+    evaluation of the same fibers in a sanitized pure-CPU subprocess
+    (per-term rank-1-restricted sum-factorization; independent of the
+    pair/Pallas pipeline under test).  Returns the max relative error."""
+    import subprocess
+    import sys
+
+    import jax.numpy as jnp
+
+    bsz = tuple(2 * bw + 1 for bw in bws)
+    rng = np.random.RandomState(12345)
+    rows = [[int(rng.randint(b * m)) for b, m in zip(bsz[1:], ns[1:])]
+            for _ in range(nfibers)]
+
+    # device side: flat positions of each fiber's (mu_1 * n_1 + i_1) rows
+    Dh3, Dl3 = data_pair
+    got = []
+    for r in rows:
+        mus = [rk // m for rk, m in zip(r, ns[1:])]
+        iis = [rk % m for rk, m in zip(r, ns[1:])]
+        mu1 = np.repeat(np.arange(bsz[0]), ns[0])
+        i1 = np.tile(np.arange(ns[0]), bsz[0])
+        c = mu1
+        for b, mk in zip(bsz[1:], mus):
+            c = c * b + mk
+        q = i1
+        for m, ik in zip(ns[1:], iis):
+            q = q * m + ik
+        fib = (jnp.asarray(Dh3)[c, q // 128, q % 128].astype(np.float64)
+               + jnp.asarray(Dl3)[c, q // 128, q % 128])
+        got.append(np.asarray(fib))
+
+    env = dict(os.environ)
+    for var in ('PALLAS_AXON_POOL_IPS', 'PALLAS_AXON_REMOTE_COMPILE'):
+        env.pop(var, None)
+    env['JAX_PLATFORMS'] = 'cpu'
+    src = _SPOT_SRC.format(repo=os.path.dirname(os.path.abspath(__file__)),
+                           dim=dim, n=n, rows=rows)
+    res = subprocess.run([sys.executable, '-c', src], env=env,
+                         capture_output=True, text=True, timeout=1800)
+    line = [ln for ln in res.stdout.splitlines() if ln.startswith('SPOT:')]
+    if not line:
+        raise RuntimeError('parity subprocess failed: %s' %
+                           res.stderr[-500:])
+    exact = json.loads(line[0][5:])
+    err = 0.0
+    for g, e in zip(got, exact):
+        e = np.asarray(e)
+        err = max(err, float(np.abs(g - e).max() / np.abs(e).max()))
+    return err
+
+
 def _dispatch_floor_ms(device, reps=5):
     """Measured per-dispatch round-trip latency (a trivial jitted scalar
     op, synced by fetching the result); used to report honest device-time
@@ -285,6 +374,9 @@ def run_on(device, dim, n, dtype, repeats=3, measure_split=True):
             # per matvec, x/y stay VMEM-resident)
             from pyiga_tpu.ops.banded import (FlatBandedOperator,
                                               FlatBandedOperatorPair)
+            # the flat kernels auto-route to their row-blocked variants
+            # above ~500k dofs (x/y streamed per block; see
+            # ops/banded._flat_resident_ok)
             op_hi = RestrictedOperator(
                 FlatBandedOperatorPair(None, bws_f, ns_f), free,
                 int(np.prod(ns_f)))
@@ -305,21 +397,28 @@ def run_on(device, dim, n, dtype, repeats=3, measure_split=True):
                 return u, info
 
             # headline: assembly + refinement solve as ONE dispatch (each
-            # dispatch/sync pays a ~30ms round-trip through the tunnel)
+            # dispatch/sync pays a ~30ms round-trip through the tunnel).
+            # At large sizes the fused program's peak HBM (fields + chain
+            # intermediates + the assembled pair + solve buffers) exceeds
+            # the chip and even ATTEMPTING it poisons the process
+            # (measured at n=96) — gate by the assembled-pair footprint.
             run_ir, hi_ops0, lo_ops0, pc_ops0 = solvers.cg_ir_traceable(
                 op_hi, op_lo, tol=1e-8, precond_lo=P, inner_tol=3e-3)
+            pair_bytes = (2 * int(np.prod([2 * bw + 1 for bw in bws_f]))
+                          * flat_lay['R'] * 128 * 4)
+            if pair_bytes <= 1536 * 2 ** 20:
+                def _fused(gi, ops, b, hi_ops, lo_ops, pc_ops):
+                    Dh3, Dl3 = asm_fn.raw(gi, ops)
+                    hi_ops = dict(hi_ops, inner=dict(hi_ops['inner'],
+                                                     Dh3=Dh3, Dl3=Dl3))
+                    lo_ops = dict(lo_ops, inner=dict(lo_ops['inner'],
+                                                     D3=Dh3))
+                    u, info = run_ir(b, hi_ops, lo_ops, pc_ops)
+                    return jnp.linalg.norm(u), info
 
-            def _fused(gi, ops, b, hi_ops, lo_ops, pc_ops):
-                Dh3, Dl3 = asm_fn.raw(gi, ops)
-                hi_ops = dict(hi_ops,
-                              inner=dict(hi_ops['inner'], Dh3=Dh3, Dl3=Dl3))
-                lo_ops = dict(lo_ops, inner=dict(lo_ops['inner'], D3=Dh3))
-                u, info = run_ir(b, hi_ops, lo_ops, pc_ops)
-                return jnp.linalg.norm(u), info
-
-            jfused = jax.jit(_fused)
-            fused_fn = lambda gi: jfused(gi, asm_fn.ops, b,
-                                         hi_ops0, lo_ops0, pc_ops0)
+                jfused = jax.jit(_fused)
+                fused_fn = lambda gi: jfused(gi, asm_fn.ops, b,
+                                             hi_ops0, lo_ops0, pc_ops0)
         elif dtype == np.float64:
             # CPU comparator: native f64 exact assembly + banded residuals
             # (the pair arithmetic is a TPU workaround and miscompiles on
@@ -396,8 +495,14 @@ def run_on(device, dim, n, dtype, repeats=3, measure_split=True):
         float(jnp.linalg.norm(u))
         iters = count_iters(info)
         if fused_fn is not None:
-            nrm, _info = fused_fn(gi)
-            float(nrm)
+            try:
+                nrm, _info = fused_fn(gi)
+                float(nrm)
+            except Exception as e:      # e.g. HBM OOM of the fused
+                print('# bench: fused asm+solve program unavailable '
+                      '(%s); timing the two-program form' %
+                      type(e).__name__, flush=True)
+                fused_fn = None
 
         # headline: min over the fused single-dispatch program (wins when
         # compute dominates the ~30ms tunnel round-trip) and the
@@ -505,6 +610,16 @@ def run_on(device, dim, n, dtype, repeats=3, measure_split=True):
             except Exception:
                 import traceback
                 traceback.print_exc()
+
+        # entry-parity evidence for sizes with no practical CPU
+        # comparator: device fibers vs an exact-f64 CPU subprocess
+        if (dtype == np.float64 and not on_cpu and flat_lay is not None
+                and (n >= 64 or os.environ.get('PYIGA_BENCH_SPOT'))):
+            try:
+                extra['parity_max_rel'] = float('%.3g' % _parity_spotcheck(
+                    data, flat_lay, bws_f, ns_f, dim, n))
+            except Exception as e:
+                extra['parity_max_rel'] = 'failed: %s' % type(e).__name__
     return ndofs, t_asm, t_slv, t_tot, iters, extra
 
 
@@ -821,6 +936,33 @@ def main():
         }, **extra))
         lines.append(line)
         print(line, flush=True)
+
+    # scale demonstration: 3D f64 at n=96 (~970k dofs, ~8x the headline).
+    # No CPU comparator (one run would take ~6 min on this 1-core host);
+    # correctness evidence is the in-line entry-parity spot check against
+    # an exact-f64 CPU subprocess (parity_max_rel).
+    n_large = int(os.environ.get('PYIGA_BENCH_N_LARGE', '96'))
+    if n_large and not spec and dev.platform != 'cpu':
+        pyiga_tpu.set_dtype(np.float64)
+        res = _with_retries(
+            lambda: run_on(dev, 3, n_large, np.float64, repeats=2),
+            '3d n=%d f64' % n_large)
+        if res is not None:
+            ndofs, t_asm, t_slv, t_tot, iters, extra = res
+            line = json.dumps(dict({
+                'metric': '3d_p3_poisson_assembly_plus_cg[float64,n=%d,'
+                          'cg_iters=%d]' % (n_large, iters),
+                'value': round(ndofs / t_tot, 1),
+                'unit': 'dof/s',
+                'vs_baseline': None,
+                't_assembly_ms': round(1e3 * t_asm, 1),
+                't_solve_ms': round(1e3 * t_slv, 1),
+                'iters': iters,
+                'comparator': 'none at this size (see parity_max_rel: '
+                              'device fibers vs exact-f64 CPU subprocess)',
+            }, **extra))
+            lines.append(line)
+            print(line, flush=True)
 
     if not os.environ.get('PYIGA_BENCH_NO_ACA'):
         # BASELINE config 3: low-rank fast assembling (stiffness_fast)

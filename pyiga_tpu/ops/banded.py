@@ -483,12 +483,24 @@ def _make_flat_kernel(inner_shifts, C23, R, n_pair, G=1):
     return kernel_pair
 
 
+def _flat_resident_ok(lay, n_pair, budget=11 * 2 ** 20):
+    """Whether the whole-R kernel's VMEM residents (x copies, y, D DMA
+    buffers) fit; above this the row-blocked variant takes over."""
+    R, RXi, C23 = lay['R'], lay['RXi'], lay['C23']
+    G = _pick_dma_chunk(C23, R, n_pair=n_pair)
+    est = (n_pair * RXi * 512 + n_pair * R * 512
+           + 2 * n_pair * G * R * 512)
+    return est <= budget
+
+
 def _flat_call(lay, D3, x7, interpret=False):
     """f32 flat matvec kernel: D3 (C, R, 128) combos leading-band-major,
     x7 (C1, RXi, 128) per-leading-offset pre-sliced input copies."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     R, RXi, C1, C23 = lay['R'], lay['RXi'], lay['C1'], lay['C23']
+    if not _flat_resident_ok(lay, 1):
+        return _flat_call_blocked(lay, D3, x7, interpret=interpret)
     G = _pick_dma_chunk(C23, R, n_pair=1)
     kernel = _make_flat_kernel(tuple(lay['inner']), C23, R, 1, G=G)
     return pl.pallas_call(
@@ -512,6 +524,9 @@ def _flat_call_pair(lay, Dh3, Dl3, xh7, xl7, interpret=False):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     R, RXi, C1, C23 = lay['R'], lay['RXi'], lay['C1'], lay['C23']
+    if not _flat_resident_ok(lay, 2):
+        return _flat_call_pair_blocked(lay, Dh3, Dl3, xh7, xl7,
+                                       interpret=interpret)
     G = _pick_dma_chunk(C23, R, n_pair=2)
     kernel = _make_flat_kernel(tuple(lay['inner']), C23, R, 2, G=G)
     return pl.pallas_call(
@@ -533,6 +548,184 @@ def _flat_call_pair(lay, Dh3, Dl3, xh7, xl7, interpret=False):
                         pltpu.SemaphoreType.DMA((2, 2))],
         interpret=interpret,
     )(xh7, xl7, Dh3, Dl3)
+
+
+def _blocked_geometry(lay, n_pair, rb_target=512):
+    """Row-block geometry for the blocked flat kernel: block rows RB,
+    halo'd x-block rows RBX, block count NB (R padded up to NB * RB), and
+    the required padded x row count.  The blocked kernel exists because
+    the whole-R kernel keeps x/y (and C1 x copies) VMEM-resident, which
+    caps it at ~500k dofs (measured: 44.8 MB scoped at 3D n=96 vs the
+    16 MB limit); blocking streams x/y per row block instead."""
+    R = lay['R']
+    RB = min(rb_target, R)
+    NB = -(-R // RB)
+    R2 = NB * RB
+    sr_max = max(lay['inner']) // 128 + 1
+    RBX = -(-(RB + sr_max + 1) // 8) * 8
+    XR = R2 + RBX - RB            # last block's x slice stays in bounds
+    return {'RB': RB, 'NB': NB, 'R2': R2, 'RBX': RBX, 'XR': XR}
+
+
+def _make_flat_kernel_blocked(inner_shifts, C23, RB, RBX, n_pair, G):
+    """Row-blocked kernel body: grid ``(NB, C1)`` (m1 fastest, so each
+    y block accumulates across the leading band dimension while staying
+    resident); x lives in HBM and each step DMAs its halo'd row block,
+    D streams per (combo chunk, row block) with double buffering."""
+    from jax.experimental.pallas import tpu as pltpu
+    import jax.experimental.pallas as pl
+    from . import twofloat as tf
+
+    n_chunks = -(-C23 // G)
+
+    if n_pair == 1:
+        def kernel(x_hbm, d_hbm, y_ref, xbuf, dbuf, xsem, dsem):
+            nb, m1 = pl.program_id(0), pl.program_id(1)
+            base = jnp.int32(m1) * jnp.int32(C23)
+            row0 = jnp.int32(nb) * jnp.int32(RB)
+            xdma = pltpu.make_async_copy(
+                x_hbm.at[m1, pl.ds(row0, RBX)], xbuf, xsem)
+            xdma.start()
+
+            def ddma(slot, g):
+                sz = min(G, C23 - g * G)
+                return pltpu.make_async_copy(
+                    d_hbm.at[pl.ds(base + jnp.int32(g * G), sz),
+                             pl.ds(row0, RB)],
+                    dbuf.at[jnp.int32(slot), pl.ds(0, sz)],
+                    dsem.at[jnp.int32(slot)])
+
+            ddma(0, 0).start()
+
+            @pl.when(m1 == 0)
+            def _():
+                y_ref[...] = jnp.zeros_like(y_ref)
+
+            xdma.wait()
+            X = xbuf[...]
+            for g in range(n_chunks):
+                slot = g % 2
+                if g + 1 < n_chunks:
+                    ddma(1 - slot, g + 1).start()
+                ddma(slot, g).wait()
+                for ci in range(min(G, C23 - g * G)):
+                    c = g * G + ci
+                    w = _flat_shift_tiles(X, inner_shifts[c])
+                    y_ref[...] += dbuf[slot, ci] * w[:RB, :]
+        return kernel
+
+    def kernel_pair(xh_hbm, xl_hbm, dh_hbm, dl_hbm, yh_ref, yl_ref,
+                    xbuf, dbuf, xsem, dsem):
+        nb, m1 = pl.program_id(0), pl.program_id(1)
+        base = jnp.int32(m1) * jnp.int32(C23)
+        row0 = jnp.int32(nb) * jnp.int32(RB)
+
+        def xdma(half, src):
+            return pltpu.make_async_copy(
+                src.at[m1, pl.ds(row0, RBX)],
+                xbuf.at[jnp.int32(half)], xsem.at[jnp.int32(half)])
+
+        xdma(0, xh_hbm).start()
+        xdma(1, xl_hbm).start()
+
+        def ddma(slot, g, src, half):
+            sz = min(G, C23 - g * G)
+            return pltpu.make_async_copy(
+                src.at[pl.ds(base + jnp.int32(g * G), sz),
+                       pl.ds(row0, RB)],
+                dbuf.at[jnp.int32(slot), jnp.int32(half), pl.ds(0, sz)],
+                dsem.at[jnp.int32(slot), jnp.int32(half)])
+
+        ddma(0, 0, dh_hbm, 0).start()
+        ddma(0, 0, dl_hbm, 1).start()
+
+        @pl.when(m1 == 0)
+        def _():
+            yh_ref[...] = jnp.zeros_like(yh_ref)
+            yl_ref[...] = jnp.zeros_like(yl_ref)
+
+        xdma(0, xh_hbm).wait()
+        xdma(1, xl_hbm).wait()
+        Xh = xbuf[0]
+        Xl = xbuf[1]
+        for g in range(n_chunks):
+            slot = g % 2
+            if g + 1 < n_chunks:
+                ddma(1 - slot, g + 1, dh_hbm, 0).start()
+                ddma(1 - slot, g + 1, dl_hbm, 1).start()
+            ddma(slot, g, dh_hbm, 0).wait()
+            ddma(slot, g, dl_hbm, 1).wait()
+            for ci in range(min(G, C23 - g * G)):
+                c = g * G + ci
+                wh = _flat_shift_tiles(Xh, inner_shifts[c])[:RB, :]
+                wl = _flat_shift_tiles(Xl, inner_shifts[c])[:RB, :]
+                ph, pl_ = tf.df_mul((dbuf[slot, 0, ci], dbuf[slot, 1, ci]),
+                                    (wh, wl))
+                sh, sl_ = tf.df_add((yh_ref[...], yl_ref[...]), (ph, pl_))
+                yh_ref[...] = sh
+                yl_ref[...] = sl_
+    return kernel_pair
+
+
+def _flat_call_blocked(lay, D3, x7, interpret=False):
+    """f32 blocked flat matvec: y computed per row block (grid NB x C1),
+    x/D streamed from HBM.  Same result as :func:`_flat_call` (rows past
+    R are zero-padded)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    R, RXi, C1, C23 = lay['R'], lay['RXi'], lay['C1'], lay['C23']
+    g = _blocked_geometry(lay, n_pair=1)
+    RB, NB, R2, RBX, XR = (g['RB'], g['NB'], g['R2'], g['RBX'], g['XR'])
+    G = _pick_dma_chunk(C23, RB, n_pair=1, budget=4 * 2 ** 20)
+    D3 = jnp.pad(D3, ((0, 0), (0, R2 - R), (0, 0)))
+    x7 = jnp.pad(x7, ((0, 0), (0, XR - RXi), (0, 0)))
+    kernel = _make_flat_kernel_blocked(tuple(lay['inner']), C23, RB, RBX,
+                                       1, G)
+    y = pl.pallas_call(
+        kernel,
+        grid=(NB, C1),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((RB, 128), lambda nb, m1: (nb, m1 * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R2, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((RBX, 128), jnp.float32),
+                        pltpu.VMEM((2, G, RB, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+    )(x7, D3)
+    return y[:R]
+
+
+def _flat_call_pair_blocked(lay, Dh3, Dl3, xh7, xl7, interpret=False):
+    """Two-float blocked flat matvec (see :func:`_flat_call_blocked`)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    R, RXi, C1, C23 = lay['R'], lay['RXi'], lay['C1'], lay['C23']
+    g = _blocked_geometry(lay, n_pair=2)
+    RB, NB, R2, RBX, XR = (g['RB'], g['NB'], g['R2'], g['RBX'], g['XR'])
+    G = _pick_dma_chunk(C23, RB, n_pair=2, budget=4 * 2 ** 20)
+    Dh3 = jnp.pad(Dh3, ((0, 0), (0, R2 - R), (0, 0)))
+    Dl3 = jnp.pad(Dl3, ((0, 0), (0, R2 - R), (0, 0)))
+    xh7 = jnp.pad(xh7, ((0, 0), (0, XR - RXi), (0, 0)))
+    xl7 = jnp.pad(xl7, ((0, 0), (0, XR - RXi), (0, 0)))
+    kernel = _make_flat_kernel_blocked(tuple(lay['inner']), C23, RB, RBX,
+                                       2, G)
+    yh, yl = pl.pallas_call(
+        kernel,
+        grid=(NB, C1),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=[pl.BlockSpec((RB, 128), lambda nb, m1: (nb, m1 * 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((R2, 128), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM((2, RBX, 128), jnp.float32),
+                        pltpu.VMEM((2, 2, G, RB, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA((2, 2))],
+        interpret=interpret,
+    )(xh7, xl7, Dh3, Dl3)
+    return yh[:R], yl[:R]
 
 
 def _embed_x(lay, bws, ns, X):
