@@ -394,6 +394,37 @@ def aca_3d(A, tol=1e-10, maxiter=100, skipcount=3, tolcount=3, verbose=2,
 _ACA_STEP_CACHE = {}
 
 
+_ACA_CROSS_CHUNK = 32
+
+
+def _masked_cross_sum(w, mats, count):
+    """``sum_r w[r] * mats[r]`` over the live slot prefix, accumulated in
+    32-slot chunks (``lax.fori_loop`` with a traced trip count): the f64
+    scale-add over the ``(slots, n1, n2)`` cross buffer is the per-pivot
+    cost floor of the device ACA, and a fixed maxiter-slot contraction
+    pays for ALL slots no matter how few are live.  `w` must already be
+    masked to ``arange < count`` (the partial last chunk then needs no
+    extra masking).  The slot dimension must be a chunk multiple
+    (buffers are rounded up at allocation) so the slices never clamp."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    CH = _ACA_CROSS_CHUNK
+    Rp = mats.shape[0]
+    if Rp % CH:
+        CH = next(c for c in range(min(CH, Rp), 0, -1) if Rp % c == 0)
+    nch = (count + (CH - 1)) // CH
+
+    def body(j, acc):
+        wj = lax.dynamic_slice(w, (j * CH,), (CH,))
+        mj = lax.dynamic_slice(mats, (j * CH, 0, 0),
+                               (CH,) + mats.shape[1:])
+        return acc + jnp.tensordot(wj, mj, axes=1)
+
+    return lax.fori_loop(0, nch, body,
+                         jnp.zeros(mats.shape[1:], mats.dtype))
+
+
 def _aca_device_step(fiber_fn, slice_fn, shape, R):
     """The fused ACA pivot step, jit-cached ACROSS :func:`aca_3d_device`
     invocations.  Defining the jit inside the driver rebuilt (and
@@ -424,7 +455,7 @@ def _aca_device_step(fiber_fn, slice_fn, shape, R):
         i0 = jnp.argmax(jnp.abs(Ef))
         e0 = Ef[i0]
         S = slice_fn(fields, tables, i0[None])              # (n1, n2)
-        Xs = jnp.tensordot(mask * cols[:, i0], mats, axes=1)
+        Xs = _masked_cross_sum(mask * cols[:, i0], mats, count)
         Em = S - Xs
         # append at slot `count`; the host makes it visible by bumping
         # count only when the pivot is accepted
@@ -504,7 +535,7 @@ def _aca_device_loop(fiber_fn, slice_fn, shape, R, tol, skipcount,
         # evaluate + append the cross (discarded unless taken: count only
         # advances on take, and masked reads never see slots >= count)
         S = slice_fn(fields, tables, i0[None])              # (n1, n2)
-        Xs = jnp.tensordot(mask * cols[:, i0], mats, axes=1)
+        Xs = _masked_cross_sum(mask * cols[:, i0], mats, count)
         Em = S - Xs
         cols = jax.lax.dynamic_update_index_in_dim(cols, Ef / Ef[i0],
                                                    count, 0)
@@ -569,8 +600,11 @@ def aca_3d_device(asm, tol=1e-10, maxiter=100, skipcount=3, tolcount=3,
     step = _aca_device_step(fiber_fn, slice_fn, shape, R)
 
     dtype = jnp.float64
-    cols_d = jnp.zeros((R + 1, n0), dtype)      # +1: speculative slot
-    mats_d = jnp.zeros((R + 1, n1, n2), dtype)
+    # +1 slot for the speculative pivot; rounded up to the cross-chunk
+    # multiple so _masked_cross_sum's slices never clamp
+    Rp = -(-(R + 1) // _ACA_CROSS_CHUNK) * _ACA_CROSS_CHUNK
+    cols_d = jnp.zeros((Rp, n0), dtype)
+    mats_d = jnp.zeros((Rp, n1, n2), dtype)
     count = 0
     I = [m // 2 for m in shape]
     if verbose == 0:
