@@ -79,7 +79,8 @@ def _f64_assembly_fns(asm, dev, use_pallas):
     from pyiga_tpu.ops.banded import (band_info, banded_gather_maps,
                                       banded_from_compact_device,
                                       flat_banded_layout,
-                                      flat_banded_embed_device)
+                                      flat_banded_embed_device,
+                                      flat_banded_pad_blocked)
     from pyiga_tpu.assemblers import stiffness_fields_df_pair
 
     fold_plan, _ = asm._fold()
@@ -113,10 +114,15 @@ def _f64_assembly_fns(asm, dev, use_pallas):
             F = ps.stiffness_fields_pallas(gi)
             tp = [[(c, s, M) for ((c, s), M) in zip(ta, Ma)]
                   for ta, Ma in zip(parrs, Ms)]
-            return ps.assemble_flat_banded_pair_pallas(tp, F, plan,
-                                                       bws, ns, lay,
-                                                       last_idx=last_idx,
-                                                       dedup_idx=dedup_idx)
+            Dh, Dl = ps.assemble_flat_banded_pair_pallas(
+                tp, F, plan, bws, ns, lay,
+                last_idx=last_idx, dedup_idx=dedup_idx)
+            # emit the row-blocked kernels' padded layout directly
+            # (identity at resident sizes): a post-hoc pad would keep a
+            # second ~GB copy of the pair alive (OOM at n=96), and an
+            # in-matvec pad doubles the solve's HBM traffic
+            return (flat_banded_pad_blocked(lay, Dh, 2),
+                    flat_banded_pad_blocked(lay, Dl, 2))
 
         jfull = jax.jit(full)
 
@@ -142,8 +148,10 @@ def _f64_assembly_fns(asm, dev, use_pallas):
         data = sumfac.assemble_terms_folded_pair(tt, F, plan, ctperms)
         Dh, Dl = tf.df_from_f64(
             banded_from_compact_device(data, maps, bsz, ns))
-        return (flat_banded_embed_device(Dh, bws, ns, lay),
-                flat_banded_embed_device(Dl, bws, ns, lay))
+        return (flat_banded_pad_blocked(
+                    lay, flat_banded_embed_device(Dh, bws, ns, lay), 2),
+                flat_banded_pad_blocked(
+                    lay, flat_banded_embed_device(Dl, bws, ns, lay), 2))
 
     jfull = jax.jit(full_xla)
 
@@ -236,10 +244,14 @@ def _parity_spotcheck(data_pair, lay, bws, ns, dim, n, nfibers=2):
         raise RuntimeError('parity subprocess failed: %s' %
                            res.stderr[-500:])
     exact = json.loads(line[0][5:])
+    # global scale: a fiber whose fixed rows sit in the band padding is
+    # legitimately all-zero (both sides), so normalize by the largest
+    # exact entry across fibers instead of per-fiber (no 0/0)
+    scale = max(max(float(np.abs(np.asarray(e)).max()) for e in exact),
+                1e-300)
     err = 0.0
     for g, e in zip(got, exact):
-        e = np.asarray(e)
-        err = max(err, float(np.abs(g - e).max() / np.abs(e).max()))
+        err = max(err, float(np.abs(g - np.asarray(e)).max()) / scale)
     return err
 
 
@@ -339,11 +351,14 @@ def run_on(device, dim, n, dtype, repeats=3, measure_split=True):
             li32 = sumfac.last_table_groups(btabs)
 
             def full32(gi, tt, tp):
+                from pyiga_tpu.ops.banded import flat_banded_pad_blocked
                 data = sumfac.assemble_terms_folded(
                     tt, field_fn(gi), plan32, tp, mode='exact',
                     last_idx=li32)
                 D = sumfac.banded_reorder(data, bsz_f, ns_f)
-                return flat_banded_embed_device(D, bws_f, ns_f, flat_lay)
+                return flat_banded_pad_blocked(
+                    flat_lay,
+                    flat_banded_embed_device(D, bws_f, ns_f, flat_lay), 1)
 
             jfn = jax.jit(full32)
             asm_fn = lambda gi: jfn(gi, tt, tperms_d)
@@ -367,6 +382,7 @@ def run_on(device, dim, n, dtype, repeats=3, measure_split=True):
         free = interior_dofs(kvs)
         b = jax.device_put(
             np.random.RandomState(0).rand(len(free)).astype(dtype), device)
+        release = lambda: None          # overridden where operands pin HBM
         if dtype == np.float64 and not on_cpu:
             # f32 Krylov on the flat Pallas banded kernel + device-fused
             # f64 refinement with two-float flat banded residual matvecs
@@ -387,7 +403,14 @@ def run_on(device, dim, n, dtype, repeats=3, measure_split=True):
                                           dtype=np.float32)
 
             def solve(data):
+                from pyiga_tpu.ops.banded import flat_banded_pad_blocked
                 Dh3, Dl3 = data
+                # pre-pad ONCE to the row-blocked kernel's R2 rows (identity
+                # at resident sizes): the blocked kernel otherwise re-pads
+                # the ~GB pair on every matvec (the resident kernel's DMA
+                # row slice tolerates the padded shape, so op_lo shares it)
+                Dh3 = flat_banded_pad_blocked(flat_lay, Dh3, 2)
+                Dl3 = flat_banded_pad_blocked(flat_lay, Dl3, 2)
                 op_hi.operands['inner']['Dh3'] = Dh3
                 op_hi.operands['inner']['Dl3'] = Dl3
                 op_lo.operands['inner']['D3'] = Dh3
@@ -395,6 +418,13 @@ def run_on(device, dim, n, dtype, repeats=3, measure_split=True):
                                         precond_lo=P, inner_tol=3e-3,
                                         fetch_info=False)
                 return u, info
+
+            def release():
+                # drop the operand-held pair so the stale assembled
+                # tensor can be freed between timing iterations
+                op_hi.operands['inner'].pop('Dh3', None)
+                op_hi.operands['inner'].pop('Dl3', None)
+                op_lo.operands['inner'].pop('D3', None)
 
             # headline: assembly + refinement solve as ONE dispatch (each
             # dispatch/sync pays a ~30ms round-trip through the tunnel).
@@ -407,8 +437,15 @@ def run_on(device, dim, n, dtype, repeats=3, measure_split=True):
             pair_bytes = (2 * int(np.prod([2 * bw + 1 for bw in bws_f]))
                           * flat_lay['R'] * 128 * 4)
             if pair_bytes <= 1536 * 2 ** 20:
+                from pyiga_tpu.ops.banded import flat_banded_pad_blocked
+
                 def _fused(gi, ops, b, hi_ops, lo_ops, pc_ops):
                     Dh3, Dl3 = asm_fn.raw(gi, ops)
+                    # pre-pad once in-trace for the row-blocked kernels
+                    # (identity at resident sizes; without it every matvec
+                    # in the solve loop re-pads the whole pair)
+                    Dh3 = flat_banded_pad_blocked(flat_lay, Dh3, 2)
+                    Dl3 = flat_banded_pad_blocked(flat_lay, Dl3, 2)
                     hi_ops = dict(hi_ops, inner=dict(hi_ops['inner'],
                                                      Dh3=Dh3, Dl3=Dl3))
                     lo_ops = dict(lo_ops, inner=dict(lo_ops['inner'],
@@ -451,16 +488,23 @@ def run_on(device, dim, n, dtype, repeats=3, measure_split=True):
                                           dtype=np.float32)
 
             def solve(data):
-                op32.operands['inner']['D3'] = data
+                from pyiga_tpu.ops.banded import flat_banded_pad_blocked
+                op32.operands['inner']['D3'] = flat_banded_pad_blocked(
+                    flat_lay, data, 1)
                 u, it = solvers.cg_jit(op32, b, tol=1e-8, maxiter=600,
                                        precond=P)
                 return u, it
+
+            def release():
+                op32.operands['inner'].pop('D3', None)
 
             run32, mv_ops0, pc_ops0 = solvers.cg_jit_traceable(
                 op32, tol=1e-8, maxiter=600, precond=P)
 
             def _fused32(gi, tt, tp, b, mv_ops, pc_ops):
-                data = full32(gi, tt, tp)
+                from pyiga_tpu.ops.banded import flat_banded_pad_blocked
+                data = flat_banded_pad_blocked(flat_lay, full32(gi, tt, tp),
+                                               1)
                 mv_ops = dict(mv_ops, inner=dict(mv_ops['inner'], D3=data))
                 u, it = run32(b, jnp.zeros_like(b), mv_ops, pc_ops)
                 return jnp.linalg.norm(u), it
@@ -515,6 +559,12 @@ def run_on(device, dim, n, dtype, repeats=3, measure_split=True):
                 nrm, _info = fused_fn(gi)
                 float(nrm)
                 t_tot = min(t_tot, time.perf_counter() - t0)
+            # drop the previous iteration's assembled pair/solution BEFORE
+            # re-assembling: at n=96 the stale pair (~2.7 GB) being alive
+            # while the new assembly executes is the difference between
+            # fitting HBM and a process-poisoning OOM (measured)
+            data = u = None
+            release()
             t0 = time.perf_counter()
             data = asm_fn(gi)
             u, _ = solve(data)
@@ -524,6 +574,8 @@ def run_on(device, dim, n, dtype, repeats=3, measure_split=True):
         # phase split (each phase pays its own sync round-trip)
         t_asm = t_slv = np.inf
         for _ in range(repeats if measure_split else 0):
+            data = u = None
+            release()
             t0 = time.perf_counter()
             data = asm_fn(gi)
             _sync(data)
@@ -937,33 +989,6 @@ def main():
         lines.append(line)
         print(line, flush=True)
 
-    # scale demonstration: 3D f64 at n=96 (~970k dofs, ~8x the headline).
-    # No CPU comparator (one run would take ~6 min on this 1-core host);
-    # correctness evidence is the in-line entry-parity spot check against
-    # an exact-f64 CPU subprocess (parity_max_rel).
-    n_large = int(os.environ.get('PYIGA_BENCH_N_LARGE', '96'))
-    if n_large and not spec and dev.platform != 'cpu':
-        pyiga_tpu.set_dtype(np.float64)
-        res = _with_retries(
-            lambda: run_on(dev, 3, n_large, np.float64, repeats=2),
-            '3d n=%d f64' % n_large)
-        if res is not None:
-            ndofs, t_asm, t_slv, t_tot, iters, extra = res
-            line = json.dumps(dict({
-                'metric': '3d_p3_poisson_assembly_plus_cg[float64,n=%d,'
-                          'cg_iters=%d]' % (n_large, iters),
-                'value': round(ndofs / t_tot, 1),
-                'unit': 'dof/s',
-                'vs_baseline': None,
-                't_assembly_ms': round(1e3 * t_asm, 1),
-                't_solve_ms': round(1e3 * t_slv, 1),
-                'iters': iters,
-                'comparator': 'none at this size (see parity_max_rel: '
-                              'device fibers vs exact-f64 CPU subprocess)',
-            }, **extra))
-            lines.append(line)
-            print(line, flush=True)
-
     if not os.environ.get('PYIGA_BENCH_NO_ACA'):
         # BASELINE config 3: low-rank fast assembling (stiffness_fast)
         pyiga_tpu.set_dtype(np.float64)
@@ -1095,6 +1120,33 @@ def main():
                 'comparator': 'matched-size JAX-on-CPU (see bench.py '
                               'docstring)',
             })
+            lines.append(line)
+            print(line, flush=True)
+
+    # scale demonstration: 3D f64 at n=96 (~970k dofs, ~8x the headline).
+    # No CPU comparator (one run would take ~6 min on this 1-core host);
+    # correctness evidence is the in-line entry-parity spot check against
+    # an exact-f64 CPU subprocess (parity_max_rel).
+    n_large = int(os.environ.get('PYIGA_BENCH_N_LARGE', '96'))
+    if n_large and not spec and dev.platform != 'cpu':
+        pyiga_tpu.set_dtype(np.float64)
+        res = _with_retries(
+            lambda: run_on(dev, 3, n_large, np.float64, repeats=2),
+            '3d n=%d f64' % n_large)
+        if res is not None:
+            ndofs, t_asm, t_slv, t_tot, iters, extra = res
+            line = json.dumps(dict({
+                'metric': '3d_p3_poisson_assembly_plus_cg[float64,n=%d,'
+                          'cg_iters=%d]' % (n_large, iters),
+                'value': round(ndofs / t_tot, 1),
+                'unit': 'dof/s',
+                'vs_baseline': None,
+                't_assembly_ms': round(1e3 * t_asm, 1),
+                't_solve_ms': round(1e3 * t_slv, 1),
+                'iters': iters,
+                'comparator': 'none at this size (see parity_max_rel: '
+                              'device fibers vs exact-f64 CPU subprocess)',
+            }, **extra))
             lines.append(line)
             print(line, flush=True)
 

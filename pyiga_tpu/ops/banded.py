@@ -417,10 +417,13 @@ def _make_flat_kernel(inner_shifts, C23, R, n_pair, G=1):
             base = jnp.int32(m1) * jnp.int32(C23)
 
             def dma(slot, g):
-                # chunked copy: G combos per DMA (fewer, larger transfers)
+                # chunked copy: G combos per DMA (fewer, larger transfers);
+                # the explicit [0, R) row slice tolerates D pre-padded to
+                # the blocked variant's R2 rows (shared data arrays)
                 sz = min(G, C23 - g * G)
                 return pltpu.make_async_copy(
-                    d_hbm.at[pl.ds(base + jnp.int32(g * G), sz)],
+                    d_hbm.at[pl.ds(base + jnp.int32(g * G), sz),
+                             pl.ds(0, R)],
                     dbuf.at[jnp.int32(slot), pl.ds(0, sz)],
                     sem.at[jnp.int32(slot)])
 
@@ -450,7 +453,7 @@ def _make_flat_kernel(inner_shifts, C23, R, n_pair, G=1):
         def dma(slot, g, src, half):
             sz = min(G, C23 - g * G)
             return pltpu.make_async_copy(
-                src.at[pl.ds(base + jnp.int32(g * G), sz)],
+                src.at[pl.ds(base + jnp.int32(g * G), sz), pl.ds(0, R)],
                 dbuf.at[jnp.int32(slot), jnp.int32(half), pl.ds(0, sz)],
                 sem.at[jnp.int32(slot), jnp.int32(half)])
 
@@ -677,8 +680,14 @@ def _flat_call_blocked(lay, D3, x7, interpret=False):
     g = _blocked_geometry(lay, n_pair=1)
     RB, NB, R2, RBX, XR = (g['RB'], g['NB'], g['R2'], g['RBX'], g['XR'])
     G = _pick_dma_chunk(C23, RB, n_pair=1, budget=4 * 2 ** 20)
-    D3 = jnp.pad(D3, ((0, 0), (0, R2 - R), (0, 0)))
-    x7 = jnp.pad(x7, ((0, 0), (0, XR - RXi), (0, 0)))
+    # pads are skipped when the caller pre-padded (flat_banded_pad_blocked
+    # / _embed_x(rows=XR)): an in-call jnp.pad of D copies the whole
+    # ~GB-scale data tensor through HBM EVERY matvec (measured ~2x solve
+    # device time at 3D n=96)
+    if D3.shape[1] != R2:
+        D3 = jnp.pad(D3, ((0, 0), (0, R2 - R), (0, 0)))
+    if x7.shape[1] != XR:
+        x7 = jnp.pad(x7, ((0, 0), (0, XR - RXi), (0, 0)))
     kernel = _make_flat_kernel_blocked(tuple(lay['inner']), C23, RB, RBX,
                                        1, G)
     y = pl.pallas_call(
@@ -706,10 +715,15 @@ def _flat_call_pair_blocked(lay, Dh3, Dl3, xh7, xl7, interpret=False):
     g = _blocked_geometry(lay, n_pair=2)
     RB, NB, R2, RBX, XR = (g['RB'], g['NB'], g['R2'], g['RBX'], g['XR'])
     G = _pick_dma_chunk(C23, RB, n_pair=2, budget=4 * 2 ** 20)
-    Dh3 = jnp.pad(Dh3, ((0, 0), (0, R2 - R), (0, 0)))
-    Dl3 = jnp.pad(Dl3, ((0, 0), (0, R2 - R), (0, 0)))
-    xh7 = jnp.pad(xh7, ((0, 0), (0, XR - RXi), (0, 0)))
-    xl7 = jnp.pad(xl7, ((0, 0), (0, XR - RXi), (0, 0)))
+    # see _flat_call_blocked: in-call D pads double the HBM traffic
+    if Dh3.shape[1] != R2:
+        Dh3 = jnp.pad(Dh3, ((0, 0), (0, R2 - R), (0, 0)))
+    if Dl3.shape[1] != R2:
+        Dl3 = jnp.pad(Dl3, ((0, 0), (0, R2 - R), (0, 0)))
+    if xh7.shape[1] != XR:
+        xh7 = jnp.pad(xh7, ((0, 0), (0, XR - RXi), (0, 0)))
+    if xl7.shape[1] != XR:
+        xl7 = jnp.pad(xl7, ((0, 0), (0, XR - RXi), (0, 0)))
     kernel = _make_flat_kernel_blocked(tuple(lay['inner']), C23, RB, RBX,
                                        2, G)
     yh, yl = pl.pallas_call(
@@ -728,24 +742,51 @@ def _flat_call_pair_blocked(lay, Dh3, Dl3, xh7, xl7, interpret=False):
     return yh[:R], yl[:R]
 
 
-def _embed_x(lay, bws, ns, X):
+def _embed_x(lay, bws, ns, X, rows=None):
     """Embed the (ns) input grid into C1 leading-offset-shifted flat copies
-    of shape (C1, RXi, 128): copy m1 starts at flat position m1 * S1 of the
-    fully halo-padded input, so the kernel's inner shifts stay in
-    [0, max_inner]."""
+    of shape (C1, rows, 128): copy m1 starts at flat position m1 * S1 of
+    the fully halo-padded input, so the kernel's inner shifts stay in
+    [0, max_inner].  ``rows`` defaults to the resident kernel's RXi; the
+    blocked kernel wants its halo'd XR directly (cheaper than a post-hoc
+    pad, and the extra rows are only ever multiplied by zero band data)."""
     C1, S1, RXi = lay['C1'], lay['S1'], lay['RXi']
     lead, F = lay['lead'], lay['F']
+    if rows is None:
+        rows = RXi
     xp = X
     # prefix `lead` zeros: copy m1 = prefixed[m1*S1 : ...] then equals
     # xp_flat[q + (m1 - b1)*S1 - lead_rest], so the kernel's inner combo
     # shifts (sum_{k>=2} mu_k * stride_k) are all nonnegative
-    L = (C1 - 1) * S1 + RXi * 128
+    L = (C1 - 1) * S1 + rows * 128
     assert lead + F <= L
     flat = jnp.zeros((L,), dtype=X.dtype)
     flat = jax.lax.dynamic_update_slice(flat, xp.reshape(-1), (lead,))
-    copies = [jax.lax.dynamic_slice(flat, (m1 * S1,), (RXi * 128,))
+    copies = [jax.lax.dynamic_slice(flat, (m1 * S1,), (rows * 128,))
               for m1 in range(C1)]
-    return jnp.stack(copies).reshape(C1, RXi, 128)
+    return jnp.stack(copies).reshape(C1, rows, 128)
+
+
+def _embed_rows(lay, n_pair):
+    """Row count for :func:`_embed_x` matched to the kernel variant the
+    (lay, n_pair) combination will run."""
+    if _flat_resident_ok(lay, n_pair):
+        return lay['RXi']
+    return _blocked_geometry(lay, n_pair)['XR']
+
+
+def flat_banded_pad_blocked(lay, D3, n_pair):
+    """Pre-pad flat banded data to the row-blocked kernel's R2 rows
+    (identity when the resident kernel will run, or when already padded).
+    Call this ONCE where assembled data enters a solver: the blocked
+    kernels otherwise re-pad the whole data tensor on every matvec, which
+    doubles the HBM traffic of a bandwidth-bound kernel."""
+    if _flat_resident_ok(lay, n_pair):
+        return D3
+    R2 = _blocked_geometry(lay, n_pair)['R2']
+    pad = R2 - D3.shape[1]
+    if pad <= 0:
+        return D3
+    return jnp.pad(D3, ((0, 0), (0, pad), (0, 0)))
 
 
 def _extract_y(lay, bws, ns, y2):
@@ -768,13 +809,16 @@ class FlatBandedOperator:
         self._interpret = interpret
         D3 = None
         if D is not None:
-            D3 = jnp.asarray(flat_banded_data(np.asarray(D, np.float32),
-                                              self.bws, self.ns))
+            D3 = flat_banded_pad_blocked(
+                self.lay,
+                jnp.asarray(flat_banded_data(np.asarray(D, np.float32),
+                                             self.bws, self.ns)), 1)
         self.operands = {'D3': D3}
         lay, bws_t, ns_t, intp = self.lay, self.bws, self.ns, interpret
+        xrows = _embed_rows(lay, 1)
 
         def apply_with_operands(operands, x):
-            x2 = _embed_x(lay, bws_t, ns_t, x.reshape(ns_t))
+            x2 = _embed_x(lay, bws_t, ns_t, x.reshape(ns_t), rows=xrows)
             y2 = _flat_call(lay, operands['D3'], x2, interpret=intp)
             return _extract_y(lay, bws_t, ns_t, y2)
 
@@ -787,8 +831,9 @@ class FlatBandedOperator:
         function — that would store a tracer into ``operands``; inside a
         fused assemble+solve jit use :func:`flat_banded_embed_device`
         directly and thread the result as an operand."""
-        self.operands['D3'] = flat_banded_embed_device(
-            D_banded, self.bws, self.ns, self.lay)
+        self.operands['D3'] = flat_banded_pad_blocked(
+            self.lay, flat_banded_embed_device(
+                D_banded, self.bws, self.ns, self.lay), 1)
 
     def matvec(self, x):
         return self._jit_apply(self.operands, x)
@@ -826,17 +871,20 @@ class FlatBandedOperatorPair:
         self._interpret = interpret
         Dh3 = Dl3 = None
         if D_pair is not None:
-            Dh3 = jnp.asarray(flat_banded_data(
-                np.asarray(D_pair[0], np.float32), self.bws, self.ns))
-            Dl3 = jnp.asarray(flat_banded_data(
-                np.asarray(D_pair[1], np.float32), self.bws, self.ns))
+            Dh3 = flat_banded_pad_blocked(self.lay, jnp.asarray(
+                flat_banded_data(np.asarray(D_pair[0], np.float32),
+                                 self.bws, self.ns)), 2)
+            Dl3 = flat_banded_pad_blocked(self.lay, jnp.asarray(
+                flat_banded_data(np.asarray(D_pair[1], np.float32),
+                                 self.bws, self.ns)), 2)
         self.operands = {'Dh3': Dh3, 'Dl3': Dl3}
         lay, bws_t, ns_t, intp = self.lay, self.bws, self.ns, interpret
+        xrows = _embed_rows(lay, 2)
 
         def apply_with_operands(operands, x):
             xh, xl = tf.df_from_f64(x.reshape(ns_t))
-            xh2 = _embed_x(lay, bws_t, ns_t, xh)
-            xl2 = _embed_x(lay, bws_t, ns_t, xl)
+            xh2 = _embed_x(lay, bws_t, ns_t, xh, rows=xrows)
+            xl2 = _embed_x(lay, bws_t, ns_t, xl, rows=xrows)
             yh2, yl2 = _flat_call_pair(lay, operands['Dh3'],
                                        operands['Dl3'], xh2, xl2,
                                        interpret=intp)

@@ -117,6 +117,78 @@ def test_flat_banded_matvec_interpret():
         assert np.abs(y2 - ref).max() / np.abs(ref).max() < 1e-12
 
 
+def test_flat_banded_blocked_interpret(monkeypatch):
+    # the row-blocked kernel variants (x/y streamed per row block; taken
+    # above ~500k dofs where the resident kernel's VMEM footprint fails)
+    # must match the resident kernel bit-for-bit, with and without the
+    # one-time R2/XR pre-padding of D/x (flat_banded_pad_blocked /
+    # _embed_x(rows=XR)); the resident kernel must also accept pre-padded
+    # D through its row-sliced DMA (shared arrays between hi/lo operators)
+    from pyiga_tpu.ops import banded as bd
+    from pyiga_tpu.ops import twofloat as tf
+
+    kvs, geo = _setup(p=2, n=9, d=3)
+    asm = StiffnessAssembler(kvs, geo)
+    mlm = asm.assemble()
+    bws = band_info(asm.structure)
+    ns = tuple(b[0] for b in asm.structure.bs)
+    bsz = tuple(2 * b + 1 for b in bws)
+    maps = [jnp.asarray(m) for m in bd.banded_gather_maps(asm.structure,
+                                                          bws)]
+    D64 = bd.banded_from_compact_device(jnp.asarray(mlm.data), maps, bsz,
+                                        ns)
+    lay = bd.flat_banded_layout(bws, ns)
+    x = np.random.RandomState(1).rand(int(np.prod(ns)))
+    ref = mlm.asmatrix() @ x
+
+    def run(op, x, f32=False):
+        return np.asarray(op.matvec(
+            jnp.asarray(x, jnp.float32 if f32 else None)))
+
+    # small problem: force the blocked route via a tiny VMEM budget, and a
+    # row-block size that does NOT divide R so the R2 > R padding is real
+    orig_ok = bd._flat_resident_ok
+    orig_geom = bd._blocked_geometry
+    op_res = bd.FlatBandedOperator(np.asarray(D64), bws, ns,
+                                   interpret=True)
+    y_res = run(op_res, x, f32=True)
+    Dh, Dl = tf.df_from_f64(D64)
+    opp_res = bd.FlatBandedOperatorPair((np.asarray(Dh), np.asarray(Dl)),
+                                        bws, ns, interpret=True)
+    y2_res = run(opp_res, x)
+
+    monkeypatch.setattr(bd, '_flat_resident_ok', lambda *a, **k: False)
+    monkeypatch.setattr(bd, '_blocked_geometry',
+                        lambda lay_, n_pair, rb_target=512:
+                        orig_geom(lay_, n_pair, rb_target=12))
+    assert bd._blocked_geometry(lay, 1)['R2'] > lay['R']
+    op_blk = bd.FlatBandedOperator(np.asarray(D64), bws, ns,
+                                   interpret=True)
+    assert op_blk.operands['D3'].shape[1] == \
+        bd._blocked_geometry(lay, 1)['R2']        # pre-padded at __init__
+    y_blk = run(op_blk, x, f32=True)
+    assert np.array_equal(y_blk, y_res)
+    opp_blk = bd.FlatBandedOperatorPair((np.asarray(Dh), np.asarray(Dl)),
+                                        bws, ns, interpret=True)
+    y2_blk = run(opp_blk, x)
+    assert np.array_equal(y2_blk, y2_res)
+    # unpadded operands still work (in-call pad fallback)
+    opp_blk.operands['Dh3'] = opp_blk.operands['Dh3'][:, :lay['R']]
+    opp_blk.operands['Dl3'] = opp_blk.operands['Dl3'][:, :lay['R']]
+    y2_unp = run(opp_blk, x)
+    assert np.array_equal(y2_unp, y2_res)
+    monkeypatch.setattr(bd, '_flat_resident_ok', orig_ok)
+
+    # resident kernel fed R2-padded data (shared-array case)
+    R2 = bd._blocked_geometry(lay, 1)['R2']
+    op_res.operands = {'D3': jnp.pad(
+        op_res.operands['D3'], ((0, 0), (0, R2 - lay['R']), (0, 0)))}
+    y_res_pad = run(op_res, x, f32=True)
+    assert np.array_equal(y_res_pad, y_res)
+    np.testing.assert_allclose(y_res, ref, rtol=0, atol=1e-5 * np.abs(
+        ref).max())
+
+
 def test_symmetric_fold():
     # folded assembly (6 of 9 chains + transpose gather) must match unfolded
     for d in (2, 3):
