@@ -486,9 +486,15 @@ def _make_flat_kernel(inner_shifts, C23, R, n_pair, G=1):
     return kernel_pair
 
 
-def _flat_resident_ok(lay, n_pair, budget=11 * 2 ** 20):
+def _flat_resident_ok(lay, n_pair, budget=13 * 2 ** 20):
     """Whether the whole-R kernel's VMEM residents (x copies, y, D DMA
-    buffers) fit; above this the row-blocked variant takes over."""
+    buffers) fit; above this the row-blocked variant takes over.
+
+    The budget admits the 3D n=48 headline shapes (estimate 12.8 MB —
+    the r4-proven resident footprint; routing them to the blocked
+    variant measured +5 ms device on the fused headline program:
+    solve 9.5 -> 13.0 ms, 62.9 -> 67.9 ms total) while 3D n=96
+    (23 MB estimate) takes the blocked route."""
     R, RXi, C23 = lay['R'], lay['RXi'], lay['C23']
     G = _pick_dma_chunk(C23, R, n_pair=n_pair)
     est = (n_pair * RXi * 512 + n_pair * R * 512
